@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter identically on a real cluster (AQE, adaptive skew handling, Arrow for
+the Pandas-UDF paths, sane shuffle partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadrodb_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes: on a real cluster ``master``/``shuffle.partitions`` come
+    from the deploy environment; AQE then coalesces / re-splits partitions
+    at runtime so the static number only needs to be in the right ballpark.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow: vectorized transfer for every pandas_udf / applyInPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: small dims (region/nation/supplier) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

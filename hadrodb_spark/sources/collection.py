@@ -1,0 +1,353 @@
+"""HadroCollection — the reference's append-only log collection, Spark-first.
+
+Reference semantics preserved (see SURVEY.md §1-2):
+
+- a *collection* is a directory; opening creates it
+  (``/root/reference/hadro/engine.py:80-120``)
+- writes are append-only (``hadro/engine.py:122-137,179-189``)
+- deletes are tombstones skipped at read time (``hadro/engine.py:26,169-170``)
+- point lookups are last-write-wins over the log — the planned KeyDir
+  (``hadro/engine.py:74-77,86,94-95``)
+- compaction purges shadowed/deleted records (acknowledged need,
+  ``hadro/engine.py:53-54``)
+- schema is fixed per collection (``hadro/engine.py:109-120``) and records
+  are validated on append (the ``hadro/engine.py:129`` intent, made real)
+
+Mechanics are replaced by Spark-native equivalents:
+
+- segment file = Parquet file(s) from an atomic ``df.write.mode("append")``
+  commit, not a 5-byte-framed msgpack log (format declared unstable,
+  ``/root/reference/README.md:24``)
+- KeyDir = a ``row_number()`` window over ``(_key, _seq desc)`` — computed
+  lazily by executors, never resident on one node, so it scales past RAM
+- ordering = explicit ``_seq`` (commit counter ⊕ in-batch index) rather than
+  byte offset in a single fd — required for determinism once appends are
+  distributed
+
+Internal columns (stripped from user-facing reads): ``_key`` STRING,
+``_seq`` LONG, ``_deleted`` BOOLEAN.
+
+Scale design: merge-on-read costs one hash shuffle on ``_key``; ``compact()``
+rewrites to the LWW view so steady-state reads are pure Parquet scans with
+predicate pushdown / column pruning (which the reference's ``scan()`` accepts
+but ignores — ``hadro/engine.py:139``; Spark honors both for free).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadrodb_spark.config import WRITE_CONSISTENCY, WriteConsistency
+
+KEY_COL = "_key"
+SEQ_COL = "_seq"      # commit counter (monotonic, single-writer)
+SUB_COL = "_sub"      # intra-commit row index (breaks ties within a commit)
+DELETED_COL = "_deleted"
+INTERNAL_COLS = (KEY_COL, SEQ_COL, SUB_COL, DELETED_COL)
+
+_SCHEMA_FILE = "_hadro_schema.json"
+_MANIFEST_FILE = "_hadro_manifest.json"
+_DATA_DIR = "segments"
+
+
+class HadroError(Exception):
+    """Collection-level error (bad schema, unknown key, invalid record)."""
+
+
+def _internal_fields() -> list[T.StructField]:
+    return [
+        T.StructField(KEY_COL, T.StringType(), nullable=False),
+        T.StructField(SEQ_COL, T.LongType(), nullable=False),
+        T.StructField(SUB_COL, T.LongType(), nullable=False),
+        T.StructField(DELETED_COL, T.BooleanType(), nullable=False),
+    ]
+
+
+class HadroCollection:
+    """An append-only, last-write-wins collection backed by Parquet segments.
+
+    API parity with the reference's declared interface
+    (``/root/reference/INTERFACE.md:3-43``): ``get``/``__getitem__`` (point +
+    multi-get), ``set``/``__setitem__``, ``add``, ``delete``/``__delitem__``,
+    ``__contains__``, ``ids``, ``__len__``, ``where``, plus ``append``,
+    ``scan``, ``compact``, ``close`` from the implemented surface
+    (``hadro/engine.py:122-197``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        collection: str,
+        schema: T.StructType | None = None,
+        consistency: WriteConsistency = WRITE_CONSISTENCY,
+    ) -> None:
+        if not collection:
+            raise HadroError("collection path must be non-empty")
+        if os.path.exists(collection) and not os.path.isdir(collection):
+            # Reference: collection must be a directory (hadro/engine.py:91-93).
+            raise HadroError(f"not a directory: {collection}")
+        self.spark = spark
+        self.path = collection
+        self.consistency = consistency
+        self._closed = False
+        self._pending: list[tuple[str, dict[str, Any], bool]] = []
+
+        os.makedirs(self._data_path, exist_ok=True)
+        schema_file = os.path.join(self.path, _SCHEMA_FILE)
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                stored = T.StructType.fromJson(json.load(f))
+            if schema is not None and schema != stored:
+                raise HadroError("schema mismatch with existing collection")
+            self.schema = stored
+        else:
+            if schema is None:
+                raise HadroError("new collection requires a schema")
+            self.schema = schema
+            with open(schema_file, "w") as f:
+                json.dump(schema.jsonValue(), f)
+
+        # Storage schema: user fields stored nullable so tombstone rows (all
+        # user fields null) are representable; non-null is enforced in _coerce.
+        self._full_schema = T.StructType(
+            _internal_fields()
+            + [T.StructField(f.name, f.dataType, nullable=True) for f in self.schema.fields]
+        )
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _data_path(self) -> str:
+        return os.path.join(self.path, _DATA_DIR)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST_FILE)
+
+    # -------------------------------------------------------------- sequencing
+    def _next_commit(self) -> int:
+        """Monotonic commit counter (single-writer, like the reference's one
+        file descriptor — ``hadro/engine.py:106-107``)."""
+        commit = 0
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                commit = json.load(f)["commits"]
+        with open(self._manifest_path, "w") as f:
+            json.dump({"commits": commit + 1}, f)
+        return commit
+
+    # ------------------------------------------------------------------ writes
+    def _coerce(self, record: Mapping[str, Any] | Sequence[Any]) -> dict[str, Any]:
+        """dict records match by field NAME (deliberate fix of the reference's
+        order-fragile positional coercion, ``hadro/engine.py:123-126``);
+        sequences map positionally. Validation realizes the
+        ``hadro/engine.py:129`` comment."""
+        names = [f.name for f in self.schema.fields]
+        if isinstance(record, Mapping):
+            unknown = set(record) - set(names)
+            if unknown:
+                raise HadroError(f"unknown fields: {sorted(unknown)}")
+            row = {n: record.get(n) for n in names}
+        else:
+            vals = list(record)
+            if len(vals) != len(names):
+                raise HadroError(f"expected {len(names)} values, got {len(vals)}")
+            row = dict(zip(names, vals))
+        for f in self.schema.fields:
+            if not f.nullable and row[f.name] is None:
+                raise HadroError(f"field {f.name!r} is not nullable")
+        return row
+
+    def _stage(self, key: str, record: Mapping[str, Any] | Sequence[Any] | None, deleted: bool) -> None:
+        if self._closed:
+            raise HadroError("collection is closed")
+        row = {f.name: None for f in self.schema.fields} if deleted else self._coerce(record)
+        self._pending.append((key, row, deleted))
+        if self.consistency is WriteConsistency.AGGRESSIVE:
+            self.flush()
+
+    def flush(self) -> None:
+        """Commit buffered appends as ONE atomic Parquet append (the RELAXED
+        batch; AGGRESSIVE flushes per staged record)."""
+        if not self._pending:
+            return
+        commit = self._next_commit()
+        rows = [
+            (key, commit, idx, deleted, *[vals[f.name] for f in self.schema.fields])
+            for idx, (key, vals, deleted) in enumerate(self._pending)
+        ]
+        self._pending.clear()
+        df = self.spark.createDataFrame(rows, self._full_schema)
+        df.write.mode("append").parquet(self._data_path)
+
+    def append(self, record: Mapping[str, Any] | Sequence[Any], key: str | None = None) -> str:
+        """Insert one record (``hadro/engine.py:122-137``); returns its key
+        (generated if absent — the ``add`` semantic, ``INTERFACE.md:13``)."""
+        if key is None:
+            key = uuid.uuid4().hex
+        self._stage(key, record, deleted=False)
+        return key
+
+    def append_df(self, df: DataFrame, key_col: str | None = None) -> None:
+        """Bulk append a DataFrame in one commit — the scale path (no
+        driver-side row buffering). ``key_col`` names the column to use as
+        the record key; otherwise keys are generated."""
+        self.flush()
+        commit = self._next_commit()
+        if key_col is not None:
+            keyed = df.withColumn(KEY_COL, F.col(key_col).cast("string"))
+        else:
+            keyed = df.withColumn(KEY_COL, F.expr("uuid()"))
+        out = (
+            keyed.withColumn(SEQ_COL, F.lit(commit).cast("long"))
+            # intra-commit order: partition-stable monotonic id; only matters
+            # for duplicate keys inside ONE bulk commit
+            .withColumn(SUB_COL, F.monotonically_increasing_id())
+            .withColumn(DELETED_COL, F.lit(False))
+            .select(*INTERNAL_COLS, *[f.name for f in self.schema.fields])
+        )
+        out.write.mode("append").parquet(self._data_path)
+
+    # --------------------------------------------------------------- KV writes
+    def set(self, key: str, record: Mapping[str, Any] | Sequence[Any]) -> None:
+        self._stage(str(key), record, deleted=False)
+
+    __setitem__ = set
+
+    def add(self, record: Mapping[str, Any] | Sequence[Any]) -> str:
+        return self.append(record)
+
+    def delete(self, key: str) -> None:
+        """Append a tombstone (``INTERFACE.md:15-17``; flag at
+        ``hadro/engine.py:26``). The read path filters it out."""
+        self._stage(str(key), None, deleted=True)
+
+    __delitem__ = delete
+
+    # ------------------------------------------------------------------- reads
+    def _log(self) -> DataFrame:
+        """The raw log including shadowed versions and tombstones."""
+        self.flush()
+        segs = [f for f in os.listdir(self._data_path) if f.endswith(".parquet")]
+        if not segs:
+            return self.spark.createDataFrame([], self._full_schema)
+        return self.spark.read.schema(self._full_schema).parquet(self._data_path)
+
+    def _lww(self) -> DataFrame:
+        """Latest version per key — the KeyDir as a lazy window, not a
+        resident dict (scales past single-node RAM)."""
+        w = Window.partitionBy(KEY_COL).orderBy(F.col(SEQ_COL).desc(), F.col(SUB_COL).desc())
+        return (
+            self._log()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def scan(self, columns: Sequence[str] | None = None, predicate: str | Column | None = None) -> DataFrame:
+        """Live view: latest non-tombstoned version of every key.
+
+        Unlike the reference — which accepts ``columns``/``predicates`` and
+        ignores both (``hadro/engine.py:139``) — projection and predicate
+        here reach the Parquet scan via Catalyst pushdown."""
+        df = self._lww().filter(~F.col(DELETED_COL)).drop(SEQ_COL, SUB_COL, DELETED_COL)
+        if predicate is not None:
+            df = df.filter(F.expr(predicate) if isinstance(predicate, str) else predicate)
+        if columns is not None:
+            df = df.select(*columns)
+        return df
+
+    def where(self, predicate: str | Column) -> DataFrame:
+        """``hadro.where(predicate)`` (``INTERFACE.md:29-30``)."""
+        return self.scan(predicate=predicate)
+
+    def get(self, *keys: str) -> dict[str, Any] | list[dict[str, Any]]:
+        """Point / multi-get (``INTERFACE.md:6-8``). Driver-side collect of a
+        key-filtered LWW view; the filter prunes via Parquet min/max stats."""
+        want = [str(k) for k in keys]
+        rows = (
+            self._lww()
+            .filter(F.col(KEY_COL).isin(want) & ~F.col(DELETED_COL))
+            .collect()
+        )
+        by_key = {r[KEY_COL]: {f.name: r[f.name] for f in self.schema.fields} for r in rows}
+        missing = [k for k in want if k not in by_key]
+        if missing:
+            raise KeyError(missing[0])
+        out = [by_key[k] for k in want]
+        return out[0] if len(out) == 1 else out
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            return self.get(*key)
+        return self.get(key)
+
+    def __contains__(self, key: str) -> bool:
+        """``id in hadro`` (``INTERFACE.md:19-21``)."""
+        return (
+            self._lww()
+            .filter((F.col(KEY_COL) == str(key)) & ~F.col(DELETED_COL))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    contains = __contains__
+
+    def ids(self) -> list[str]:
+        """Live keys (``INTERFACE.md:23-24``)."""
+        return [
+            r[KEY_COL]
+            for r in self._lww().filter(~F.col(DELETED_COL)).select(KEY_COL).collect()
+        ]
+
+    def __len__(self) -> int:
+        """``len(hadro)`` (``INTERFACE.md:26-27``)."""
+        return self._lww().filter(~F.col(DELETED_COL)).count()
+
+    # ------------------------------------------------------------- maintenance
+    def compact(self) -> None:
+        """The Bitcask merge (``hadro/engine.py:53-54`` acknowledged need):
+        rewrite segments keeping only live LWW rows. After compaction the
+        read path is a plain Parquet scan — no merge-on-read shuffle."""
+        live = self._lww().filter(~F.col(DELETED_COL))
+        tmp = self._data_path + ".compact"
+        live.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self._data_path)
+        os.rename(tmp, self._data_path)
+
+    def transaction(self) -> "_Transaction":
+        """``with hadro.transaction() as batch`` (``INTERFACE.md:40-43``):
+        buffered writes, one atomic commit on exit."""
+        return _Transaction(self)
+
+    def close(self) -> None:
+        """Flush + seal (``hadro/engine.py:191-197``)."""
+        self.flush()
+        self._closed = True
+
+
+class _Transaction:
+    def __init__(self, coll: HadroCollection) -> None:
+        self._coll = coll
+        self._saved = coll.consistency
+
+    def __enter__(self) -> HadroCollection:
+        self._coll.consistency = WriteConsistency.RELAXED
+        return self._coll
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self._coll.consistency = self._saved
+        if exc_type is None:
+            self._coll.flush()
+        else:
+            self._coll._pending.clear()
