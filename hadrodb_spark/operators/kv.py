@@ -1,0 +1,168 @@
+"""KV/document operators exposed as driver-checkable queries (SURVEY.md §2.1
+S9-S19 — the reference's declared-but-unimplemented INTERFACE.md surface).
+
+Each query deterministically builds a collection from the ``orders`` fixture
+(bulk commit → update commit → tombstone commit), then reads it back through
+the LWW/tombstone view. The DuckDB oracle reproduces the SAME final state
+directly from ``orders`` with CASE/filter logic — so the driver's hash-match
+verifies last-write-wins, tombstone-skip, and compaction equivalence, not
+just Parquet round-tripping.
+
+Reference semantics verified here:
+- last-write-wins point reads  (KeyDir intent, ``hadro/engine.py:74-77,86``)
+- tombstone delete on read     (``hadro/engine.py:26,169-170``, INTERFACE.md:15-17)
+- ids / len / where            (INTERFACE.md:19-30)
+- compaction equivalence       (``hadro/engine.py:53-54`` acknowledged need)
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.sources.collection import KEY_COL, HadroCollection
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_totalprice", T.DoubleType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+    ]
+)
+
+# Deterministic build recipe (mirrored exactly by the oracle SQL):
+#   commit 0: all orders with o_orderkey <= 1000
+#   commit 1: rewrite keys <= 200 with o_totalprice + 1000 (exact decimal)
+#   commit 2: tombstone keys divisible by 7
+_KEY_MAX = 1000
+_UPD_MAX = 200
+_DEL_MOD = 7
+
+_cache: dict[str, HadroCollection] = {}
+
+
+def _collection(spark: SparkSession, sf_dir: str) -> HadroCollection:
+    if sf_dir in _cache:
+        return _cache[sf_dir]
+    path = tempfile.mkdtemp(prefix="hadro_kv_") + "/orders_kv"
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= _KEY_MAX)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    coll = HadroCollection(spark, path, _SCHEMA)
+    coll.append_df(orders, key_col="o_orderkey")
+    updated = (
+        orders.filter(F.col("o_orderkey") <= _UPD_MAX)
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000)).cast("double"),
+        )
+    )
+    coll.append_df(updated, key_col="o_orderkey")
+    for k in [r[0] for r in orders.select("o_orderkey").collect() if r[0] % _DEL_MOD == 0]:
+        coll.delete(str(k))
+    coll.flush()
+    _cache[sf_dir] = coll
+    return coll
+
+
+def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collection(spark, sf_dir).scan().withColumn(
+        "o_orderkey", F.col(KEY_COL).cast("bigint")
+    ).drop(KEY_COL)
+
+
+# ----------------------------------------------------------------- queries
+def kv_get_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point reads resolve to the LATEST version (S9): updated keys show the
+    +1000 price from commit 1, not the original."""
+    return (
+        _live(spark, sf_dir)
+        .filter(F.col("o_orderkey") <= _UPD_MAX)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def kv_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned keys vanish from the live view (S5/S11)."""
+    return _live(spark, sf_dir).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def scan_skips_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan itself (not a later filter) excludes tombstones (S5)."""
+    return _live(spark, sf_dir).select("o_orderkey")
+
+
+def kv_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hadro.ids()`` as a relation (S13)."""
+    return (
+        _collection(spark, sf_dir)
+        .scan()
+        .select(F.col(KEY_COL).cast("bigint").alias("o_orderkey"))
+    )
+
+
+def kv_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``len(hadro)`` (S14) — live row count as a 1-row relation."""
+    n = len(_collection(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n BIGINT")
+
+
+def where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hadro.where(predicate)`` (S15) over the live view."""
+    return (
+        _collection(spark, sf_dir)
+        .where("o_totalprice > 150000 AND o_orderstatus = 'O'")
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def compact_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compact()`` (S19) must be read-equivalent to merge-on-read: compact a
+    COPY of the collection and return its post-compaction scan — the oracle is
+    the same final-state SQL as ``kv_delete_tombstone``."""
+    src = _collection(spark, sf_dir)
+    copy_path = tempfile.mkdtemp(prefix="hadro_compact_") + "/orders_kv"
+    shutil.copytree(src.path, copy_path)
+    copy = HadroCollection(spark, copy_path)
+    copy.compact()
+    return (
+        copy.scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+# The shared "final state" SQL: orders<=1000, +1000 on keys<=200, minus %7.
+_FINAL_STATE = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= {_UPD_MAX}
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= {_KEY_MAX} AND o_orderkey % {_DEL_MOD} <> 0
+"""
+
+ORACLE: dict[str, str] = {
+    "kv_get_latest": f"""
+        SELECT o_orderkey, o_totalprice FROM ({_FINAL_STATE})
+        WHERE o_orderkey <= {_UPD_MAX}
+    """,
+    "kv_delete_tombstone": _FINAL_STATE,
+    "scan_skips_deleted": f"SELECT o_orderkey FROM ({_FINAL_STATE})",
+    "kv_ids": f"SELECT o_orderkey FROM ({_FINAL_STATE})",
+    "kv_count": f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_FINAL_STATE})",
+    "where_filter": f"""
+        SELECT o_orderkey, o_totalprice FROM ({_FINAL_STATE})
+        WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    """,
+    "compact_equivalence": _FINAL_STATE,
+}

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hadrodb_spark.operators import relational
+from hadrodb_spark.operators import kv, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +31,7 @@ def _register(module) -> None:
 
 
 _register(relational)
+_register(kv)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
