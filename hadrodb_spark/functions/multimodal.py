@@ -1,0 +1,105 @@
+"""Multimodal column handling (SURVEY.md §2.3): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched Pandas
+UDFs over ``mapInPandas``.
+
+The decode step itself (image/audio libs) is STUBBED — this container ships
+no codecs — behind ``NotImplementedError`` with a deterministic fake
+(``fake_decode_features``) so the Spark-side plumbing (schema, batch shape,
+partitioning, Arrow transfer) is real and tested.
+
+Scale design: ``mapInPandas`` streams Arrow batches through Python — one
+pass, no driver collect; blob columns stay opaque to the optimizer while the
+typed metadata columns still prune/push down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video | text
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("meta", T.StringType(), True),   # JSON metadata
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(blob: bytes) -> object:
+    """Real image decode — requires PIL/libvips, not present in this
+    container. Plumbing uses fake_decode_features instead."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def decode_audio(blob: bytes) -> object:
+    raise NotImplementedError("audio codecs not available in this environment")
+
+
+def sample_video_frames(blob: bytes, every_n: int = 30) -> list:
+    raise NotImplementedError("video codecs not available in this environment")
+
+
+def fake_decode_features(blob: bytes) -> dict:
+    """Deterministic stand-in for decode+feature-extract: byte length and
+    content hash — enough to verify batch shape and Arrow round-tripping."""
+    return {
+        "n_bytes": len(blob) if blob is not None else None,
+        "content_md5": hashlib.md5(blob).hexdigest() if blob is not None else None,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over a media DataFrame
+    (``MEDIA_SCHEMA`` → ``FEATURE_SCHEMA``)."""
+
+    # NOTE: the closure must be self-contained (stdlib only) — referencing
+    # module-level helpers would pickle a by-reference import of
+    # hadrodb_spark, which executor Python workers may not have on sys.path.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(b) if b is not None else None for b in pdf["blob"]
+                    ],
+                    "content_md5": [
+                        _hashlib.md5(b).hexdigest() if b is not None else None
+                        for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text as an opaque utf-8 blob — the fixture for
+    multimodal plumbing tests (no real media in the test data)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("blob"),
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )

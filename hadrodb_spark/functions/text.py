@@ -1,0 +1,115 @@
+"""Text-analysis column functions for the training-data pipeline — all
+built on JVM-side ``pyspark.sql.functions`` (codegen-friendly; no Python UDFs
+in these hot paths). Each has an exact DuckDB-SQL twin used by the oracles in
+:mod:`hadrodb_spark.operators.textops`.
+
+Cross-engine determinism primitives:
+- tokenization = ``lower`` + regex split on ``[^a-z0-9]+`` (same regex
+  semantics in Java and DuckDB/RE2 for this class)
+- hashing = ``md5`` hex strings (identical in both engines; string ``min``
+  over hex is the cross-engine minhash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately small + public knowledge; the CASE tie-break order
+# (en > de > es > fr) is part of the spec.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "pas", "que", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens, empties removed."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("bigint")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("bigint")
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax of stopword-profile hits with fixed tie-break priority."""
+    s = {l: stopword_hits(toks, l) for l in STOPWORDS}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def normalize_ws(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased canonical text."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of canonical text."""
+    return F.md5(normalize_ws(col))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), via transform over an index sequence
+    — pure built-ins, no UDF."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    # guard: Spark's sequence(0, negative) counts DOWN — short docs must
+    # yield an empty shingle set instead
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash(sh: Column, seeds: int = 8) -> list[Column]:
+    """Cross-engine minhash: per seed, the string-min of md5(shingle||seed).
+    At scale each signature is one pass over the shingle array per row —
+    map-only, no shuffle."""
+    return [
+        F.array_min(F.transform(sh, lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))))
+        for s in range(seeds)
+    ]
+
+
+# ---------------------------------------------------------------- SQL twins
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+
+
+def sql_stopword_hits(toks_expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks_expr}, x -> list_contains([{lst}], x)))"
+
+
+def sql_fingerprint(expr: str) -> str:
+    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
+
+
+def sql_shingles(toks_expr: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> {parts})) "
+    ).replace("t[", f"({toks_expr})[").replace("len(t)", f"len({toks_expr})")
+
+
+def sql_minhash(sh_expr: str, seed: int) -> str:
+    return f"list_min(list_transform({sh_expr}, x -> md5(x || '#{seed}')))"

@@ -1,0 +1,275 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.3) — exact,
+MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+To make the checks non-vacuous on the synthetic fixture, each query PLANTS
+duplicates deterministically (exact copies at ``doc_id+200000``; near-dups at
+``doc_id+100000`` with the last token dropped) — the SAME planting is done in
+the oracle SQL, so the hash-match verifies the dedup logic actually finds
+them.
+
+Scale design:
+- exact dedup: one hash-shuffle on the md5 fingerprint (groupBy) — the
+  canonical 100 TB dedup plan.
+- MinHash LSH: signatures are map-only passes over each row's shingle array
+  (built-in higher-order functions, no UDF); the only shuffle is the
+  band-bucket self-join, whose fan-out is controlled by band width.
+- SimHash: per-token 16-bit hash profile, majority vote per bit — map-only.
+- verification joins fetch token arrays for candidate PAIRS only, never all
+  n² pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.relational import load
+
+_EXACT_MOD = 50      # doc_id % 50 == 0 → planted exact copy at +200000
+_NEAR_MOD = 10       # doc_id % 10 == 0 → planted near-dup at +100000
+_MINHASH_SEEDS = 8   # 4 bands × 2 rows
+_JACCARD_MIN = 0.5
+
+
+def _with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % _EXACT_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+    )
+    return docs.unionByName(copies)
+
+
+def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    mutants = (
+        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
+        .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return docs.unionByName(mutants)
+
+
+# ----------------------------------------------------------------- queries
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = groupBy canonical-text fingerprint; keeper = min id."""
+    base = _with_exact_copies(spark, sf_dir)
+    return (
+        base.groupBy(X.fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs: shingle → 8 md5-minhash signatures →
+    4 two-row band keys → bucket self-join → exact token-Jaccard verify."""
+    base = _with_near_dups(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    sh = X.shingles(toks, 3)
+    mh = X.minhash(sh, _MINHASH_SEEDS)
+    sig = base.select(
+        "doc_id",
+        F.array_distinct(toks).alias("dtoks"),
+        *[mh[i].alias(f"mh{i}") for i in range(_MINHASH_SEEDS)],
+    ).filter(F.col("mh0").isNotNull())
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
+                    for b in range(_MINHASH_SEEDS // 2)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
+    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote over per-token md5 bits),
+    plus the duplicate groups it induces. Planted near-dups land in the same
+    or adjacent buckets; exact copies collide exactly."""
+    base = _with_exact_copies(spark, sf_dir)
+    # per-token 16-bit value from the first 4 hex chars of md5
+    nib = (
+        "(locate(substr(md5(x), {p}, 1), '0123456789abcdef') - 1)"
+    )
+    v16 = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4)
+    )
+    vals = F.expr(
+        "transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')), "
+        f"x -> {v16})"
+    )
+    base = base.withColumn("v16s", vals).filter(F.size("v16s") > 0)
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * aggregate(v16s, 0, (acc, v) -> acc + (shiftright(v, {i}) & 1)) "
+        f"> size(v16s) THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    sim = base.withColumn("simhash", F.expr(bit_terms).cast("bigint"))
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard over a blocked candidate set (same lang,
+    close length) — the brute-force-with-blocking baseline near-dup check."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = X.tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", "n_chars", X.shingles(toks, 3).alias("sh"))
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"), F.col("sh").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ oracles
+_TOKS = X.sql_tokens("text")
+_DTOKS = f"list_distinct({_TOKS})"
+_SH = X.sql_shingles(_TOKS, 3)
+
+_EXACT_BASE = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % {_EXACT_MOD} = 0
+"""
+
+_NEAR_BASE = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(({_TOKS})[1:len({_TOKS}) - 1], ' ') AS text
+    FROM documents WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
+"""
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sig"
+    for b in range(_MINHASH_SEEDS // 2)
+)
+
+_V16 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(x), {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+    for p in range(4)
+)
+_BIT_TERMS = " + ".join(
+    f"CASE WHEN 2 * list_sum(list_transform(v16s, v -> (v >> {i}) & 1)) "
+    f"> len(v16s) THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT {X.sql_fingerprint('text')} AS fp,
+               MIN(doc_id) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM ({_EXACT_BASE})
+        GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    "dedup_near": f"""
+        WITH base AS ({_NEAR_BASE}),
+        sig AS (
+          SELECT doc_id, {_DTOKS} AS dtoks,
+                 {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+          FROM base
+          WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+        ),
+        bands AS ({_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
+                     / (len(ta.dtoks) + len(tb.dtoks)
+                        - len(list_intersect(ta.dtoks, tb.dtoks))), 6) AS jaccard
+        FROM cand
+        JOIN sig ta ON ta.doc_id = id_a
+        JOIN sig tb ON tb.doc_id = id_b
+        WHERE ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
+                    / (len(ta.dtoks) + len(tb.dtoks)
+                       - len(list_intersect(ta.dtoks, tb.dtoks))), 6) >= {_JACCARD_MIN}
+    """,
+    "dedup_simhash": f"""
+        WITH v AS (
+          SELECT doc_id, list_transform({_DTOKS}, x -> {_V16}) AS v16s
+          FROM ({_EXACT_BASE})
+        ),
+        s AS (
+          SELECT doc_id, CAST({_BIT_TERMS} AS BIGINT) AS simhash
+          FROM v WHERE len(v16s) > 0
+        )
+        SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper
+        FROM s GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars, {_SH} AS sh
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / GREATEST(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND ABS(a.n_chars - b.n_chars) <= 20
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / GREATEST(len(a.sh) + len(b.sh)
+                               - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.05
+    """,
+}

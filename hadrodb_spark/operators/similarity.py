@@ -1,0 +1,140 @@
+"""Similarity search over the ``embeddings`` fixture (SURVEY.md §2.3):
+brute-force cosine top-k (the correctness baseline) and an IVF-style
+cell-probed variant (the scale path), plus embedding-cosine near-dup pairs.
+
+Scale design:
+- brute-force top-k against ONE query vector is a map-only scan + TakeOrdered
+  — at 100 TB this is the correct plan (no shuffle at all).
+- the IVF variant mirrors a real ANN index: partition vectors into cells
+  (here the fixture's ``label`` is the cell id; in production, k-means
+  centroids), compute cell centroids, probe only the nearest ``nprobe``
+  cells — the scan shrinks by ncells/nprobe.
+- near-dup pairs use blocking (same cell) before any pairwise math, so the
+  join is |cell|² per cell, never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.functions import vectors as V
+from hadrodb_spark.operators.relational import load
+
+_TOPK = 10
+_QUERY_ID = 0          # embedding of vec_id 0 is the query vector
+_DUP_MAX = 20          # vec_id < 20 get planted duplicate at +100000
+_NEARDUP_ID_MAX = 1000 # blocking bound for the pairwise near-dup query
+
+
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vector (exact baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOPK)
+
+
+def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids per cell (label), probe the 3 nearest cells,
+    exact top-k within them. Centroid averaging is float-order-dependent →
+    rows-only check (no SQL oracle); the unit test asserts recall vs the
+    brute-force baseline instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    # centroid per cell: element-wise mean via posexplode + avg (shuffles
+    # ncells×dim rows — tiny), then re-assembled with array_agg sorted by pos
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("label"))
+        .limit(3)
+        .select("label")
+    )
+    scored = (
+        emb.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOPK)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with planted duplicates and same-cell
+    blocking — finds each planted (v, v+100000) pair at cos≈1."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NEARDUP_ID_MAX)
+    dups = emb.filter(F.col("vec_id") < _DUP_MAX).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    base = emb.unionByName(dups)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cos_sim", F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", F.col("lbl_a").alias("label"), "cos_sim")
+    )
+
+
+_Q = f"(SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID})"
+
+ROWS_ONLY = ("vector_topk_ivf",)
+
+ORACLE: dict[str, str] = {
+    "vector_topk": f"""
+        SELECT vec_id, label,
+               ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+        FROM embeddings, (SELECT embedding AS q_emb FROM embeddings
+                          WHERE vec_id = {_QUERY_ID}) q
+        WHERE vec_id <> {_QUERY_ID}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {_TOPK}
+    """,
+    "dedup_embedding": f"""
+        WITH base AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {_NEARDUP_ID_MAX}
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, label, embedding FROM embeddings
+          WHERE vec_id < {_DUP_MAX}
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+               ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM base a JOIN base b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.99
+    """,
+}

@@ -1,0 +1,146 @@
+"""Text-analysis queries over the ``documents`` fixture (SURVEY.md §2.3;
+driver-mandated LLM-pipeline surface): token counting, language-ID, quality
+scoring, fingerprinting. All JVM-side built-ins (wholestage codegen) — at
+100 TB these are map-only passes with full column pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.relational import load
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.distinct_token_count(F.col("text")).alias("n_uniq_tokens"),
+        F.round(tok_chars.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + alphanumeric-regex token counts and a BPE-ish estimate
+    (chars/4 heuristic — the public rule-of-thumb for English BPE)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        X.token_count(F.col("text")).alias("n_re_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification + agreement with the labeled
+    ``lang`` column (the fixture's labels are synthetic; the score matrix is
+    what the oracle verifies)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(toks).alias("pred_lang"),
+        *[X.stopword_hits(toks, l).alias(f"hits_{l}") for l in X.STOPWORDS],
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + length band + alpha ratio
+    (the standard cheap pre-filters for training-data curation)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = X.stopword_hits(toks, "en").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_score = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(
+            F.lit(0.4) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio, 6
+        ).alias("quality"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text md5 fingerprint (the rolling-hash/document-signature
+    primitive; md5 is the cross-engine-stable choice)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        F.substring(X.fingerprint(F.col("text")), 1, 8).alias("fp_short"),
+    )
+
+
+_TOKS = X.sql_tokens("text")
+
+ORACLE: dict[str, str] = {
+    "text_stats": f"""
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_uniq_tokens,
+               ROUND(CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+                     / len({_TOKS}), 6) AS avg_token_len
+        FROM documents
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                    AS BIGINT) AS n_ws_tokens,
+               CAST(len({_TOKS}) AS BIGINT) AS n_re_tokens,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'de')}
+                     AND {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'es')}
+                     AND {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'en'
+                    WHEN {X.sql_stopword_hits(_TOKS, 'de')} >= {X.sql_stopword_hits(_TOKS, 'es')}
+                     AND {X.sql_stopword_hits(_TOKS, 'de')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'de'
+                    WHEN {X.sql_stopword_hits(_TOKS, 'es')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               CAST({X.sql_stopword_hits(_TOKS, 'en')} AS BIGINT) AS hits_en,
+               CAST({X.sql_stopword_hits(_TOKS, 'de')} AS BIGINT) AS hits_de,
+               CAST({X.sql_stopword_hits(_TOKS, 'es')} AS BIGINT) AS hits_es,
+               CAST({X.sql_stopword_hits(_TOKS, 'fr')} AS BIGINT) AS hits_fr
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               ROUND(CAST({X.sql_stopword_hits(_TOKS, 'en')} AS DOUBLE)
+                     / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6) AS stop_ratio,
+               ROUND(LEAST(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0, 6) AS len_score,
+               ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
+               ROUND(0.4 * (CAST({X.sql_stopword_hits(_TOKS, 'en')} AS DOUBLE)
+                            / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0))
+                   + 0.3 * (LEAST(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0)
+                   + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / CAST(GREATEST(length(text), 1) AS DOUBLE)), 6) AS quality
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               {X.sql_fingerprint('text')} AS fp,
+               substring({X.sql_fingerprint('text')}, 1, 8) AS fp_short
+        FROM documents
+    """,
+}

@@ -12,7 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hadrodb_spark.operators import kv, relational
+from hadrodb_spark.operators import (
+    dedup,
+    kv,
+    multimodal_ops,
+    relational,
+    similarity,
+    textops,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -32,6 +39,10 @@ def _register(module) -> None:
 
 _register(relational)
 _register(kv)
+_register(textops)
+_register(dedup)
+_register(similarity)
+_register(multimodal_ops)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

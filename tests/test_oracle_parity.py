@@ -77,6 +77,12 @@ def test_oracle_parity(spark, sf_dir, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_smoke(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.collect()) >= 0 and df.columns
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -1,0 +1,63 @@
+"""Behavioral tests for LLM-pipeline operators beyond the DuckDB oracle:
+ANN recall, planted-duplicate discovery, decode-stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadrodb_spark.functions import multimodal as MM
+from hadrodb_spark.operators import dedup, similarity
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    exact = {r["vec_id"] for r in similarity.vector_topk(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in similarity.vector_topk_ivf(spark, sf_dir).collect()}
+    # IVF probes 3/10 cells; recall@10 must be well above random (3/10)
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
+
+
+def test_dedup_near_finds_planted_mutants(spark, sf_dir):
+    pairs = dedup.dedup_near(spark, sf_dir).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000}
+    # every planted near-dup (last token dropped) should be caught
+    n_planted_expected = (
+        dedup._with_near_dups(spark, sf_dir).filter(F.col("doc_id") >= 100000).count()
+    )
+    assert n_planted_expected > 0
+    assert len(planted) >= int(0.8 * n_planted_expected)
+
+
+def test_dedup_exact_finds_planted_copies(spark, sf_dir):
+    groups = dedup.dedup_exact(spark, sf_dir).collect()
+    assert all(g["n_copies"] >= 2 for g in groups)
+    assert any(g["keeper"] % dedup._EXACT_MOD == 0 for g in groups)
+
+
+def test_dedup_embedding_finds_planted_vectors(spark, sf_dir):
+    pairs = similarity.dedup_embedding(spark, sf_dir).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 100000}
+    assert len(planted) == similarity._DUP_MAX  # every planted dup found at cos=1
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-4 or r["id_b"] < 100000 for r in pairs)
+
+
+def test_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(b"\x00")
+
+
+def test_media_schema_roundtrip(spark, sf_dir):
+    from hadrodb_spark.operators.relational import load
+
+    media = MM.documents_as_media(load(spark, sf_dir, "documents").limit(50))
+    assert media.schema == MM.MEDIA_SCHEMA or [f.name for f in media.schema.fields] == [
+        f.name for f in MM.MEDIA_SCHEMA.fields
+    ]
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 50
+    assert all(f["n_bytes"] > 0 and len(f["content_md5"]) == 32 for f in feats)
