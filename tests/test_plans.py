@@ -1,0 +1,53 @@
+"""Plan-shape regression tests: fail if an operator's physical plan loses the
+properties that make it viable at 100 TB (pushdown, pruning, broadcast,
+bounded shuffles). These encode the `.explain("formatted")` review the build
+contract demands."""
+
+from __future__ import annotations
+
+from hadrodb_spark.operators import relational as R
+from hadrodb_spark.plans import explain as E
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    df = R.scan_lineitem(spark, sf_dir)
+    assert E.has_pushed_filters(df), E.formatted_plan(df)
+    cols = set(E.read_schema_columns(df))
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_discount"}, cols
+
+
+def test_flagship_prunes_to_needed_columns(spark, sf_dir):
+    df = R.sql_tpch_q1_like(spark, sf_dir)
+    cols = set(E.read_schema_columns(df))
+    # 7 columns of 11 — shipdate filter + group keys + measures only
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert E.has_broadcast_join(R.join_inner(spark, sf_dir))
+    assert E.has_broadcast_join(R.join_range(spark, sf_dir))
+    assert E.has_broadcast_join(R.join_multiway(spark, sf_dir))
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    # one Exchange for the groupBy, one for the orderBy — no hidden extras
+    assert E.shuffle_count(R.sql_tpch_q1_like(spark, sf_dir)) <= 2
+
+
+def test_multiway_join_shuffle_bound(spark, sf_dir):
+    # fact⋈orders shuffles both sides (2 Exchanges) + 1 final agg exchange;
+    # broadcast dims must add none
+    assert E.shuffle_count(R.join_multiway(spark, sf_dir)) <= 3
+
+
+def test_wholestage_codegen_present(spark, sf_dir):
+    assert E.codegen_stage_count(R.sql_tpch_q1_like(spark, sf_dir)) >= 1
+    assert E.codegen_stage_count(R.agg_groupby(spark, sf_dir)) >= 1
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-N), never a global Sort
+    plan = E.formatted_plan(R.sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,97 @@
+"""Streaming semantics tests with deterministic fixtures: results of each
+streaming operator (run with availableNow over a static directory) must equal
+the equivalent batch computation — the no-oracle strategy from SURVEY.md §7
+risk 5."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.streaming import events as S
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Events table rewritten as a multi-segment streaming collection."""
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    load(spark, sf_dir, "events").repartition(4).write.parquet(d)
+    return d
+
+
+def _drain(spark, stream, name, mode="append"):
+    S.run_to_memory(stream, name, mode)
+    return spark.table(name)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, event_dir):
+    out = _drain(
+        spark, S.tumbling_counts(S.stream_events(spark, event_dir)), "t_tumble", "append"
+    ).orderBy("window_start", "event_type")
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+    got = [tuple(r) for r in out.collect()]
+    want = [tuple(r) for r in batch.collect()]
+    # availableNow emits only windows closed by the final watermark; all
+    # emitted windows must match their batch twins exactly
+    assert len(got) > 0
+    assert set(got) <= set(want)
+    assert len(got) >= len(want) - 4  # at most the tail windows unemitted
+
+
+def test_sliding_windows_overlap(spark, event_dir):
+    out = _drain(
+        spark,
+        S.sliding_avg(S.stream_events(spark, event_dir)),
+        "t_slide",
+        "append",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every event lands in 2 overlapping (2h, 1h-slide) windows: total
+    # sliding n_events ≈ 2 × event count among emitted windows
+    one_user = [r for r in rows if r["user_id"] == rows[0]["user_id"]]
+    assert sum(r["n_events"] for r in one_user) > max(r["n_events"] for r in one_user)
+
+
+def test_session_windows(spark, event_dir):
+    out = _drain(
+        spark,
+        S.session_windows(S.stream_events(spark, event_dir)),
+        "t_sess",
+        "append",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, event_dir, tmp_path):
+    # duplicate the whole input: every event_id appears twice across files
+    dup_dir = str(tmp_path / "dup_events")
+    spark.read.parquet(event_dir).write.parquet(dup_dir)
+    spark.read.parquet(event_dir).write.mode("append").parquet(dup_dir)
+    n_unique = spark.read.parquet(event_dir).count()
+    out = _drain(
+        spark, S.stream_dedup(S.stream_events(spark, dup_dir)), "t_dedup", "append"
+    )
+    assert out.count() == n_unique
+
+
+def test_stream_source_is_incremental(spark, event_dir):
+    # maxFilesPerTrigger=8 over a 4-file dir → at least one batch, bounded
+    stream = S.stream_events(spark, event_dir)
+    assert stream.isStreaming
