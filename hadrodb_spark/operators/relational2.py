@@ -1,0 +1,419 @@
+"""Second relational batch (SURVEY.md §2.2 continued): outer joins,
+subqueries, grouping sets, pivot, exact median, extended window frames,
+string/math function coverage, and the UDF surface (row-Python and
+Arrow-vectorized pandas UDFs — both oracle-checked, proving the slow path
+computes exactly what the declarative twin would).
+
+Same determinism contract as :mod:`hadrodb_spark.operators.relational`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.window import Window
+
+from hadrodb_spark.operators.relational import dec, load, one
+
+
+# --------------------------------------------------------------- outer joins
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept-side nulls on the left)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 180_000)
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "right").select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated key sets."""
+    buyers = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("custkey") <= 500)
+    )
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_acctbal") > 8000) & (F.col("c_custkey") <= 500))
+        .select(F.col("c_custkey").alias("custkey"), "c_acctbal")
+    )
+    return buyers.join(rich, "custkey", "full").select(
+        "custkey", "n_orders", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------- subqueries
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global mean price.
+    The scalar aggregates once and broadcasts — no per-row re-evaluation."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_o")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_o
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM v_o)
+        """
+    )
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery: each customer's orders above THEIR mean —
+    Catalyst decorrelates to a join + aggregate (no nested-loop re-execution)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_o2")
+    return spark.sql(
+        """
+        SELECT a.o_orderkey, a.o_custkey, a.o_totalprice
+        FROM v_o2 a
+        WHERE a.o_totalprice > (
+          SELECT CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM v_o2 b WHERE b.o_custkey = a.o_custkey)
+        """
+    )
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS pair as one query via CASE flags."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_c")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_o3")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM v_o3 WHERE o_custkey = c_custkey) AS has_orders
+        FROM v_c
+        """
+    )
+
+
+# ------------------------------------------------------- grouping sets / pivot
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_o4")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v_o4
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (Spark ``.pivot``; the
+    oracle uses the equivalent conditional aggregation)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce("P", F.lit(0)).cast("bigint").alias("n_p"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- percentiles
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group via explicit mid-rank selection + exact decimal
+    averaging — deterministic across engines (built-in percentile
+    interpolation formulas differ in final-ulp behavior)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    mids = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2))
+    )
+    return (
+        mids.groupBy("o_orderstatus")
+        .agg(
+            (F.sum(dec("o_totalprice")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("median_price")
+        )
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL). Sketch implementations differ across
+    engines → rows-only check; the unit test bounds the error vs exact."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- windows 2
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over explicit row frames + ntile/percent_rank."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey"))
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: count of a customer's orders
+    within ±5 orderkeys."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(-5, 5)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("nearby_orders"),
+    )
+
+
+def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON-style: each customer's single latest/priciest order (the
+    LWW idiom from the storage layer, §2.1 S9, applied relationally)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ------------------------------------------------------------ scalar funcs 2
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/replace/regexp_extract/reverse/repeat/position coverage."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract(F.col("p_brand"), "Brand#(\\d+)", 1).alias("brand_num"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr(F.col("p_type"), "BRASS").cast("bigint").alias("brass_pos"),
+    )
+
+
+def scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log/exp/pow/mod/sign with rounding for transcendental stability."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.round(F.pow(F.col("p_size"), 2), 1).alias("size_sq"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("p_retailprice") - 1000).cast("bigint").alias("over_1k"),
+    )
+
+
+def date_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar aggregation over the event stream: month bucket via
+    date_format (string-stable), decimal-exact sums."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination with deterministic full ordering."""
+    return (
+        load(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(10)
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------- UDF surface
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the deliberately-slow path, §2.2 UDF row) —
+    oracle-checked against the pure-SQL twin of the same logic."""
+
+    @F.udf(returnType=T.StringType())
+    def norm_name(s: str) -> str:
+        return s.strip().lower().replace(" ", "-") if s is not None else None
+
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", norm_name(F.col("c_name")).alias("slug"))
+    )
+
+
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (the fast Python path): tax banding."""
+
+    @pandas_udf(T.StringType())
+    def band(bal: pd.Series) -> pd.Series:
+        return pd.cut(
+            bal,
+            bins=[float("-inf"), 0, 5000, float("inf")],
+            labels=["overdrawn", "normal", "premium"],
+            right=False,
+        ).astype(str)
+
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", band(F.col("c_acctbal")).alias("tier")
+    )
+
+
+ROWS_ONLY = ("agg_approx_distinct",)
+
+ORACLE: dict[str, str] = {
+    "join_right": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM (SELECT * FROM orders WHERE o_totalprice > 180000) o
+        RIGHT JOIN customer ON o.o_custkey = c_custkey
+    """,
+    "join_full": """
+        SELECT COALESCE(b.custkey, r.custkey) AS custkey, b.n_orders, r.c_acctbal
+        FROM (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey HAVING o_custkey <= 500) b
+        FULL JOIN (SELECT c_custkey AS custkey, c_acctbal FROM customer
+                   WHERE c_acctbal > 8000 AND c_custkey <= 500) r
+          ON b.custkey = r.custkey
+    """,
+    "subquery_scalar": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders)
+    """,
+    "subquery_correlated": """
+        SELECT a.o_orderkey, a.o_custkey, a.o_totalprice
+        FROM orders a
+        WHERE a.o_totalprice > (
+          SELECT CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders b WHERE b.o_custkey = a.o_custkey)
+    """,
+    "subquery_exists": """
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        FROM customer
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_median": """
+        WITH ranked AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE)
+                 AS median_price
+        FROM ranked
+        WHERE rn = FLOOR((n + 1) / 2) OR rn = CEIL((n + 1) / 2)
+        GROUP BY o_orderstatus
+    """,
+    "window_frames": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER wfull AS first_order,
+               LAST_VALUE(o_orderkey) OVER wfull AS last_order,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+               wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "window_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+                 AS nearby_orders
+        FROM orders
+    """,
+    "distinct_on_latest": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "scalar_string2": """
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS brand_pad,
+               replace(p_type, ' ', '_') AS type_snake,
+               regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+               reverse(p_name) AS name_rev,
+               CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos
+        FROM part
+    """,
+    "scalar_math2": """
+        SELECT p_partkey,
+               ROUND(LN(p_retailprice), 6) AS ln_price,
+               ROUND(POW(p_size, 2), 1) AS size_sq,
+               CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+               CAST(SIGN(p_retailprice - 1000) AS BIGINT) AS over_1k
+        FROM part
+    """,
+    "date_agg_monthly": """
+        SELECT strftime(ts, '%Y-%m') AS month, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "limit_offset": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 10
+    """,
+    "udf_scalar": """
+        SELECT c_custkey, replace(lower(trim(c_name)), ' ', '-') AS slug
+        FROM customer WHERE c_custkey <= 300
+    """,
+    "udf_pandas": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'normal'
+                    ELSE 'premium' END AS tier
+        FROM customer
+    """,
+}

@@ -17,6 +17,7 @@ from hadrodb_spark.operators import (
     kv,
     multimodal_ops,
     relational,
+    relational2,
     similarity,
     textops,
 )
@@ -38,6 +39,7 @@ def _register(module) -> None:
 
 
 _register(relational)
+_register(relational2)
 _register(kv)
 _register(textops)
 _register(dedup)

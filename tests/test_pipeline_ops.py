@@ -61,3 +61,12 @@ def test_media_schema_roundtrip(spark, sf_dir):
     feats = MM.extract_features(media).collect()
     assert len(feats) == 50
     assert all(f["n_bytes"] > 0 and len(f["content_md5"]) == 32 for f in feats)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from hadrodb_spark.operators.relational2 import agg_approx_distinct
+
+    rows = agg_approx_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
