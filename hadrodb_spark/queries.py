@@ -18,6 +18,7 @@ from hadrodb_spark.operators import (
     multimodal_ops,
     relational,
     relational2,
+    sessionize,
     similarity,
     textops,
 )
@@ -41,6 +42,7 @@ def _register(module) -> None:
 _register(relational)
 _register(relational2)
 _register(kv)
+_register(sessionize)
 _register(textops)
 _register(dedup)
 _register(similarity)

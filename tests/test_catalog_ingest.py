@@ -1,0 +1,91 @@
+"""Catalog SQL-over-collections + streaming-ingest integration tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadrodb_spark.catalog import HadroCatalog
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.sources.collection import HadroCollection
+from hadrodb_spark.streaming import events as S
+from hadrodb_spark.streaming.ingest import running_user_totals, stream_into_collection
+
+
+def test_catalog_sql_over_collections(spark, sf_dir, tmp_path):
+    cat = HadroCatalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    c = cat.create("metrics", str(tmp_path / "metrics"), schema)
+    c.append_df(
+        spark.range(100).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        key_col="k",
+    )
+    out = cat.sql("SELECT grp, COUNT(*) AS n, SUM(v) AS total FROM metrics GROUP BY grp")
+    got = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {"even": (50, 2450.0), "odd": (50, 2500.0)}
+    # upsert then re-query through the SAME catalog: LWW view must refresh
+    c.set("0", {"k": 0, "grp": "even", "v": 1000.0})
+    got2 = {r["grp"]: r["total"] for r in cat.sql(
+        "SELECT grp, SUM(v) AS total FROM metrics GROUP BY grp").collect()}
+    assert got2["even"] == 3450.0
+
+
+def test_stream_ingest_into_collection(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "src")
+    load(spark, sf_dir, "events").limit(200).repartition(4).write.parquet(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "landed"), schema)
+    stream = (
+        S.stream_events(
+            spark,
+            src_dir,
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType(), True),
+                    T.StructField("ts", T.TimestampType(), True),
+                    T.StructField("user_id", T.LongType(), True),
+                    T.StructField("event_type", T.StringType(), True),
+                    T.StructField("value", T.DoubleType(), True),
+                    T.StructField("props", T.StringType(), True),
+                ]
+            ),
+        )
+        .select("event_id", "event_type", "value")
+    )
+    q = stream_into_collection(
+        stream, coll, key_col="event_id", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(coll) == 200
+    assert coll.get("0")["event_type"] is not None
+
+
+def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "src2")
+    load(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+    totals = running_user_totals(S.stream_events(spark, src_dir))
+    S.run_to_memory(totals, "t_totals", mode="update")
+    out = spark.table("t_totals")
+    # update mode may emit one row per user per batch: take the max (final)
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n")).orderBy("user_id")
+    )
+    batch = load(spark, sf_dir, "events").groupBy("user_id").count().orderBy("user_id")
+    got = [(r["user_id"], r["n"]) for r in final.collect()]
+    want = [(r["user_id"], r["count"]) for r in batch.collect()]
+    assert got == want
