@@ -1,0 +1,124 @@
+"""As-of (nearest-earlier) join — the canonical time-series operator Spark's
+built-ins lack (SURVEY driver contract: custom operators as compositions of
+DataFrame ops where semantics allow).
+
+Implementation is the scalable union+window idiom, NOT a per-row lookup:
+
+    tag left rows kind=1, right rows kind=0 → union → window over
+    (key, ORDER BY t, kind, tiebreak) → last_value(right cols, ignorenulls)
+    → keep kind=1 rows
+
+One shuffle on the key, linear in |left|+|right| — no range-join blowup, no
+broadcast requirement, skew handled by AQE. Tie semantics: a right row at
+exactly t matches (inclusive ≤), ties broken by the right tiebreak column so
+results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.operators.relational import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_t: str,
+    right_t: str,
+    right_vals: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join: for each left row, the right row with the greatest
+    ``(right_t, tiebreak)`` such that ``right_t <= left_t`` and keys match.
+    Returns all left columns plus ``right_vals`` (null when no match)."""
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_t).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_t).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return merged.filter(F.col("_kind") == 1).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_vals]
+    )
+
+
+def asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined to the customer's most recent event at or before
+    the order date (second-floored epochs for cross-engine stability)."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("o_ets"),
+        )
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.unix_timestamp("ts").alias("e_ets"),
+    )
+    out = asof_join(
+        orders.withColumnRenamed("o_custkey", "key"),
+        events.withColumnRenamed("user_id", "key"),
+        key="key",
+        left_t="o_ets",
+        right_t="e_ets",
+        right_vals=["event_id", "event_type"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("key").alias("o_custkey"),
+        F.col("asof_event_id").alias("last_event_id"),
+        F.col("asof_event_type").alias("last_event_type"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "asof_orders_events": """
+        SELECT o.o_orderkey, o.o_custkey,
+               e.event_id AS last_event_id,
+               e.event_type AS last_event_type
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_ets
+              FROM orders WHERE o_custkey <= 200) o
+        LEFT JOIN LATERAL (
+          SELECT event_id, event_type
+          FROM (SELECT user_id, event_id, event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets FROM events) ev
+          WHERE ev.user_id = o.o_custkey AND ev.e_ets <= o.o_ets
+          ORDER BY ev.e_ets DESC, ev.event_id DESC
+          LIMIT 1
+        ) e ON TRUE
+    """,
+}

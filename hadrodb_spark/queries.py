@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hadrodb_spark.operators import (
+    asof,
     dedup,
     kv,
     multimodal_ops,
@@ -41,6 +42,7 @@ def _register(module) -> None:
 
 _register(relational)
 _register(relational2)
+_register(asof)
 _register(kv)
 _register(sessionize)
 _register(textops)

@@ -88,6 +88,7 @@ class HadroCollection:
         collection: str,
         schema: T.StructType | None = None,
         consistency: WriteConsistency = WRITE_CONSISTENCY,
+        partition_by: Sequence[str] | None = None,
     ) -> None:
         if not collection:
             raise HadroError("collection path must be non-empty")
@@ -104,16 +105,26 @@ class HadroCollection:
         schema_file = os.path.join(self.path, _SCHEMA_FILE)
         if os.path.exists(schema_file):
             with open(schema_file) as f:
-                stored = T.StructType.fromJson(json.load(f))
+                meta = json.load(f)
+            stored = T.StructType.fromJson(meta["schema"] if "schema" in meta else meta)
             if schema is not None and schema != stored:
                 raise HadroError("schema mismatch with existing collection")
             self.schema = stored
+            self.partition_by = list(meta.get("partition_by", []) or [])
+            if partition_by is not None and list(partition_by) != self.partition_by:
+                raise HadroError("partition_by mismatch with existing collection")
         else:
             if schema is None:
                 raise HadroError("new collection requires a schema")
             self.schema = schema
+            self.partition_by = list(partition_by or [])
+            unknown = set(self.partition_by) - {f.name for f in schema.fields}
+            if unknown:
+                raise HadroError(f"partition columns not in schema: {sorted(unknown)}")
             with open(schema_file, "w") as f:
-                json.dump(schema.jsonValue(), f)
+                json.dump(
+                    {"schema": schema.jsonValue(), "partition_by": self.partition_by}, f
+                )
 
         # Storage schema: user fields stored nullable so tombstone rows (all
         # user fields null) are representable; non-null is enforced in _coerce.
@@ -185,7 +196,7 @@ class HadroCollection:
         ]
         self._pending.clear()
         df = self.spark.createDataFrame(rows, self._full_schema)
-        df.write.mode("append").parquet(self._data_path)
+        self._write_segments(df)
 
     def append(self, record: Mapping[str, Any] | Sequence[Any], key: str | None = None) -> str:
         """Insert one record (``hadro/engine.py:122-137``); returns its key
@@ -213,7 +224,16 @@ class HadroCollection:
             .withColumn(DELETED_COL, F.lit(False))
             .select(*INTERNAL_COLS, *[f.name for f in self.schema.fields])
         )
-        out.write.mode("append").parquet(self._data_path)
+        self._write_segments(out)
+
+    def _write_segments(self, df: DataFrame) -> None:
+        """One atomic Parquet commit; hive-partitioned when partition_by is
+        set, so reads with partition-key predicates prune entire directories
+        (PartitionFilters) — the scale path for time/tenant-keyed logs."""
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._data_path)
 
     # --------------------------------------------------------------- KV writes
     def set(self, key: str, record: Mapping[str, Any] | Sequence[Any]) -> None:
@@ -235,10 +255,16 @@ class HadroCollection:
     def _log(self) -> DataFrame:
         """The raw log including shadowed versions and tombstones."""
         self.flush()
-        segs = [f for f in os.listdir(self._data_path) if f.endswith(".parquet")]
-        if not segs:
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(self._data_path)
+            for f in files
+        )
+        if not has_data:
             return self.spark.createDataFrame([], self._full_schema)
-        return self.spark.read.schema(self._full_schema).parquet(self._data_path)
+        df = self.spark.read.schema(self._full_schema).parquet(self._data_path)
+        # partition columns come back as hive dirs; reorder to storage schema
+        return df.select(*[f.name for f in self._full_schema.fields])
 
     def _lww(self) -> DataFrame:
         """Latest version per key — the KeyDir as a lazy window, not a
@@ -319,7 +345,10 @@ class HadroCollection:
         read path is a plain Parquet scan — no merge-on-read shuffle."""
         live = self._lww().filter(~F.col(DELETED_COL))
         tmp = self._data_path + ".compact"
-        live.write.mode("overwrite").parquet(tmp)
+        writer = live.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
         import shutil
 
         shutil.rmtree(self._data_path)

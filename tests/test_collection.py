@@ -165,3 +165,45 @@ def test_closed_collection_rejects_writes(spark, coll):
     coll.close()
     with pytest.raises(HadroError):
         coll.set("k", {"title": "t", "author": None})
+
+
+def test_partitioned_collection_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadrodb_spark.plans.explain import formatted_plan
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("day", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    coll = HadroCollection(
+        spark, str(tmp_path / "part"), schema, partition_by=["day"]
+    )
+    df = spark.range(200).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS day",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    coll.append_df(df, key_col="k")
+    # partition dirs exist
+    import os
+
+    assert any("day=" in d for d in os.listdir(coll._data_path))
+    # read back: full and filtered
+    assert len(coll) == 200
+    day1 = coll.where("day = '2024-01-01'")
+    assert day1.count() == 100
+    # partition pruning reaches the scan
+    plan = formatted_plan(coll._log().filter(F.col("day") == "2024-01-01"))
+    assert "PartitionFilters: [" in plan and "isnotnull(day" in plan
+    # LWW + delete still work across partitions
+    coll.delete("0")
+    assert len(coll) == 199
+    # reopen remembers partitioning
+    c2 = HadroCollection(spark, str(tmp_path / "part"))
+    assert c2.partition_by == ["day"]
+    c2.compact()
+    assert len(c2) == 199 and any("day=" in d for d in os.listdir(c2._data_path))
