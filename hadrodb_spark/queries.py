@@ -21,6 +21,7 @@ from hadrodb_spark.operators import (
     relational2,
     sessionize,
     similarity,
+    skew,
     textops,
 )
 
@@ -45,6 +46,7 @@ _register(relational2)
 _register(asof)
 _register(kv)
 _register(sessionize)
+_register(skew)
 _register(textops)
 _register(dedup)
 _register(similarity)

@@ -41,6 +41,19 @@ def get_spark(
         # Broadcast threshold: small dims (region/nation/supplier) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Split parquet scans down to row-group granularity. The local test
+        # fixtures are single ~10 MB files — at the 128m default a scan gets
+        # ONE task no matter how many cores exist. On a real cluster raise
+        # this back toward 128m (files there are hundreds of MB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        # managed-table location (bucketed tables); keep out of the repo dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hadrodb_spark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

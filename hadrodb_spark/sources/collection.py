@@ -354,6 +354,27 @@ class HadroCollection:
         shutil.rmtree(self._data_path)
         os.rename(tmp, self._data_path)
 
+    def optimize(self, sort_cols: Sequence[str]) -> None:
+        """Compact + cluster: rewrite live rows range-partitioned and sorted
+        by ``sort_cols`` so parquet min/max stats give the data-skipping the
+        reference hoped for from b+tree indexes (INTERFACE.md:32-38) —
+        point/range predicates on the sort key then prune row groups."""
+        live = (
+            self._lww()
+            .filter(~F.col(DELETED_COL))
+            .repartitionByRange(*[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
+        )
+        tmp = self._data_path + ".optimize"
+        writer = live.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self._data_path)
+        os.rename(tmp, self._data_path)
+
     def transaction(self) -> "_Transaction":
         """``with hadro.transaction() as batch`` (``INTERFACE.md:40-43``):
         buffered writes, one atomic commit on exit."""

@@ -207,3 +207,32 @@ def test_partitioned_collection_prunes(spark, tmp_path):
     assert c2.partition_by == ["day"]
     c2.compact()
     assert len(c2) == 199 and any("day=" in d for d in os.listdir(c2._data_path))
+
+
+def test_optimize_clusters_and_preserves_rows(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "opt"), schema)
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randint(0, 10_000))) for i in range(500)]
+    coll.append_df(
+        spark.createDataFrame(rows, "k LONG, v DOUBLE"), key_col="k"
+    )
+    coll.delete("13")
+    before = sorted(tuple(r) for r in coll.scan().select("k", "v").collect())
+    coll.optimize(["v"])
+    after = sorted(tuple(r) for r in coll.scan().select("k", "v").collect())
+    assert before == after and len(after) == 499
+    # post-optimize segments are sorted by v within each file
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(str(tmp_path / "opt" / "segments" / "*.parquet")):
+        vs = pq.read_table(f, columns=["v"]).to_pandas()["v"].tolist()
+        assert vs == sorted(vs)
