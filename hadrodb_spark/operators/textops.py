@@ -88,9 +88,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup per (lang, source): doc counts, char totals,
+    mean quality inputs — the curation dashboard query."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return (
+        docs.select("lang", "source", "n_chars", F.size(toks).alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "corpus_stats": f"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+               CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens,
+               CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM documents GROUP BY lang, source
+    """,
     "text_stats": f"""
         SELECT doc_id, lang,
                CAST(length(text) AS BIGINT) AS n_chars,
