@@ -1,0 +1,58 @@
+"""Streaming join semantics vs batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.streaming import events as S
+from hadrodb_spark.streaming.joins import enrich_stream, purchases_after_signup
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sj") / "events")
+    load(spark, sf_dir, "events").repartition(4).write.parquet(d)
+    return d
+
+
+def test_stream_static_enrichment(spark, sf_dir, event_dir):
+    dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    out = enrich_stream(S.stream_events(spark, event_dir), dim, "user_id")
+    S.run_to_memory(out, "t_enrich", "append")
+    got = spark.table("t_enrich")
+    n_events = load(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    assert got.filter(F.col("lifetime_events").isNull()).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_dir):
+    sig = S.stream_events(spark, event_dir).filter(F.col("event_type") == "signup")
+    pur = S.stream_events(spark, event_dir).filter(F.col("event_type") == "purchase")
+    out = purchases_after_signup(sig, pur, "2 hours")
+    S.run_to_memory(out, "t_ss_join", "append")
+    got = spark.table("t_ss_join")
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 hours")),
+    )
+    # availableNow drains everything: stream join must equal the batch join
+    assert got.count() == batch.count()
+    assert got.count() > 0
