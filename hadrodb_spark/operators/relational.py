@@ -39,6 +39,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read as raw nanos and convert (µs truncation —
         # oracle SQL must therefore never compare sub-second precision).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields an LTZ timestamp whose string rendering
+        # follows the session TZ; pin UTC so date_format/strftime outputs
+        # match DuckDB's naive-timestamp reading under ANY host TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
