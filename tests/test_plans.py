@@ -51,3 +51,34 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
     # top-N), never a global Sort
     plan = E.formatted_plan(R.sort_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_documents_scan_prunes_for_text_ops(spark, sf_dir):
+    from hadrodb_spark.operators import textops
+
+    cols = set(E.read_schema_columns(textops.doc_fingerprint(spark, sf_dir)))
+    assert cols == {"doc_id", "text"}, cols  # lang/source/n_chars pruned
+
+
+def test_vector_topk_broadcasts_query_vector(spark, sf_dir):
+    from hadrodb_spark.operators import similarity
+
+    df = similarity.vector_topk(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_exact_single_aggregation_shuffle(spark, sf_dir):
+    from hadrodb_spark.operators import dedup
+
+    assert E.shuffle_count(dedup.dedup_exact(spark, sf_dir)) <= 1
+
+
+def test_sessionize_shuffles_once_on_user(spark, sf_dir):
+    from hadrodb_spark.operators import sessionize
+
+    # one Exchange for the user_id window; the groupBy reuses the
+    # partitioning (+1 tolerated for AQE final agg)
+    assert E.shuffle_count(sessionize.sessionize(spark, sf_dir)) <= 2
