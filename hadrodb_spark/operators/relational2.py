@@ -291,6 +291,41 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDAF-like per-group transform): z-score
+    account balances within each market segment. Arrow-batched per group;
+    oracle reproduces it with window aggregates.
+
+    Scale: one shuffle on the group key; each group streams through a Python
+    worker as Arrow batches — groups must fit in worker memory, which is the
+    documented applyInPandas contract (use mapInPandas otherwise)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_mktsegment", T.StringType(), True),
+            T.StructField("z_acctbal", T.DoubleType(), True),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z_acctbal": ((pdf["c_acctbal"] - m) / sd).round(6),
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(normalize, schema=out_schema)
+    )
+
+
 ROWS_ONLY = ("agg_approx_distinct",)
 
 ORACLE: dict[str, str] = {
@@ -404,6 +439,13 @@ ORACLE: dict[str, str] = {
     "limit_offset": """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 10
+    """,
+    "grouped_normalize": """
+        SELECT c_custkey, c_mktsegment,
+               ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                     / STDDEV_SAMP(c_acctbal) OVER w, 6) AS z_acctbal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment)
     """,
     "udf_scalar": """
         SELECT c_custkey, replace(lower(trim(c_name)), ' ', '-') AS slug
