@@ -110,11 +110,31 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing check: dimension, L2 norm, unit-norm flag —
+    the map-only hygiene pass before any similarity work."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(V.norm(F.col("embedding")), 6).alias("l2_norm"),
+        (F.abs(V.norm(F.col("embedding")) - 1.0) < 0.001).alias("is_unit"),
+    )
+
+
 _Q = f"(SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID})"
 
 ROWS_ONLY = ("vector_topk_ivf",)
 
 ORACLE: dict[str, str] = {
+    "vector_norms": f"""
+        SELECT vec_id, label,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               ROUND({V.sql_norm('embedding')}, 6) AS l2_norm,
+               (ABS({V.sql_norm('embedding')} - 1.0) < 0.001) AS is_unit
+        FROM embeddings
+    """,
     "vector_topk": f"""
         SELECT vec_id, label,
                ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
