@@ -47,14 +47,23 @@ def main() -> None:
     spark = get_spark("hadrodb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
+    # warmup: JVM + parquet footer caches + Python UDF worker pool (so the
+    # pandas-path queries measure compute, not interpreter spawn)
     QUERIES["scan_lineitem"](spark, sf_dir).count()
+    import pandas as _pd
+
+    spark.range(8).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):  # best-of-2: damps machine-load noise
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
