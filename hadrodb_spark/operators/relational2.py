@@ -259,6 +259,24 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- UDF surface
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part columns -> long (metric, value) rows."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .melt(
+            ids=["p_partkey"],
+            values=["size", "retailprice"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )
+
+
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the deliberately-slow path, §2.2 UDF row) —
     oracle-checked against the pure-SQL twin of the same logic."""
@@ -446,6 +464,11 @@ ORACLE: dict[str, str] = {
                      / STDDEV_SAMP(c_acctbal) OVER w, 6) AS z_acctbal
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    "unpivot_measures": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
     """,
     "udf_scalar": """
         SELECT c_custkey, replace(lower(trim(c_name)), ' ', '-') AS slug
