@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadrodb_spark.operators import (
     asof,
+    components,
     dedup,
     kv,
     multimodal_ops,
@@ -49,6 +50,7 @@ _register(sessionize)
 _register(skew)
 _register(textops)
 _register(dedup)
+_register(components)
 _register(similarity)
 _register(multimodal_ops)
 

@@ -354,6 +354,27 @@ class HadroCollection:
         shutil.rmtree(self._data_path)
         os.rename(tmp, self._data_path)
 
+    def read_at(self, commit: int) -> DataFrame:
+        """Time-travel: the live view AS OF the given commit id (inclusive)
+        — the log's explicit ``_seq`` makes historical snapshots free, a
+        capability the reference's byte-offset ordering could also have
+        supported but never exposed."""
+        w = Window.partitionBy(KEY_COL).orderBy(F.col(SEQ_COL).desc(), F.col(SUB_COL).desc())
+        return (
+            self._log()
+            .filter(F.col(SEQ_COL) <= commit)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.col(DELETED_COL))
+            .drop("_rn", SEQ_COL, SUB_COL, DELETED_COL)
+        )
+
+    def current_commit(self) -> int:
+        """Highest committed sequence number (−1 if empty)."""
+        if not os.path.exists(self._manifest_path):
+            return -1
+        with open(self._manifest_path) as f:
+            return json.load(f)["commits"] - 1
+
     def optimize(self, sort_cols: Sequence[str]) -> None:
         """Compact + cluster: rewrite live rows range-partitioned and sorted
         by ``sort_cols`` so parquet min/max stats give the data-skipping the

@@ -236,3 +236,20 @@ def test_optimize_clusters_and_preserves_rows(spark, tmp_path):
     for f in glob.glob(str(tmp_path / "opt" / "segments" / "*.parquet")):
         vs = pq.read_table(f, columns=["v"]).to_pandas()["v"].tolist()
         assert vs == sorted(vs)
+
+
+def test_time_travel_read_at(spark, coll):
+    coll.set("k1", {"title": "v1", "author": None})
+    coll.flush()  # commit 0
+    coll.set("k1", {"title": "v2", "author": None})
+    coll.set("k2", {"title": "w", "author": None})
+    coll.flush()  # commit 1
+    coll.delete("k1")
+    coll.flush()  # commit 2
+    assert coll.current_commit() == 2
+    at0 = {r["_key"]: r["title"] for r in coll.read_at(0).collect()}
+    at1 = {r["_key"]: r["title"] for r in coll.read_at(1).collect()}
+    at2 = {r["_key"]: r["title"] for r in coll.read_at(2).collect()}
+    assert at0 == {"k1": "v1"}
+    assert at1 == {"k1": "v2", "k2": "w"}
+    assert at2 == {"k2": "w"}
