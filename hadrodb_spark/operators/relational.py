@@ -259,15 +259,28 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (stddev/variance) — computed on integral
-    quantities so both engines' two-pass math agrees after rounding."""
-    return (
+    """Sample stddev/variance via the explicit two-pass formula over EXACT
+    integer sums — builtin stddev accumulates floats in partition order
+    (Welford merges), which can differ across engines at the last ulp; the
+    (Q - S·S/n)/(n-1) form from exact ints is bit-identical everywhere."""
+    qty = F.col("l_quantity").cast("long")  # quantities are integral
+    agg = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_linestatus")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qty).alias("s"),
+            F.sum(qty * qty).alias("q"),
         )
+    )
+    var = (
+        F.col("q").cast("double")
+        - (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n")
+    ) / (F.col("n") - 1)
+    return agg.select(
+        "l_linestatus",
+        F.round(F.sqrt(var), 6).alias("sd_qty"),
+        F.round(var, 6).alias("var_qty"),
     )
 
 
@@ -562,9 +575,17 @@ ORACLE: dict[str, str] = {
     """,
     "agg_stats": """
         SELECT l_linestatus,
-               ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
-               ROUND(VAR_SAMP(l_quantity), 6) AS var_qty
-        FROM lineitem GROUP BY l_linestatus
+               ROUND(SQRT((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+                          / (n - 1)), 6) AS sd_qty,
+               ROUND((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+                     / (n - 1), 6) AS var_qty
+        FROM (
+          SELECT l_linestatus,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(l_quantity AS BIGINT)) AS s,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS q
+          FROM lineitem GROUP BY l_linestatus
+        )
     """,
     "window_rank": """
         SELECT * FROM (

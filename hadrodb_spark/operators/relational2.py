@@ -326,13 +326,22 @@ def grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["c_acctbal"].mean()
-        sd = pdf["c_acctbal"].std(ddof=1)
+        # exact-integer-cents two-pass formula: numpy's pairwise float
+        # summation differs from DuckDB's at the last ulp, so mean/std are
+        # derived from exact int64 sums with the same float64 op order as
+        # the oracle SQL (balances carry exactly 2 decimals)
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(cents)
+        s = int(cents.sum())
+        q = int((cents * cents).sum())
+        mean = float(s) / n
+        var = (float(q) - (float(s) * float(s)) / n) / (n - 1)
+        sd = var**0.5
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
-                "z_acctbal": ((pdf["c_acctbal"] - m) / sd).round(6),
+                "z_acctbal": ((cents - mean) / sd).round(6),
             }
         )
 
@@ -460,10 +469,19 @@ ORACLE: dict[str, str] = {
     """,
     "grouped_normalize": """
         SELECT c_custkey, c_mktsegment,
-               ROUND((c_acctbal - AVG(c_acctbal) OVER w)
-                     / STDDEV_SAMP(c_acctbal) OVER w, 6) AS z_acctbal
-        FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment)
+               ROUND((cents - CAST(s AS DOUBLE) / n)
+                     / SQRT((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+                            / (n - 1)), 6) AS z_acctbal
+        FROM (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                 COUNT(*) OVER w AS n,
+                 SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w AS s,
+                 SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                     * CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w AS q
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment)
+        )
     """,
     "unpivot_measures": """
         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
