@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadrodb_spark.functions import vectors as V
 from hadrodb_spark.operators.relational import load
@@ -84,6 +85,89 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOPK)
 
 
+def _kmeans_cells(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Deterministic mini k-means over embeddings, pure DataFrame ops (no
+    MLlib): init = the k lowest vec_ids, then iters of assign/update. Each
+    iteration is one broadcast crossJoin (argmin over k centroids — map
+    side) plus one ncells×dim aggregate — the exact shape a 100 TB index
+    build uses. Returns (vec_id, cell)."""
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
+    )
+    for _ in range(iters):
+        # assign: nearest centroid by cosine (vectors are unit-normalized)
+        scored = (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("sim", V.dot(F.col("embedding"), F.col("centroid")))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "embedding")
+        )
+        # update: element-wise mean per cell
+        centroids = (
+            assign.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
+            .localCheckpoint()
+        )
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", V.dot(F.col("embedding"), F.col("centroid")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def vector_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED cells: k-means index build + 3-cell probe + exact
+    top-k within probed cells (rows-only; recall asserted by unit test)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _kmeans_cells(emb, k=8, iters=3)
+    indexed = emb.join(cells, "vec_id")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cent = (
+        indexed.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("cell"))
+        .limit(3)
+        .select("cell")
+    )
+    return (
+        indexed.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+    )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs with planted duplicates and same-cell
     blocking — finds each planted (v, v+100000) pair at cos≈1."""
@@ -125,7 +209,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q = f"(SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID})"
 
-ROWS_ONLY = ("vector_topk_ivf",)
+ROWS_ONLY = ("vector_topk_ivf", "vector_topk_kmeans_ivf")
 
 ORACLE: dict[str, str] = {
     "vector_norms": f"""

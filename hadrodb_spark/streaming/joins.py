@@ -19,6 +19,33 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def left_outer_purchases(
+    signups: DataFrame, purchases: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every signup, with its purchase if one
+    arrived within the horizon, else null-extended ONCE the watermark passes
+    (outer rows emit only when the state is provably complete)."""
+    s = signups.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    ).withWatermark("s_ts", within)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", within)
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("s_user").alias("user_id"), "signup_id", "purchase_id", "s_ts", "p_ts"
+    )
+
+
 def purchases_after_signup(
     signups: DataFrame, purchases: DataFrame, within: str = "2 hours"
 ) -> DataFrame:

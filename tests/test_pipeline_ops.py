@@ -70,3 +70,11 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    exact = {r["vec_id"] for r in similarity.vector_topk(spark, sf_dir).collect()}
+    approx = similarity.vector_topk_kmeans_ivf(spark, sf_dir).collect()
+    ids = {r["vec_id"] for r in approx}
+    assert len(ids) == 10
+    assert len(exact & ids) >= 5  # 3/8 cells probed; well above random

@@ -56,3 +56,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_dir):
     # availableNow drains everything: stream join must equal the batch join
     assert got.count() == batch.count()
     assert got.count() > 0
+
+
+def test_stream_stream_left_outer(spark, sf_dir, event_dir):
+    from hadrodb_spark.streaming.joins import left_outer_purchases
+
+    sig = S.stream_events(spark, event_dir).filter(F.col("event_type") == "signup")
+    pur = S.stream_events(spark, event_dir).filter(F.col("event_type") == "purchase")
+    out = left_outer_purchases(sig, pur, "2 hours")
+    S.run_to_memory(out, "t_ss_left", "append")
+    got = spark.table("t_ss_left")
+    matched = got.filter(F.col("purchase_id").isNotNull()).count()
+    unmatched = got.filter(F.col("purchase_id").isNull()).count()
+    assert matched > 0
+    # null-extended rows exist for signups with no purchase in the window
+    # (availableNow closes the watermark at end of input, so they emit)
+    assert unmatched > 0
+    # every signup older than the final watermark horizon MUST have emitted
+    # (matched or null-extended); ones in the last <within> of the stream may
+    # legitimately be withheld — the watermark can't prove them unmatched yet
+    n_signups = spark.table("t_ss_left").select("signup_id").distinct().count()
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # emission needs the combined state watermark (input delay 2h + join
+    # window 2h + eviction margin) to pass the signup — use a conservative
+    # 8h provable horizon; anything older MUST have emitted
+    provable = ev.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 8 hours"))
+    ).count()
+    batch_signups = ev.filter(F.col("event_type") == "signup").count()
+    assert provable <= n_signups <= batch_signups
