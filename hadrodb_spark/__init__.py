@@ -19,10 +19,17 @@ Layers:
   (the reference's ``.tweets`` event-collection use case).
 """
 
+from hadrodb_spark.compat import HadroDB
 from hadrodb_spark.config import WriteConsistency
 from hadrodb_spark.session import get_spark
 from hadrodb_spark.sources.collection import HadroCollection
 
 __version__ = "0.1.0"
 
-__all__ = ["HadroCollection", "WriteConsistency", "get_spark", "__version__"]
+__all__ = [
+    "HadroCollection",
+    "HadroDB",
+    "WriteConsistency",
+    "get_spark",
+    "__version__",
+]
