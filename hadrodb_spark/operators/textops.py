@@ -106,9 +106,60 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenize_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization categories (letters / digits / other runs
+    via regexp_extract_all — the public GPT-2-style split, simplified to a
+    dialect-portable pattern) with per-category counts."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        alpha.cast("bigint").alias("n_alpha"),
+        (F.size(toks) - alpha).cast("bigint").alias("n_numeric"),
+    )
+
+
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram LM data-prep aggregation:
+    explode per-doc bigram sets, count, rank with deterministic tiebreak.
+    One shuffle on the bigram; counts are map-side combined."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    bigrams = (
+        docs.withColumn("toks", toks)
+        .select(F.explode(X.shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return bigrams.orderBy(F.col("n_docs").desc(), F.col("bigram")).limit(20)
+
+
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "tokenize_categories": """
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_pretokens,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '^[a-z]'))) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(tk) - len(list_filter(tk, t -> regexp_matches(t, '^[a-z]')))
+                 AS BIGINT) AS n_numeric
+        FROM (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS tk
+          FROM documents WHERE doc_id < 300
+        )
+    """,
+    "ngram_freq": f"""
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (
+          SELECT UNNEST({X.sql_shingles(_TOKS, 2)}) AS bigram FROM documents
+        )
+        GROUP BY bigram
+        ORDER BY n_docs DESC, bigram
+        LIMIT 20
+    """,
     "corpus_stats": f"""
         SELECT lang, source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
