@@ -48,10 +48,25 @@ def stream_into_collection(
     checkpoint: str,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Land a stream in a collection; one micro-batch = one atomic commit."""
+    """Land a stream in a collection; one micro-batch = one atomic commit.
+
+    Exactly-once: foreachBatch is at-least-once (a crash between the
+    collection commit and the checkpoint write replays the batch), so the
+    last landed batch id is recorded next to the collection and replayed
+    batches are skipped — the standard idempotent-sink pattern."""
+    import json
+    import os
+
+    marker = os.path.join(coll.path, "_hadro_stream_batch.json")
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= json.load(f)["last_batch"]:
+                    return  # replayed batch — already landed
         coll.append_df(batch, key_col=key_col)
+        with open(marker, "w") as f:
+            json.dump({"last_batch": batch_id}, f)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -89,3 +89,30 @@ def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
     got = [(r["user_id"], r["n"]) for r in final.collect()]
     want = [(r["user_id"], r["count"]) for r in batch.collect()]
     assert got == want
+
+
+def test_stream_ingest_exactly_once_on_replay(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (at-least-once foreachBatch) must not double
+    rows in the collection."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "eo"), schema)
+    src = str(tmp_path / "eo_src")
+    load(spark, sf_dir, "events").limit(50).select("event_id", "value").write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    q = stream_into_collection(stream, coll, "event_id", str(tmp_path / "ck1"))
+    q.awaitTermination()
+    n_raw_first = coll._log().count()
+    assert len(coll) == 50
+
+    # simulate a post-commit crash replay: a FRESH checkpoint re-delivers the
+    # same data as batch 0 — the batch marker must skip it
+    q2 = stream_into_collection(stream, coll, "event_id", str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert coll._log().count() == n_raw_first  # nothing re-landed
+    assert len(coll) == 50
