@@ -253,3 +253,25 @@ def test_time_travel_read_at(spark, coll):
     assert at0 == {"k1": "v1"}
     assert at1 == {"k1": "v2", "k2": "w"}
     assert at2 == {"k2": "w"}
+
+
+def test_complex_type_schema_roundtrip(spark, tmp_path):
+    # collections carry the full multimodal column set: arrays, binary, JSON
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType()), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "complex"), schema)
+    coll.set("a", {"k": 1, "emb": [0.5, 0.25], "blob": b"\x00\x01", "props": '{"x":1}'})
+    coll.flush()
+    got = coll.get("a")
+    assert got["emb"] == [0.5, 0.25]
+    assert bytes(got["blob"]) == b"\x00\x01"
+    # survives reopen + compaction
+    coll.compact()
+    c2 = HadroCollection(spark, str(tmp_path / "complex"))
+    assert c2.get("a")["props"] == '{"x":1}'
