@@ -70,8 +70,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs: shingle → 8 md5-minhash signatures →
-    4 two-row band keys → bucket self-join → exact token-Jaccard verify."""
+    """MinHash + LSH near-dup pairs: shingle → 8 md5-slice minhash
+    signatures → 2 four-row band keys → bucket self-join → exact
+    token-Jaccard verify."""
     base = _with_near_dups(spark, sf_dir)
     # IMPORTANT (perf): materialize toks/sh as real columns between stages.
     # Inlining tokens() inside the shingle/minhash lambdas makes Catalyst

@@ -277,6 +277,38 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): top-balance customer names per
+    segment, sorted then joined — deterministic across engines because the
+    sort happens before concatenation."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (width_bucket-style): exact
+    integer bucket edges so binning is engine-stable."""
+    width = 25_000
+    bucket = F.floor(F.col("o_totalprice") / width).cast("bigint")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).cast("bigint").alias("bucket_lo"),
+            "n_orders",
+        )
+    )
+
+
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the deliberately-slow path, §2.2 UDF row) —
     oracle-checked against the pure-SQL twin of the same logic."""
@@ -487,6 +519,20 @@ ORACLE: dict[str, str] = {
         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         UNION ALL
         SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    "agg_string_concat": """
+        SELECT c_mktsegment,
+               string_agg(c_name, ',' ORDER BY c_name) AS names,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 9900
+        GROUP BY c_mktsegment
+    """,
+    "histogram_prices": """
+        SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+               CAST(FLOOR(o_totalprice / 25000) * 25000 AS BIGINT) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
     """,
     "udf_scalar": """
         SELECT c_custkey, replace(lower(trim(c_name)), ' ', '-') AS slug
