@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Storage-layer micro-bench: the reference's ACTUAL workload (append rows,
+scan them back, point lookups) measured on HadroCollection at sf0.1 volumes.
+
+The reference publishes no numbers (BASELINE.md) and cannot run here (its
+ormsgpack/orso deps are absent), so this records our side of the comparison:
+single-node wall-clock for the same operations its design document claims
+("writes are insanely fast", "one disk seek" reads — hadro/engine.py:43-47).
+
+Prints one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadrodb_spark.session import get_spark
+from hadrodb_spark.sources.collection import HadroCollection
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("hadrodb_spark_storage_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # note: (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # a surrogate id keeps append volume == live volume for the measurement
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "_id", F.monotonically_increasing_id()
+    )
+    n = li.count()  # warms JVM + cache
+    root = tempfile.mkdtemp(prefix="hadro_bench_")
+    coll = HadroCollection(
+        spark,
+        os.path.join(root, "li"),
+        T.StructType(
+            [f for f in li.schema.fields]
+        ),
+    )
+
+    t: dict[str, float] = {}
+    t0 = time.perf_counter()
+    coll.append_df(li, key_col="_id")
+    t["bulk_append"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    assert coll.scan().count() == n
+    t["scan_lww"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    coll.get(str(li.select("_id").first()[0]))  # cold point lookup
+    t["point_get"] = round(time.perf_counter() - t0, 3)
+
+    # second commit shadowing 10% of keys, then compact
+    upd = li.filter(F.col("l_orderkey") % 10 == 0)
+    coll.append_df(upd, key_col="_id")
+    t0 = time.perf_counter()
+    coll.compact()
+    t["compact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    assert coll.scan().count() == n
+    t["scan_compacted"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "storage_layer_ops_runtime",
+                "value": round(sum(t.values()), 3),
+                "unit": "sec",
+                "queries": t,
+                "rows": n,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
