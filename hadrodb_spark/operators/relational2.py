@@ -309,6 +309,49 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval derivation: each order
+    becomes a validity interval [this order date, next order date) per
+    customer — the lead-window idiom used to snapshot mutable dims."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate", 1).over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+        (F.lead("o_orderdate", 1).over(w).isNull()).alias("is_current"),
+    )
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders in ONE scan: per-column null counts
+    and distinct cardinalities (exact), long-format output."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
+        ],
+        F.countDistinct("o_custkey").alias("dist_o_custkey"),
+        F.countDistinct("o_orderstatus").alias("dist_o_orderstatus"),
+        F.countDistinct("o_totalprice").alias("dist_o_totalprice"),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+            F.col("n_rows").alias("n_rows"),
+        )
+        for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the deliberately-slow path, §2.2 UDF row) —
     oracle-checked against the pure-SQL twin of the same logic."""
@@ -533,6 +576,33 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY 1, 2
+    """,
+    "scd2_intervals": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               COALESCE(strftime(LEAD(o_orderdate, 1) OVER w, '%Y-%m-%d'),
+                        '9999-12-31') AS valid_to,
+               (LEAD(o_orderdate, 1) OVER w IS NULL) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "profile_columns": """
+        WITH a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS nulls_custkey,
+                 CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS nulls_status,
+                 CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS nulls_price,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_custkey,
+                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_status,
+                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS dist_price
+          FROM orders
+        )
+        SELECT 'o_custkey' AS column, nulls_custkey AS n_nulls,
+               dist_custkey AS n_distinct, n_rows FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', nulls_status, dist_status, n_rows FROM a
+        UNION ALL
+        SELECT 'o_totalprice', nulls_price, dist_price, n_rows FROM a
     """,
     "udf_scalar": """
         SELECT c_custkey, replace(lower(trim(c_name)), ' ', '-') AS slug
