@@ -48,19 +48,24 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: centroids per cell (label), probe the 3 nearest cells,
-    exact top-k within them. Centroid averaging is float-order-dependent →
-    rows-only check (no SQL oracle); the unit test asserts recall vs the
-    brute-force baseline instead."""
+    exact top-k within them. Centroids use EXACT decimal element sums (cast
+    through DOUBLE so both engines round the same binary value), making the
+    whole plan — including probe selection — DuckDB-oracle-checkable."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
     )
-    # centroid per cell: element-wise mean via posexplode + avg (shuffles
-    # ncells×dim rows — tiny), then re-assembled with array_agg sorted by pos
+    # centroid per cell: element-wise mean via posexplode + exact-decimal sum
+    # (shuffles ncells×dim rows — tiny), re-assembled sorted by position
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
@@ -209,9 +214,38 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q = f"(SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID})"
 
-ROWS_ONLY = ("vector_topk_ivf", "vector_topk_kmeans_ivf")
+ROWS_ONLY = ("vector_topk_kmeans_ivf",)
 
 ORACLE: dict[str, str] = {
+    "vector_topk_ivf": f"""
+        WITH exploded AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos,
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM exploded GROUP BY label, pos
+        ),
+        centv AS (
+          SELECT label, array_agg(m ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID}),
+        probed AS (
+          SELECT label FROM centv, q
+          ORDER BY {V.sql_cosine('centroid', 'q_emb')} DESC, label
+          LIMIT 3
+        )
+        SELECT vec_id, label,
+               ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+        FROM embeddings JOIN probed USING (label), q
+        WHERE vec_id <> {_QUERY_ID}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {_TOPK}
+    """,
     "vector_norms": f"""
         SELECT vec_id, label,
                CAST(len(embedding) AS BIGINT) AS dim,
