@@ -43,12 +43,22 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language identification + agreement with the labeled
-    ``lang`` column (the fixture's labels are synthetic; the score matrix is
-    what the oracle verifies)."""
-    docs = load(spark, sf_dir, "documents")
+    """Stopword-profile language identification. The fixture's text is
+    English-ish for every label, so deterministic stopword-rich documents
+    are PLANTED per language (ids 300000+) — the oracle plants identically,
+    and the hash-match verifies those are classified correctly while the
+    organic docs get the tie-break default."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        [
+            (300000 + i, lang, " ".join(X.STOPWORDS[lang] * 3))
+            for i, lang in enumerate(sorted(X.STOPWORDS))
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    base = docs.unionByName(planted)
     toks = X.tokens(F.col("text"))
-    return docs.select(
+    return base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         X.lang_id(toks).alias("pred_lang"),
@@ -187,6 +197,11 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
     "lang_id": f"""
+        WITH documents AS (
+          SELECT doc_id, lang, text FROM main.documents
+          UNION ALL
+          SELECT 300000 AS doc_id, 'de' AS lang, 'der die das und ist nicht ein mit von zu der die das und ist nicht ein mit von zu der die das und ist nicht ein mit von zu' AS text UNION ALL SELECT 300001 AS doc_id, 'en' AS lang, 'the and of to in is that it for was the and of to in is that it for was the and of to in is that it for was' AS text UNION ALL SELECT 300002 AS doc_id, 'es' AS lang, 'el la de que y en un es no por el la de que y en un es no por el la de que y en un es no por' AS text UNION ALL SELECT 300003 AS doc_id, 'fr' AS lang, 'le la et les des un est pas que dans le la et les des un est pas que dans le la et les des un est pas que dans' AS text
+        )
         SELECT doc_id, lang AS labeled_lang,
                CASE WHEN {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'de')}
                      AND {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'es')}

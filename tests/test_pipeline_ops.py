@@ -78,3 +78,12 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     ids = {r["vec_id"] for r in approx}
     assert len(ids) == 10
     assert len(exact & ids) >= 5  # 3/8 cells probed; well above random
+
+
+def test_lang_id_classifies_planted_docs(spark, sf_dir):
+    from hadrodb_spark.operators.textops import lang_id
+
+    rows = {r["doc_id"]: r for r in lang_id(spark, sf_dir).collect() if r["doc_id"] >= 300000}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["pred_lang"] == r["labeled_lang"], r
