@@ -1,0 +1,118 @@
+"""Third relational batch: remaining set-op/array/null-semantics/cartesian
+coverage. Same determinism contract as the other operator modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import dec, load
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — duplicates preserved), the counterpart of
+    the distinct union already covered."""
+    top = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150_000)
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").like("1%")
+    )
+    return top.unionAll(urgent).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicates(subset)`` — keep one row per (status, priority) pair;
+    made deterministic by reducing to the pure key pairs (Spark's keeper row
+    for non-key columns is arbitrary, so only keys are exposed)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates(["o_orderstatus", "o_orderpriority"])
+    )
+
+
+def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage: sort, distinct, contains, slice, element
+    access over the tokenized text array."""
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("toks", toks)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n"),
+            F.array_contains("toks", "spark").alias("mentions_spark"),
+            F.element_at(F.array_sort(F.array_distinct("toks")), 1).alias("first_alpha"),
+            F.concat_ws("-", F.slice(F.col("toks"), 1, 3)).alias("first3"),
+        )
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null propagation coverage: NULLIF-manufactured nulls through
+    aggregation (COUNT skips nulls, COUNT(*) doesn't), null-safe equality,
+    and coalesce fallback."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "maybe_price", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("maybe_price").alias("n_nonnull"),
+            F.sum(F.col("maybe_price").isNull().cast("long")).alias("n_null"),
+            F.coalesce(F.first("maybe_price"), F.lit("<none>")).alias("sample"),
+        )
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims (region × region) — the
+    only join shape where crossJoin is legitimate; both sides broadcastable."""
+    a = load(spark, sf_dir, "region").select(F.col("r_regionkey").alias("a_key"))
+    b = load(spark, sf_dir, "region").select(F.col("r_regionkey").alias("b_key"))
+    return a.crossJoin(b).filter(F.col("a_key") != F.col("b_key"))
+
+
+ORACLE: dict[str, str] = {
+    "setop_union_all": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice > 150000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority LIKE '1%'
+    """,
+    "dedup_drop_duplicates": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "scalar_array2": """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               list_contains(toks, 'spark') AS mentions_spark,
+               (list_sort(list_distinct(toks)))[1] AS first_alpha,
+               array_to_string(toks[1:3], '-') AS first3
+        FROM (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 200
+        )
+    """,
+    "null_semantics": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(maybe_price) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(*) FILTER (WHERE maybe_price IS NULL) AS BIGINT) AS n_null,
+               COALESCE(MIN(maybe_price), '<none>') AS sample
+        FROM (SELECT o_orderstatus, NULLIF(o_orderstatus, 'P') AS maybe_price
+              FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    "join_cross": """
+        SELECT a.r_regionkey AS a_key, b.r_regionkey AS b_key
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey <> b.r_regionkey
+    """,
+}

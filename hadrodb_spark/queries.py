@@ -20,6 +20,7 @@ from hadrodb_spark.operators import (
     multimodal_ops,
     relational,
     relational2,
+    relational3,
     sessionize,
     similarity,
     skew,
@@ -44,6 +45,7 @@ def _register(module) -> None:
 
 _register(relational)
 _register(relational2)
+_register(relational3)
 _register(asof)
 _register(kv)
 _register(sessionize)
