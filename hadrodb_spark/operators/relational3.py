@@ -76,7 +76,33 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).filter(F.col("a_key") != F.col("b_key"))
 
 
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in BATCH mode (same F.window the streaming path
+    uses) — hourly event rollup, window bounds as strings."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "events_hourly_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
     "setop_union_all": """
         SELECT o_orderkey, o_totalprice, o_orderpriority
         FROM orders WHERE o_totalprice > 150000
