@@ -33,28 +33,43 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _register(module) -> None:
+def _register(module, only: list[str] | None = None) -> None:
     oracle = getattr(module, "ORACLE", {})
     rows_only = set(getattr(module, "ROWS_ONLY", ()))
-    for name in list(oracle) + list(rows_only):
+    names = only if only is not None else list(oracle) + list(rows_only)
+    for name in names:
+        if name in QUERIES:
+            continue
         fn = getattr(module, name)
         QUERIES[name] = fn
         if name in oracle:
             ORACLE[name] = oracle[name]
 
 
-_register(relational)
-_register(relational2)
-_register(relational3)
-_register(asof)
+# Registration order matters: the driver verifies the FIRST 50 registry
+# entries each round.  Round 1 verified the relational/relational2 tier
+# (see CORRECTNESS_r01.json, 50/50 green), so round 2 front-loads the 41
+# entries that had no driver row yet — the KV tier, the LLM-pipeline tier
+# (dedup / similarity / text / multimodal), and the stragglers — followed
+# by any queries new this round, with the already-verified tier last.
 _register(kv)
-_register(sessionize)
-_register(skew)
 _register(textops)
 _register(dedup)
 _register(components)
 _register(similarity)
 _register(multimodal_ops)
+_register(sessionize)
+_register(skew)
+_register(asof)
+_register(relational3)
+_register(
+    relational2,
+    only=["profile_columns", "udf_scalar", "udf_pandas", "agg_approx_distinct"],
+)
+# --- new round-2 queries go here (inside the verification window) ---
+# --- round-1-verified tier ---
+_register(relational)
+_register(relational2)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
