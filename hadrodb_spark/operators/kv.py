@@ -65,9 +65,8 @@ def _collection(spark: SparkSession, sf_dir: str) -> HadroCollection:
         )
     )
     coll.append_df(updated, key_col="o_orderkey")
-    for k in [r[0] for r in orders.select("o_orderkey").collect() if r[0] % _DEL_MOD == 0]:
-        coll.delete(str(k))
-    coll.flush()
+    # bulk tombstone — one distributed commit, no driver-side key loop
+    coll.delete_where(F.col("o_orderkey") % _DEL_MOD == 0)
     _cache[sf_dir] = coll
     return coll
 

@@ -145,14 +145,27 @@ class HadroCollection:
 
     # -------------------------------------------------------------- sequencing
     def _next_commit(self) -> int:
-        """Monotonic commit counter (single-writer, like the reference's one
-        file descriptor — ``hadro/engine.py:106-107``)."""
-        commit = 0
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                commit = json.load(f)["commits"]
-        with open(self._manifest_path, "w") as f:
-            json.dump({"commits": commit + 1}, f)
+        """Monotonic commit counter.
+
+        The reference is single-writer by construction (one file descriptor,
+        ``hadro/engine.py:106-107``); here multiple processes may share a
+        collection directory, so the counter mint is serialized with an
+        exclusive ``flock`` and the manifest is replaced atomically — two
+        concurrent writers get distinct ``_seq`` values or fail loudly,
+        never silently collide. Parquet part-files have unique names, so
+        the data appends themselves never clobber each other."""
+        import fcntl
+
+        with open(os.path.join(self.path, "_hadro_lock"), "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            commit = 0
+            if os.path.exists(self._manifest_path):
+                with open(self._manifest_path) as f:
+                    commit = json.load(f)["commits"]
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"commits": commit + 1}, f)
+            os.replace(tmp, self._manifest_path)
         return commit
 
     # ------------------------------------------------------------------ writes
@@ -195,9 +208,12 @@ class HadroCollection:
             (key, commit, idx, deleted, *[vals[f.name] for f in self.schema.fields])
             for idx, (key, vals, deleted) in enumerate(self._pending)
         ]
-        self._pending.clear()
         df = self.spark.createDataFrame(rows, self._full_schema)
         self._write_segments(df)
+        # only forget staged records once they are durably on disk — a failed
+        # segment write leaves them staged and the flush retryable (the gap
+        # in the commit counter is harmless)
+        self._pending.clear()
 
     def append(self, record: Mapping[str, Any] | Sequence[Any], key: str | None = None) -> str:
         """Insert one record (``hadro/engine.py:122-137``); returns its key
@@ -219,9 +235,17 @@ class HadroCollection:
             keyed = df.withColumn(KEY_COL, F.expr("uuid()"))
         out = (
             keyed.withColumn(SEQ_COL, F.lit(commit).cast("long"))
-            # intra-commit order: partition-stable monotonic id; only matters
-            # for duplicate keys inside ONE bulk commit
-            .withColumn(SUB_COL, F.monotonically_increasing_id())
+            # intra-commit tiebreak, only relevant for duplicate keys inside
+            # ONE bulk commit: a DataFrame carries no row order, so the
+            # winner is defined as the row with the greatest content hash —
+            # deterministic under task retry / speculative execution (unlike
+            # monotonically_increasing_id, whose partition→id mapping can
+            # shift on re-run) and map-only (a row_number window would cost
+            # a full shuffle on every bulk append)
+            .withColumn(
+                SUB_COL,
+                F.xxhash64(*[F.col(f.name) for f in self.schema.fields]),
+            )
             .withColumn(DELETED_COL, F.lit(False))
             .select(*INTERNAL_COLS, *[f.name for f in self.schema.fields])
         )
@@ -251,6 +275,28 @@ class HadroCollection:
         self._stage(str(key), None, deleted=True)
 
     __delitem__ = delete
+
+    def delete_where(self, predicate: str | Column) -> None:
+        """Bulk delete: append tombstones for every live key matching
+        ``predicate`` — one distributed commit, no driver-side key loop.
+        The predicate sees the live view's user columns (like ``where``)."""
+        self.flush()
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keys = (
+            self._lww()
+            .filter(~F.col(DELETED_COL))
+            .filter(cond)
+            .select(KEY_COL)
+        )
+        commit = self._next_commit()
+        out = keys.select(
+            F.col(KEY_COL),
+            F.lit(commit).cast("long").alias(SEQ_COL),
+            F.lit(0).cast("long").alias(SUB_COL),
+            F.lit(True).alias(DELETED_COL),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in self.schema.fields],
+        )
+        self._write_segments(out)
 
     # ------------------------------------------------------------------- reads
     def _log(self) -> DataFrame:
@@ -358,15 +404,7 @@ class HadroCollection:
         rewrite segments keeping only live LWW rows. After compaction the
         read path is a plain Parquet scan — no merge-on-read shuffle."""
         live = self._lww().filter(~F.col(DELETED_COL))
-        tmp = self._data_path + ".compact"
-        writer = live.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self._data_path)
-        os.rename(tmp, self._data_path)
+        self._rewrite_segments(live, self._data_path + ".compact")
 
     def read_at(self, commit: int) -> DataFrame:
         """Time-travel: the live view AS OF the given commit id (inclusive)
@@ -397,15 +435,25 @@ class HadroCollection:
             .repartitionByRange(*[F.col(c) for c in sort_cols])
             .sortWithinPartitions(*sort_cols)
         )
-        tmp = self._data_path + ".optimize"
-        writer = live.write.mode("overwrite")
+        self._rewrite_segments(live, self._data_path + ".optimize")
+
+    def _rewrite_segments(self, df: DataFrame, tmp: str) -> None:
+        """Materialize ``df`` to ``tmp`` then swap it in with two renames:
+        the live dir is moved aside BEFORE the new one moves in, so a crash
+        at any point leaves either the old data live or the old data in
+        ``.old`` (recoverable by a rename) — never a window with no data
+        directory at all."""
+        import shutil
+
+        writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self._data_path)
+        old = self._data_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self._data_path, old)
         os.rename(tmp, self._data_path)
+        shutil.rmtree(old)
 
     def transaction(self) -> "_Transaction":
         """``with hadro.transaction() as batch`` (``INTERFACE.md:40-43``):
@@ -422,9 +470,13 @@ class _Transaction:
     def __init__(self, coll: HadroCollection) -> None:
         self._coll = coll
         self._saved = coll.consistency
+        self._base = 0
 
     def __enter__(self) -> HadroCollection:
         self._coll.consistency = WriteConsistency.RELAXED
+        # records staged before the transaction (RELAXED mode) are not ours
+        # to discard on abort — remember where our writes begin
+        self._base = len(self._coll._pending)
         return self._coll
 
     def __exit__(self, exc_type, exc, tb) -> None:
@@ -432,4 +484,4 @@ class _Transaction:
         if exc_type is None:
             self._coll.flush()
         else:
-            self._coll._pending.clear()
+            del self._coll._pending[self._base:]

@@ -275,3 +275,96 @@ def test_complex_type_schema_roundtrip(spark, tmp_path):
     coll.compact()
     c2 = HadroCollection(spark, str(tmp_path / "complex"))
     assert c2.get("a")["props"] == '{"x":1}'
+
+
+def test_bulk_commit_duplicate_key_deterministic(spark, tmp_path):
+    """Duplicate keys within ONE bulk commit resolve to a stable winner
+    (content-hash tiebreak) — re-running the identical commit yields the
+    identical LWW result (VERDICT r1 #2: retry-safe, unlike
+    monotonically_increasing_id)."""
+    dup = spark.createDataFrame(
+        [("k", "A", None), ("k", "B", None), ("k", "C", None)],
+        "key STRING, title STRING, author STRING",
+    ).repartition(4)
+    winners = []
+    for i in range(2):
+        c = HadroCollection(spark, str(tmp_path / f"dup{i}"), BOOKS)
+        c.append_df(dup.select("key", "title", "author"), key_col="key")
+        winners.append(c.get("k")["title"])
+    assert winners[0] == winners[1]
+    assert len(HadroCollection(spark, str(tmp_path / "dup0"))) == 1
+
+
+def test_delete_where_bulk(spark, tmp_path):
+    c = HadroCollection(spark, str(tmp_path / "bulk"), BOOKS)
+    rows = spark.createDataFrame(
+        [(f"k{i}", f"t{i}", None) for i in range(10)],
+        "key STRING, title STRING, author STRING",
+    )
+    c.append_df(rows, key_col="key")
+    c.delete_where("title IN ('t2', 't5', 't7')")
+    assert len(c) == 7
+    assert "k2" not in c and "k5" not in c and "k3" in c
+    # deleted keys resurrect on a later set (tombstone is just a version)
+    c.set("k2", {"title": "t2b", "author": None})
+    assert c.get("k2")["title"] == "t2b"
+
+
+def test_concurrent_appends_distinct_seq(spark, tmp_path):
+    """Two writers on one collection never mint the same _seq
+    (flock-serialized manifest; VERDICT r1 #6)."""
+    import threading
+
+    path = str(tmp_path / "mw")
+    c1 = HadroCollection(spark, path, BOOKS)
+    c2 = HadroCollection(spark, path)
+
+    def writer(c, tag):
+        for i in range(5):
+            c.set(f"{tag}{i}", {"title": f"{tag}{i}", "author": None})
+            c.flush()
+
+    t1 = threading.Thread(target=writer, args=(c1, "a"))
+    t2 = threading.Thread(target=writer, args=(c2, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    seqs = [r[0] for r in c1._log().select("_seq").collect()]
+    assert len(seqs) == 10 and len(set(seqs)) == 10
+    assert len(c1) == 10
+
+
+def test_transaction_abort_preserves_prior_staged(spark, tmp_path):
+    """Aborting a transaction discards ONLY records staged inside it —
+    earlier RELAXED-mode staged writes survive (ADVICE r1)."""
+    c = HadroCollection(
+        spark, str(tmp_path / "txn"), BOOKS, consistency=WriteConsistency.RELAXED
+    )
+    c.set("before", {"title": "keep", "author": None})
+    with pytest.raises(RuntimeError):
+        with c.transaction() as batch:
+            batch.set("inside", {"title": "drop", "author": None})
+            raise RuntimeError("abort")
+    c.flush()
+    assert "before" in c
+    assert "inside" not in c
+
+
+def test_flush_retryable_after_write_failure(spark, tmp_path, monkeypatch):
+    """A failed segment write keeps records staged, so flush is retryable
+    (ADVICE r1: no silent data drop)."""
+    c = HadroCollection(spark, str(tmp_path / "retry"), BOOKS)
+    c._pending.append(("k", {"title": "t", "author": None}, False))
+    boom = {"n": 0}
+    orig = HadroCollection._write_segments
+
+    def failing(self, df):
+        if boom["n"] == 0:
+            boom["n"] += 1
+            raise OSError("disk full")
+        return orig(self, df)
+
+    monkeypatch.setattr(HadroCollection, "_write_segments", failing)
+    with pytest.raises(OSError):
+        c.flush()
+    assert len(c._pending) == 1
+    c.flush()  # retry succeeds
+    assert c.get("k")["title"] == "t"
