@@ -53,20 +53,30 @@ def stream_into_collection(
     Exactly-once: foreachBatch is at-least-once (a crash between the
     collection commit and the checkpoint write replays the batch), so the
     last landed batch id is recorded next to the collection and replayed
-    batches are skipped — the standard idempotent-sink pattern."""
+    batches are skipped — the standard idempotent-sink pattern.
+
+    Batch ids are scoped to a CHECKPOINT, not to the sink: a fresh
+    checkpoint restarts ids at 0, so the marker records the checkpoint
+    identity too and is ignored (then overwritten) when a different
+    checkpoint starts writing — re-pointing a new query at an existing
+    collection must not silently drop its first batches (ADVICE r1)."""
     import json
     import os
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")
+    ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         if os.path.exists(marker):
             with open(marker) as f:
-                if batch_id <= json.load(f)["last_batch"]:
-                    return  # replayed batch — already landed
+                state = json.load(f)
+            if state.get("checkpoint") == ckpt_id and batch_id <= state["last_batch"]:
+                return  # replayed batch of THIS query lineage — already landed
         coll.append_df(batch, key_col=key_col)
-        with open(marker, "w") as f:
-            json.dump({"last_batch": batch_id}, f)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint": ckpt_id, "last_batch": batch_id}, f)
+        os.replace(tmp, marker)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -92,8 +92,13 @@ def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
 
 
 def test_stream_ingest_exactly_once_on_replay(spark, sf_dir, tmp_path):
-    """A replayed micro-batch (at-least-once foreachBatch) must not double
-    rows in the collection."""
+    """A replayed micro-batch of the SAME query lineage (at-least-once
+    foreachBatch after a crash between sink commit and checkpoint commit)
+    must not double rows — but a NEW query (fresh checkpoint) writing to the
+    same collection must land its batches even though its ids restart at 0
+    (ADVICE r1: batch ids are checkpoint-scoped)."""
+    import os
+
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
@@ -102,17 +107,41 @@ def test_stream_ingest_exactly_once_on_replay(spark, sf_dir, tmp_path):
     )
     coll = HadroCollection(spark, str(tmp_path / "eo"), schema)
     src = str(tmp_path / "eo_src")
-    load(spark, sf_dir, "events").limit(50).select("event_id", "value").write.parquet(src)
+    (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50)
+        .select("event_id", "value")
+        .write.parquet(src)
+    )
     stream = spark.readStream.schema(schema).parquet(src)
+    ck1 = str(tmp_path / "ck1")
 
-    q = stream_into_collection(stream, coll, "event_id", str(tmp_path / "ck1"))
+    q = stream_into_collection(stream, coll, "event_id", ck1)
     q.awaitTermination()
     n_raw_first = coll._log().count()
     assert len(coll) == 50
 
-    # simulate a post-commit crash replay: a FRESH checkpoint re-delivers the
-    # same data as batch 0 — the batch marker must skip it
-    q2 = stream_into_collection(stream, coll, "event_id", str(tmp_path / "ck2"))
+    # crash simulation: the sink committed but the checkpoint didn't —
+    # removing the commit marker makes the restarted query replay batch 0
+    os.remove(os.path.join(ck1, "commits", "0"))
+    crc = os.path.join(ck1, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_into_collection(stream, coll, "event_id", ck1)
     q2.awaitTermination()
-    assert coll._log().count() == n_raw_first  # nothing re-landed
+    assert coll._log().count() == n_raw_first  # replay skipped, nothing re-landed
     assert len(coll) == 50
+
+    # a brand-new query lineage (fresh checkpoint, new source) also starts at
+    # batch 0 — its data must NOT be skipped by the stale marker
+    src2 = str(tmp_path / "eo_src2")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("event_id").between(100, 149))
+        .write.parquet(src2)
+    )
+    stream2 = spark.readStream.schema(schema).parquet(src2)
+    q3 = stream_into_collection(stream2, coll, "event_id", str(tmp_path / "ck2"))
+    q3.awaitTermination()
+    assert len(coll) == 100
