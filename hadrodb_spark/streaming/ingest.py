@@ -88,6 +88,53 @@ def stream_into_collection(
     return writer.start()
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the transformWithStateInPandas API (the
+    applyInPandasWithState successor, present in this PySpark build) — same
+    semantics as :func:`running_user_totals`, state held in a typed
+    ValueState keyed by user. Prefer this form where available: the new
+    operator supports state TTL, timers, and multiple typed state variables
+    per key.
+
+    Environment note: the operator's Python worker speaks protobuf to the
+    JVM state server; in environments without ``google.protobuf`` (this
+    one), the worker crashes at startup — use :func:`running_user_totals`
+    there. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, round(total, 2)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Unbounded per-user running totals via applyInPandasWithState."""
 
