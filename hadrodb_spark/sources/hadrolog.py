@@ -13,12 +13,16 @@ Format (from the reference's scan decoder, ``/root/reference/hadro/engine.py:
   block boundaries (``hadro/engine.py:140,151-167``) — Python file I/O does
   the equivalent buffering here
 
-The FRAMING layer is complete and tested. Payload decode is a stub: the
-payload is an orso ``Row.to_bytes()`` msgpack tuple (``hadro/engine.py:131``)
-and this environment ships no msgpack codec — ``decode_payload`` raises
-``NotImplementedError``, and scans surface ``(flags, payload BINARY)`` plus
-record offsets, which downstream Pandas UDFs can decode once a codec is
-present.
+The payload is an orso ``Row.to_bytes()`` msgpack tuple
+(``hadro/engine.py:131``); :mod:`hadrodb_spark.sources.mpack` implements the
+codec (pure stdlib, written from the public msgpack spec), so scans decode
+to typed rows. Two read modes:
+
+- raw (default): ``(segment, offset, flags, payload BINARY)`` — the log as
+  frames, tombstones skippable.
+- typed: pass ``.option("ddl", "title STRING, author STRING")`` and each
+  live record's payload decodes to those columns positionally — the
+  migration path for existing native collections.
 
 Scale note: one Spark input partition per segment file (segments are
 append-ordered units, like parquet files in HadroCollection); a 1000-segment
@@ -47,9 +51,11 @@ LOG_SCHEMA = T.StructType(
 
 
 def decode_payload(payload: bytes) -> tuple:
-    """Decode an orso Row msgpack payload — requires a msgpack codec, not
-    shipped in this environment."""
-    raise NotImplementedError("msgpack codec unavailable; payload left opaque")
+    """Decode an orso ``Row.to_bytes()`` msgpack payload to a value tuple
+    (``hadro/engine.py:131,170``)."""
+    from hadrodb_spark.sources.mpack import decode_row
+
+    return decode_row(payload)
 
 
 def encode_record(payload: bytes, deleted: bool = False) -> bytes:
@@ -57,6 +63,14 @@ def encode_record(payload: bytes, deleted: bool = False) -> bytes:
     (``hadro/engine.py:131-132``): header then raw bytes."""
     flags = DELETED_FLAG if deleted else 0
     return struct.pack(">BI", flags, len(payload)) + payload
+
+
+def encode_row_record(values, deleted: bool = False) -> bytes:
+    """Frame + payload in one step: msgpack-encode a row tuple the way the
+    reference's ``append`` does, ready to write to a ``.data`` segment."""
+    from hadrodb_spark.sources.mpack import encode_row
+
+    return encode_record(encode_row(values), deleted)
 
 
 def iter_records(
@@ -79,6 +93,44 @@ def iter_records(
             offset += 5 + size
 
 
+_DDL_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "tinyint": T.ByteType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "date": T.DateType(),
+}
+
+
+def _parse_ddl(ddl: str) -> T.StructType:
+    """Session-free parser for ``name TYPE, name TYPE`` column lists —
+    atomic types only (native-format rows are scalar tuples)."""
+    fields = []
+    for part in ddl.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(" ")
+        dt = _DDL_TYPES.get(typ.strip().lower())
+        if dt is None:
+            raise ValueError(
+                f"unsupported type in ddl: {typ!r} (atomic types only)"
+            )
+        fields.append(T.StructField(name, dt, nullable=True))
+    if not fields:
+        raise ValueError("ddl option produced no columns")
+    return T.StructType(fields)
+
+
 class _SegmentPartition(InputPartition):
     def __init__(self, path: str) -> None:
         self.path = path
@@ -88,6 +140,7 @@ class HadroLogReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.dir = options["path"]
         self.include_deleted = options.get("include_deleted", "false") == "true"
+        self.typed = "ddl" in options
 
     def partitions(self) -> list[InputPartition]:
         segs = sorted(
@@ -96,8 +149,14 @@ class HadroLogReader(DataSourceReader):
         return [_SegmentPartition(os.path.join(self.dir, s)) for s in segs]
 
     def read(self, partition: _SegmentPartition) -> Iterator[tuple]:
-        # self-contained per-task read; stdlib only (no package import on
-        # executors)
+        # per-task read; raw mode is stdlib-only, typed mode imports the
+        # package's codec (register() ships it to executors via addPyFile)
+        if self.typed:
+            from hadrodb_spark.sources.mpack import decode_row
+
+            for _, _, payload in iter_records(partition.path, False):
+                yield decode_row(payload)
+            return
         seg = os.path.basename(partition.path)
         for offset, flags, payload in iter_records(
             partition.path, self.include_deleted
@@ -114,6 +173,11 @@ class HadroLogDataSource(DataSource):
         return "hadrolog"
 
     def schema(self) -> T.StructType:
+        ddl = self.options.get("ddl")
+        if ddl:
+            # parsed without Spark: the DataSource is instantiated in a
+            # planning process with no active session (fromDDL needs one)
+            return _parse_ddl(ddl)
         return LOG_SCHEMA
 
     def reader(self, schema: T.StructType) -> HadroLogReader:
