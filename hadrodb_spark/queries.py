@@ -18,6 +18,7 @@ from hadrodb_spark.operators import (
     dedup,
     kv,
     multimodal_ops,
+    pipeline2,
     relational,
     relational2,
     relational3,
@@ -66,7 +67,8 @@ _register(
     relational2,
     only=["profile_columns", "udf_scalar", "udf_pandas", "agg_approx_distinct"],
 )
-# --- new round-2 queries go here (inside the verification window) ---
+# --- new round-2 queries (inside the verification window) ---
+_register(pipeline2)
 # --- round-1-verified tier ---
 _register(relational)
 _register(relational2)
