@@ -56,24 +56,50 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    # cold = first run, warm = second run (steady state). Both are reported;
+    # "value" is the WARM total: on this hypervisor, cold timings correlate
+    # 0.7-0.9 with CPU steal bursts (measured over 18 full sequences —
+    # outliers up to 50s on a 0.5s query under host contention), so the warm
+    # number is the one that tracks the code rather than the neighbours.
+    # steal_pct below records contention observed DURING this run so an
+    # outlier is attributable.
+    def cpu_stat() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return sum(v), v[7]  # (total jiffies, steal jiffies)
+
+    t_all0, s_all0 = cpu_stat()
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
-        best, n = float("inf"), 0
-        for _ in range(2):  # best-of-2: damps machine-load noise
+        runs = []
+        n = 0
+        for _ in range(2):
             t0 = time.perf_counter()
             n = QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(runs[1], 3)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
+    t_all1, s_all1 = cpu_stat()
+    steal_pct = round(100.0 * (s_all1 - s_all0) / max(t_all1 - t_all0, 1), 2)
 
-    total = round(sum(timings.values()), 3)
+    total_cold = round(sum(cold.values()), 3)
+    total_warm = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
+                "value": total_warm,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "total_cold": total_cold,
+                "steal_pct": steal_pct,
                 "sf": sf,
             }
         )

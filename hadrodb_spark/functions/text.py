@@ -116,6 +116,45 @@ def minhash(sh: Column, seeds: int = 8) -> list[Column]:
     ]
 
 
+def minhash_array(sh: Column, seeds: int = 8) -> Column:
+    """All ``seeds`` minhash signatures as ONE ``array<string>`` column —
+    value-identical to :func:`minhash`, but each shingle is md5'd once per
+    SALT instead of once per SEED.
+
+    :func:`minhash` emits one top-level column per seed; Catalyst does no
+    CSE across higher-order-function lambdas, so the same md5 is evaluated
+    4× (once per 8-hex slice) — measured ~3× slower signature stage at
+    sf0.1. Here the salted hex digests are concatenated per shingle inside
+    ONE transform, bound once through the single-element-transform wrapper
+    (lambda variables are materialized values, immune to projection-collapse
+    re-inlining), and the per-seed mins just slice that bound array."""
+    n_salts = (seeds + 3) // 4
+
+    def slicer(start: int):
+        # factory closure: Spark inspects the lambda's arity, so it must be
+        # exactly one parameter
+        return lambda s: F.substring(s, start, 8)
+
+    def over(h: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(h, slicer(32 * (s // 4) + 8 * (s % 4) + 1)))
+                for s in range(seeds)
+            ]
+        )
+
+    hcat = F.transform(
+        sh,
+        lambda x: F.concat(
+            *[
+                F.md5(x if salt == 0 else F.concat(x, F.lit(f"#{salt}")))
+                for salt in range(n_salts)
+            ]
+        ),
+    )
+    return F.element_at(F.transform(F.array(hcat), over), 1)
+
+
 # ---------------------------------------------------------------- SQL twins
 def sql_tokens(expr: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT_RE}'), x -> x <> '')"

@@ -69,32 +69,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signatures plus the raw sets both verify stages need
-    (distinct tokens AND 3-gram shingles).
+def _signatures(spark: SparkSession, sf_dir: str, keep: str) -> DataFrame:
+    """Per-doc minhash signature array plus the raw set the caller's verify
+    stage needs: ``keep='dtoks'`` (distinct tokens) or ``keep='sh'``
+    (3-gram shingles). Only the requested set is materialized — dropping a
+    computed column after the fact defeats column pruning under persist.
 
-    IMPORTANT (perf): materialize toks/sh as real columns between stages.
-    Inlining tokens() inside the shingle/minhash lambdas makes Catalyst
-    re-evaluate the split per element_at (no CSE inside higher-order
-    functions) — measured 20× slower at sf0.1."""
+    IMPORTANT (perf): materialize toks/sh as real columns between stages,
+    and keep ALL seed signatures in one array column via
+    :func:`~hadrodb_spark.functions.text.minhash_array` (Catalyst does no
+    CSE across higher-order-function lambdas — per-seed top-level columns
+    re-md5 every shingle per seed; measured ~3× slower at sf0.1).
+
+    The ``size(toks) >= 3`` filter is exactly the old ``mh0 IS NOT NULL``:
+    a doc has a signature iff it has at least one 3-gram shingle."""
     base = _with_near_dups(spark, sf_dir)
-    mh = X.minhash(F.col("sh"), _MINHASH_SEEDS)
+    extra = (
+        F.array_distinct("toks").alias("dtoks")
+        if keep == "dtoks"
+        else F.col("sh")
+    )
     return (
         base.withColumn("toks", X.tokens(F.col("text")))
+        .filter(F.size(F.col("toks")) >= 3)
         .withColumn("sh", X.shingles(F.col("toks"), 3))
         .select(
             "doc_id",
-            F.array_distinct("toks").alias("dtoks"),
-            "sh",
-            *[mh[i].alias(f"mh{i}") for i in range(_MINHASH_SEEDS)],
+            extra,
+            X.minhash_array(F.col("sh"), _MINHASH_SEEDS).alias("mh"),
         )
-        .filter(F.col("mh0").isNotNull())
     )
 
 
 def _band_candidates(sig: DataFrame) -> DataFrame:
     """LSH band-bucket self-join → candidate (id_a, id_b) pairs. The ONLY
-    shuffle of the near-dup pipeline; fan-out bounded by band width."""
+    shuffle of the near-dup pipeline; fan-out bounded by band width.
+
+    ``sig`` must be persisted by the caller: the ``element_at`` band-key
+    slices below then read the materialized ``mh`` array instead of
+    re-evaluating the signature expression."""
     n_bands = _MINHASH_SEEDS // _BAND_ROWS
     bands = sig.select(
         "doc_id",
@@ -103,7 +116,10 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
                 *[
                     F.concat_ws(
                         "|",
-                        *[f"mh{_BAND_ROWS * b + r}" for r in range(_BAND_ROWS)],
+                        *[
+                            F.element_at("mh", _BAND_ROWS * b + r + 1)
+                            for r in range(_BAND_ROWS)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
@@ -137,7 +153,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle → 8 md5-slice minhash
     signatures → 2 four-row band keys → bucket self-join → exact
     token-Jaccard verify (candidate pairs only, never all n²)."""
-    sig = _signatures(spark, sf_dir).drop("sh")
+    sig = _signatures(spark, sf_dir, keep="dtoks")
     sig = sig.persist()  # reused 4× below (both join sides + verify)
     cand = _band_candidates(sig)
     ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
@@ -196,7 +212,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, ``doc_id < 200`` cap) — blocked-quadratic, flagged by the judge.
     Routing candidates through LSH removes the cap AND the |block|² blowup:
     the only shuffle is the band self-join, same as the 100 TB plan."""
-    sig = _signatures(spark, sf_dir).drop("dtoks")
+    sig = _signatures(spark, sf_dir, keep="sh")
     sig = sig.persist()
     cand = _band_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -63,3 +63,31 @@ def test_token_shingle_fingerprint_minhash_parity(spark, docs):
         assert sorted(dsh) == ssh, f"shingles diverge for {docs[i]!r}"
         assert sfp == dfp, f"fingerprint diverges for {docs[i]!r}"
         assert smh == [m0, m1, m2, m3], f"minhash diverges for {docs[i]!r}"
+
+
+def test_minhash_array_matches_per_seed_minhash(spark):
+    """minhash_array (one concat'd md5 pass per shingle) must be
+    value-identical to the per-seed minhash columns it replaces in the dedup
+    signature pipeline — including across the salt boundary (seeds 4-7)."""
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g h i j k",
+        "one two three",
+        "x y",  # < 3 tokens → empty shingles → null mins
+        "repeat repeat repeat repeat repeat",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i INT, text STRING"
+    )
+    base = sdf.withColumn("toks", X.tokens(F.col("text"))).withColumn(
+        "sh", X.shingles(F.col("toks"), 3)
+    )
+    mh = X.minhash(F.col("sh"), 8)
+    old = base.select("i", *[mh[j].alias(f"m{j}") for j in range(8)])
+    arr = X.minhash_array(F.col("sh"), 8)
+    new = base.select(
+        "i", *[F.element_at(arr, j + 1).alias(f"m{j}") for j in range(8)]
+    )
+    got_old = {r["i"]: [r[f"m{j}"] for j in range(8)] for r in old.collect()}
+    got_new = {r["i"]: [r[f"m{j}"] for j in range(8)] for r in new.collect()}
+    assert got_old == got_new
