@@ -111,6 +111,80 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOPK)
 
 
+_SQ_LEVELS = 16      # 4-bit codes per dimension (8× smaller than float32)
+_SQ_PRESELECT = 20   # ADC preselect depth before exact rerank
+
+
+def vector_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: 4-bit-per-dimension codes, asymmetric-distance
+    preselect, exact rerank.
+
+    Index build = one tiny aggregate (per-dimension min/max, 64 rows →
+    collapsed to a 1-row codebook). Encode/score = map-only: the codebook
+    broadcasts and each vector is quantized and reconstructed inside a
+    single ``zip_with`` — at 100 TB this plan is a pure scan with a
+    TakeOrdered(20), no shuffle of the big side, and the stored codes are
+    8× smaller than the float32 vectors they replace. The exact rerank
+    touches only the 20 preselected full vectors.
+
+    Determinism: quantization is pure double IEEE arithmetic with the same
+    expression shape in Spark and DuckDB (code = clamp(floor((v-lo)·15/rng)),
+    recon = lo + (code+0.5)·rng/16), so the ADC scores — and therefore the
+    preselect set — are bit-identical; only the surfaced scores are rounded."""
+    emb = load(spark, sf_dir, "embeddings")
+    # 1-row codebook: per-dimension (lo, rng) structs in position order
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("plh"))
+        .select(
+            F.transform(
+                "plh",
+                lambda s: F.struct(
+                    s["lo"].alias("lo"), (s["hi"] - s["lo"]).alias("rng")
+                ),
+            ).alias("params")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+
+    def requantize(x, p):
+        code = F.least(
+            F.greatest(
+                F.floor(
+                    (x.cast("double") - p["lo"]) * (_SQ_LEVELS - 1) / p["rng"]
+                ),
+                F.lit(0),
+            ),
+            F.lit(_SQ_LEVELS - 1),
+        )
+        return F.when(p["rng"] == 0, p["lo"]).otherwise(
+            p["lo"] + (code + 0.5) * p["rng"] / _SQ_LEVELS
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(q))
+        .withColumn("recon", F.zip_with("embedding", "params", requantize))
+        .withColumn("adc", V.cosine(F.col("recon"), F.col("q_emb")))
+    )
+    pre = scored.orderBy(F.col("adc").desc(), F.col("vec_id")).limit(_SQ_PRESELECT)
+    return (
+        pre.withColumn("cos_sim", F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6))
+        .select("vec_id", F.round("adc", 6).alias("adc_sim"), "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOPK)
+    )
+
+
 def _kmeans_cells(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Deterministic mini k-means over embeddings, pure DataFrame ops (no
     MLlib): init = the k lowest vec_ids, then iters of assign/update. Each
@@ -302,6 +376,42 @@ ORACLE: dict[str, str] = {
         FROM embeddings JOIN probed USING (label), q
         WHERE vec_id <> {_QUERY_ID}
         ORDER BY cos_sim DESC, vec_id
+        LIMIT {_TOPK}
+    """,
+    "vector_topk_sq": f"""
+        WITH exploded AS (
+          SELECT vec_id, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        stats AS (
+          SELECT pos, MIN(CAST(v AS DOUBLE)) AS lo,
+                 MAX(CAST(v AS DOUBLE)) - MIN(CAST(v AS DOUBLE)) AS rng
+          FROM exploded GROUP BY pos
+        ),
+        recon AS (
+          SELECT e.vec_id,
+                 array_agg(
+                   CASE WHEN s.rng = 0 THEN s.lo
+                        ELSE s.lo + (LEAST(GREATEST(FLOOR(
+                               (CAST(e.v AS DOUBLE) - s.lo) * {_SQ_LEVELS - 1} / s.rng
+                             ), 0), {_SQ_LEVELS - 1}) + 0.5) * s.rng / {_SQ_LEVELS}
+                   END ORDER BY s.pos) AS r
+          FROM exploded e JOIN stats s USING (pos)
+          WHERE e.vec_id <> {_QUERY_ID}
+          GROUP BY e.vec_id
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID}),
+        pre AS (
+          SELECT recon.vec_id, {V.sql_cosine('r', 'q_emb')} AS adc
+          FROM recon, q
+          ORDER BY adc DESC, vec_id
+          LIMIT {_SQ_PRESELECT}
+        )
+        SELECT pre.vec_id, ROUND(pre.adc, 6) AS adc_sim,
+               ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+        FROM pre JOIN embeddings USING (vec_id), q
+        ORDER BY cos_sim DESC, pre.vec_id
         LIMIT {_TOPK}
     """,
     "vector_norms": f"""

@@ -82,3 +82,26 @@ def test_sessionize_shuffles_once_on_user(spark, sf_dir):
     # one Exchange for the user_id window; the groupBy reuses the
     # partitioning (+1 tolerated for AQE final agg)
     assert E.shuffle_count(sessionize.sessionize(spark, sf_dir)) <= 2
+
+
+def test_vector_topk_sq_scan_only_big_side(spark, sf_dir):
+    """SQ-ANN must never shuffle the vector relation: the codebook and query
+    broadcast, preselect+rerank are TakeOrdered. The only Exchanges allowed
+    are the tiny per-dimension stats aggregation (explode→groupBy pos)."""
+    from hadrodb_spark.operators import similarity as S
+
+    df = S.vector_topk_sq(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert E.has_broadcast_join(df), plan
+    # stats agg: hashpartitioning(pos) + SinglePartition collapse = 2
+    assert E.shuffle_count(df) <= 2, plan
+
+
+def test_new_pipeline_ops_plan_shape(spark, sf_dir):
+    """contamination_ngram: benchmark grams broadcast (corpus side map-only);
+    stratified_sample: map-only (no Exchange at all)."""
+    from hadrodb_spark.operators import pipeline2 as P
+
+    assert E.has_broadcast_join(P.contamination_ngram(spark, sf_dir))
+    assert E.shuffle_count(P.stratified_sample(spark, sf_dir)) == 0
