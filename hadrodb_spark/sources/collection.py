@@ -112,6 +112,7 @@ class HadroCollection:
                 raise HadroError("schema mismatch with existing collection")
             self.schema = stored
             self.partition_by = list(meta.get("partition_by", []) or [])
+            self._defaults: dict[str, Any] = dict(meta.get("defaults", {}) or {})
             if partition_by is not None and list(partition_by) != self.partition_by:
                 raise HadroError("partition_by mismatch with existing collection")
         else:
@@ -119,20 +120,92 @@ class HadroCollection:
                 raise HadroError("new collection requires a schema")
             self.schema = schema
             self.partition_by = list(partition_by or [])
+            self._defaults = {}
             unknown = set(self.partition_by) - {f.name for f in schema.fields}
             if unknown:
                 raise HadroError(f"partition columns not in schema: {sorted(unknown)}")
-            with open(schema_file, "w") as f:
-                json.dump(
-                    {"schema": schema.jsonValue(), "partition_by": self.partition_by}, f
-                )
+            self._save_schema()
 
+        self._rebuild_full_schema()
+
+    def _rebuild_full_schema(self) -> None:
         # Storage schema: user fields stored nullable so tombstone rows (all
         # user fields null) are representable; non-null is enforced in _coerce.
         self._full_schema = T.StructType(
             _internal_fields()
             + [T.StructField(f.name, f.dataType, nullable=True) for f in self.schema.fields]
         )
+
+    def _save_schema(self) -> None:
+        schema_file = os.path.join(self.path, _SCHEMA_FILE)
+        tmp = schema_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "schema": self.schema.jsonValue(),
+                    "partition_by": self.partition_by,
+                    "defaults": self._defaults,
+                },
+                f,
+            )
+        os.replace(tmp, schema_file)
+
+    # ------------------------------------------------------------ evolution
+    def add_field(
+        self,
+        name: str,
+        data_type: T.DataType | str,
+        nullable: bool = True,
+        default: Any = None,
+    ) -> None:
+        """Schema evolution: append a field WITHOUT rewriting data (the
+        100 TB path — evolution is a metadata edit; ``compact()`` is the
+        optional backfill). Segments written before the evolution lack the
+        column; reads surface ``default`` (or NULL) for them.
+
+        Bitcask-style logs don't distinguish missing-from-segment from
+        stored-NULL, so a default fills BOTH — documents the same semantic
+        the reference's (never-wired) schema sketch implies
+        (``hadro/schema.py:33-43``). A non-nullable field therefore
+        requires a default.
+        """
+        self.flush()
+        dt = (
+            T._parse_datatype_string(data_type)
+            if isinstance(data_type, str)
+            else data_type
+        )
+        if any(f.name == name for f in self.schema.fields):
+            raise HadroError(f"field {name!r} already exists")
+        if name in {f.name for f in _internal_fields()}:
+            raise HadroError(f"field name {name!r} is reserved")
+        if not nullable and default is None:
+            raise HadroError(
+                "non-nullable added field needs a default (old rows have no value)"
+            )
+        self.schema = T.StructType(
+            self.schema.fields + [T.StructField(name, dt, nullable)]
+        )
+        if default is not None:
+            self._defaults[name] = default
+        self._save_schema()
+        self._rebuild_full_schema()
+
+    def remove_field(self, name: str) -> None:
+        """Schema evolution: drop a field (metadata-only; old segments keep
+        the column bytes until ``compact()`` rewrites them, but no read
+        surfaces it). Reference sketch: ``hadro/schema.py:45-47``."""
+        self.flush()
+        if not any(f.name == name for f in self.schema.fields):
+            raise HadroError(f"unknown field: {name!r}")
+        if name in self.partition_by:
+            raise HadroError(f"cannot remove partition column {name!r}")
+        self.schema = T.StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+        self._defaults.pop(name, None)
+        self._save_schema()
+        self._rebuild_full_schema()
 
     # ------------------------------------------------------------------ paths
     @property
@@ -186,7 +259,7 @@ class HadroCollection:
                 raise HadroError(f"expected {len(names)} values, got {len(vals)}")
             row = dict(zip(names, vals))
         for f in self.schema.fields:
-            if not f.nullable and row[f.name] is None:
+            if not f.nullable and row[f.name] is None and f.name not in self._defaults:
                 raise HadroError(f"field {f.name!r} is not nullable")
         return row
 
@@ -311,7 +384,20 @@ class HadroCollection:
             return self.spark.createDataFrame([], self._full_schema)
         df = self.spark.read.schema(self._full_schema).parquet(self._data_path)
         # partition columns come back as hive dirs; reorder to storage schema
-        return df.select(*[f.name for f in self._full_schema.fields])
+        df = df.select(*[f.name for f in self._full_schema.fields])
+        if self._defaults:
+            # evolution defaults: fill columns absent from pre-evolution
+            # segments (surfaced as NULL by the explicit read schema) —
+            # tombstone rows are unaffected (DELETED flag filters them)
+            by_name = {f.name: f.dataType for f in self.schema.fields}
+            df = df.withColumns(
+                {
+                    n: F.coalesce(F.col(n), F.lit(v).cast(by_name[n]))
+                    for n, v in self._defaults.items()
+                    if n in by_name
+                }
+            )
+        return df
 
     @staticmethod
     def _latest(log: DataFrame) -> DataFrame:

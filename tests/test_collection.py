@@ -368,3 +368,60 @@ def test_flush_retryable_after_write_failure(spark, tmp_path, monkeypatch):
     assert len(c._pending) == 1
     c.flush()  # retry succeeds
     assert c.get("k")["title"] == "t"
+
+
+def test_schema_evolution_add_field(spark, tmp_path):
+    """add_field is metadata-only: pre-evolution rows read back the default
+    (or NULL), post-evolution rows store real values; survives reopen."""
+    c = HadroCollection(spark, str(tmp_path / "evo"), BOOKS)
+    c.set("old", {"title": "Old", "author": "a"})
+    c.add_field("year", "int", default=1900)
+    c.add_field("note", T.StringType())  # nullable, no default -> NULL
+    c.set("new", {"title": "New", "author": "b", "year": 2020, "note": "n"})
+    assert c.get("old") == {"title": "Old", "author": "a", "year": 1900, "note": None}
+    assert c.get("new")["year"] == 2020
+    # reopen from disk: evolved schema + defaults persist
+    c2 = HadroCollection(spark, str(tmp_path / "evo"))
+    assert [f.name for f in c2.schema.fields] == ["title", "author", "year", "note"]
+    assert c2.get("old")["year"] == 1900
+    # non-nullable without default is rejected
+    with pytest.raises(HadroError):
+        c2.add_field("bad", "int", nullable=False)
+    # duplicates and reserved names are rejected
+    with pytest.raises(HadroError):
+        c2.add_field("year", "int")
+    with pytest.raises(HadroError):
+        c2.add_field("_key", "string")
+
+
+def test_schema_evolution_remove_field(spark, tmp_path):
+    c = HadroCollection(spark, str(tmp_path / "evo2"), BOOKS)
+    c.set("k", {"title": "T", "author": "a"})
+    c.remove_field("author")
+    assert c.get("k") == {"title": "T"}
+    c.set("k2", {"title": "T2"})
+    assert c.get("k2") == {"title": "T2"}
+    with pytest.raises(HadroError):
+        c.remove_field("nope")
+    # reopen sees the narrowed schema; old segment bytes are ignored
+    c2 = HadroCollection(spark, str(tmp_path / "evo2"))
+    assert [f.name for f in c2.schema.fields] == ["title"]
+    # compact rewrites segments without the dropped column and keeps rows
+    c2.compact()
+    assert c2.get("k") == {"title": "T"}
+    assert len(c2) == 2
+
+
+def test_schema_evolution_partition_column_protected(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    c = HadroCollection(
+        spark, str(tmp_path / "evo3"), schema, partition_by=["tenant"]
+    )
+    c.set("k", {"tenant": "t1", "v": "x"})
+    with pytest.raises(HadroError):
+        c.remove_field("tenant")
