@@ -38,6 +38,12 @@ HEADLINE = [
     "dedup_near",
     "vector_topk",
     "multimodal_features",
+    # round 2 additions — totals are NOT comparable to BENCH_r01 (15 queries)
+    # without subtracting these four
+    "tfidf_top_terms",
+    "contamination_ngram",
+    "vector_topk_sq",
+    "curation_pipeline",
 ]
 
 

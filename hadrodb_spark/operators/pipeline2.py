@@ -219,6 +219,54 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_MIN = 0.42  # ≈ corpus median — filters roughly half
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the single-query version of the
+    standard pretraining funnel: language-ID gate → quality-score gate →
+    exact dedup (keep lowest doc_id per canonical fingerprint). Exact copies
+    are planted (same scheme as dedup_exact) so the dedup stage is
+    non-vacuous.
+
+    Every stage is a map-only expression except the final per-fingerprint
+    window — one hash shuffle total, after the gates have already shrunk the
+    corpus (filter-early is the point of the composition)."""
+    from hadrodb_spark.operators.dedup import _with_exact_copies
+
+    docs = _with_exact_copies(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = X.stopword_hits(toks, "en").cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    len_score = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    ).cast("double")
+    quality = F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio,
+        6,
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            X.lang_id(toks).alias("pred_lang"),
+            quality.alias("quality"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            X.fingerprint(F.col("text")).alias("fp"),
+        )
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= _QUALITY_MIN))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 
@@ -290,6 +338,37 @@ ORACLE: dict[str, str] = {
         FROM grams g JOIN bench b USING (gram)
         WHERE g.doc_id % {_BENCH_MOD} <> 0
         GROUP BY g.doc_id, b.bench_id
+    """,
+    "curation_pipeline": f"""
+        WITH documents2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents
+          WHERE doc_id % 50 = 0
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'de')}
+                       AND {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'es')}
+                       AND {X.sql_stopword_hits(_TOKS, 'en')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'en'
+                      WHEN {X.sql_stopword_hits(_TOKS, 'de')} >= {X.sql_stopword_hits(_TOKS, 'es')}
+                       AND {X.sql_stopword_hits(_TOKS, 'de')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'de'
+                      WHEN {X.sql_stopword_hits(_TOKS, 'es')} >= {X.sql_stopword_hits(_TOKS, 'fr')} THEN 'es'
+                      ELSE 'fr' END AS pred_lang,
+                 ROUND(0.4 * (CAST({X.sql_stopword_hits(_TOKS, 'en')} AS DOUBLE)
+                              / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0))
+                     + 0.3 * (LEAST(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0)
+                     + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                              / CAST(GREATEST(length(text), 1) AS DOUBLE)), 6) AS quality,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 {X.sql_fingerprint('text')} AS fp
+          FROM documents2
+        )
+        SELECT doc_id, quality, n_tokens FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM scored
+          WHERE pred_lang = 'en' AND quality >= {_QUALITY_MIN}
+        ) WHERE rn = 1
     """,
     "pii_redact": f"""
         WITH planted AS (
