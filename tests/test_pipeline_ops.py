@@ -87,3 +87,20 @@ def test_lang_id_classifies_planted_docs(spark, sf_dir):
     assert len(rows) == 4
     for r in rows.values():
         assert r["pred_lang"] == r["labeled_lang"], r
+
+
+def test_sq_and_pq_recall_vs_brute_force(spark, sf_dir):
+    """Quantized ANN variants must rank real neighbors, not noise. The
+    fixture vectors are near-random (brute-force top-1 cosine ≈ 0.33 with a
+    FLAT tail), so absolute recall is the quantizer's information limit,
+    not a bug bar: SQ (32 B/vec) reconstructs well enough for full recall;
+    PQ (16 B/vec) is asserted above chance (random 30-of-500 preselect
+    would overlap the exact top-10 by 0.6 in expectation; measured 2-9
+    across fixtures). The exact rerank guarantees preselect∩exact always
+    survives to the final 10."""
+    exact = {r["vec_id"] for r in similarity.vector_topk(spark, sf_dir).collect()}
+    sq = {r["vec_id"] for r in similarity.vector_topk_sq(spark, sf_dir).collect()}
+    pq = {r["vec_id"] for r in similarity.vector_topk_pq(spark, sf_dir).collect()}
+    assert len(sq) == 10 and len(pq) == 10
+    assert len(exact & sq) >= 5
+    assert len(exact & pq) >= 2
