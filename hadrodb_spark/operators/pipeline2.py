@@ -222,19 +222,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_MIN = 0.42  # ≈ corpus median — filters roughly half
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation composition — the single-query version of the
-    standard pretraining funnel: language-ID gate → quality-score gate →
-    exact dedup (keep lowest doc_id per canonical fingerprint). Exact copies
-    are planted (same scheme as dedup_exact) so the dedup stage is
-    non-vacuous.
-
-    Every stage is a map-only expression except the final per-fingerprint
-    window — one hash shuffle total, after the gates have already shrunk the
-    corpus (filter-early is the point of the composition)."""
-    from hadrodb_spark.operators.dedup import _with_exact_copies
-
-    docs = _with_exact_copies(spark, sf_dir)
+def curation_gates(docs: DataFrame) -> DataFrame:
+    """The map-only gate stack of the curation funnel (language-ID +
+    quality threshold), usable on BATCH or STREAMING DataFrames alike —
+    no window, no shuffle, so Structured Streaming accepts it unchanged
+    (see :mod:`hadrodb_spark.streaming.curation`). Input needs (doc_id,
+    text); output adds quality, n_tokens and the dedup fingerprint."""
     toks = X.tokens(F.col("text"))
     n_tok = F.size(toks).cast("double")
     stop_ratio = X.stopword_hits(toks, "en").cast("double") / F.greatest(
@@ -249,16 +242,28 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.4) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio,
         6,
     )
-    gated = (
-        docs.select(
-            "doc_id",
-            X.lang_id(toks).alias("pred_lang"),
-            quality.alias("quality"),
-            F.size(toks).cast("bigint").alias("n_tokens"),
-            X.fingerprint(F.col("text")).alias("fp"),
-        )
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= _QUALITY_MIN))
-    )
+    return docs.select(
+        "doc_id",
+        X.lang_id(toks).alias("pred_lang"),
+        quality.alias("quality"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= _QUALITY_MIN))
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the single-query version of the
+    standard pretraining funnel: language-ID gate → quality-score gate →
+    exact dedup (keep lowest doc_id per canonical fingerprint). Exact copies
+    are planted (same scheme as dedup_exact) so the dedup stage is
+    non-vacuous.
+
+    Every stage is a map-only expression except the final per-fingerprint
+    window — one hash shuffle total, after the gates have already shrunk the
+    corpus (filter-early is the point of the composition)."""
+    from hadrodb_spark.operators.dedup import _with_exact_copies
+
+    gated = curation_gates(_with_exact_copies(spark, sf_dir))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         gated.withColumn("rn", F.row_number().over(w))

@@ -95,3 +95,41 @@ def test_stream_source_is_incremental(spark, event_dir):
     # maxFilesPerTrigger=8 over a 4-file dir → at least one batch, bounded
     stream = S.stream_events(spark, event_dir)
     assert stream.isStreaming
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming funnel (gates in-flight + per-batch dedup + anti-join
+    vs already-curated fingerprints) must land EXACTLY the batch
+    curation_pipeline's output: same doc_ids, same quality/n_tokens.
+    Originals stream before planted copies (one file each), so
+    first-batch-wins == keep-lowest-doc_id."""
+    from pyspark.sql import functions as F
+
+    from hadrodb_spark.operators import dedup, pipeline2
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import curation as SC
+
+    src = str(tmp_path / "docs_src")
+    corpus = dedup._with_exact_copies(spark, sf_dir)
+    corpus.filter(F.col("doc_id") < 200000).coalesce(1).write.parquet(src)
+    corpus.filter(F.col("doc_id") >= 200000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    coll = HadroCollection(spark, str(tmp_path / "curated"), SC.CURATED_SCHEMA)
+    q = SC.curate_stream(spark, src, coll, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in coll.scan(columns=["doc_id", "quality", "n_tokens"]).collect()
+    }
+    want = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in pipeline2.curation_pipeline(spark, sf_dir).collect()
+    }
+    assert got == want
+    # replaying the stream (same checkpoint, no new files) adds nothing
+    q2 = SC.curate_stream(spark, src, coll, str(tmp_path / "ckpt"))
+    q2.awaitTermination(60)
+    assert len(coll) == len(want)
