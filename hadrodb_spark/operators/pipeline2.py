@@ -272,10 +272,49 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution profile: per return-flag quartiles of lineitem
+    quantity, plus min/max/count — one aggregation pass.
+
+    Exact `percentile` (not approx_percentile) keeps this oracle-checkable:
+    quartile fractions are exact binary (1/4, 1/2, 3/4) and l_quantity is
+    integer-valued, so the linear interpolation is bit-identical regardless
+    of how each engine associates `a + (b-a)·f` — the one shape of exact
+    quantile that is cross-engine safe. At 100 TB exact percentile sorts
+    within groups; swap in approx_percentile (t-digest) and keep this as
+    the verification anchor on samples."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").cast("double").alias("q_min"),
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+        F.max("l_quantity").cast("double").alias("q_max"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "q_min",
+        F.element_at("qs", 1).alias("q1"),
+        F.element_at("qs", 2).alias("median"),
+        F.element_at("qs", 3).alias("q3"),
+        "q_max",
+    )
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "profile_quantiles": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS q3,
+               CAST(MAX(l_quantity) AS DOUBLE) AS q_max
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "tfidf_top_terms": f"""
         WITH terms AS (
           SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
