@@ -42,7 +42,7 @@ import uuid
 from collections.abc import Iterable, Mapping, Sequence
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -217,29 +217,168 @@ class HadroCollection:
         return os.path.join(self.path, _MANIFEST_FILE)
 
     # -------------------------------------------------------------- sequencing
-    def _next_commit(self) -> int:
-        """Monotonic commit counter.
+    def _read_manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"commits": 0, "segments": {}, "clean": False}
+        with open(self._manifest_path) as f:
+            m = json.load(f)
+        m.setdefault("segments", {})
+        m.setdefault("clean", False)
+        return m
 
-        The reference is single-writer by construction (one file descriptor,
-        ``hadro/engine.py:106-107``); here multiple processes may share a
-        collection directory, so the counter mint is serialized with an
-        exclusive ``flock`` and the manifest is replaced atomically — two
-        concurrent writers get distinct ``_seq`` values or fail loudly,
-        never silently collide. Parquet part-files have unique names, so
-        the data appends themselves never clobber each other."""
+    def _update_manifest(self, mutate) -> dict[str, Any]:
+        """Read-mutate-replace the manifest under an exclusive ``flock`` —
+        the single serialization point for multi-writer safety (the
+        reference is single-fd single-writer, ``hadro/engine.py:106-107``;
+        this generalizes it to many processes sharing a directory)."""
         import fcntl
 
         with open(os.path.join(self.path, "_hadro_lock"), "a") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            commit = 0
-            if os.path.exists(self._manifest_path):
-                with open(self._manifest_path) as f:
-                    commit = json.load(f)["commits"]
+            m = self._read_manifest()
+            mutate(m)
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"commits": commit + 1}, f)
+                json.dump(m, f)
             os.replace(tmp, self._manifest_path)
-        return commit
+        return m
+
+    def _next_commit(self) -> int:
+        """Monotonic commit counter: two concurrent writers get distinct
+        ``_seq`` values or fail loudly, never silently collide. Parquet
+        part-files have unique names, so the data appends themselves never
+        clobber each other."""
+        holder: dict[str, int] = {}
+
+        def bump(m: dict[str, Any]) -> None:
+            holder["commit"] = int(m["commits"])
+            m["commits"] = holder["commit"] + 1
+
+        self._update_manifest(bump)
+        return holder["commit"]
+
+    # ------------------------------------------------------------ segment stats
+    def _record_segment_stats(
+        self,
+        commit: int,
+        rows: int,
+        tombstones: int,
+        min_key: str | None,
+        max_key: str | None,
+        unique_keys: bool | None,
+    ) -> None:
+        """Manifest-level statistics, one entry per commit directory
+        (``segments/_seq=N/``): row count, tombstone count, key bounds,
+        and whether keys are known-unique within the commit.
+
+        This is the Iceberg/Delta manifest idea scaled down to a Bitcask
+        log: at 100 TB the expensive part of a point lookup is not reading
+        data, it's *finding which files could hold the key* — these bounds
+        answer that on the driver without listing or opening any segment."""
+
+        def put(m: dict[str, Any]) -> None:
+            m["segments"][str(commit)] = {
+                "rows": int(rows),
+                "tombstones": int(tombstones),
+                "min_key": min_key,
+                "max_key": max_key,
+                "unique_keys": unique_keys,
+            }
+            m["clean"] = False  # any append may shadow existing keys
+
+        self._update_manifest(put)
+
+    def _reset_segment_stats(self, commit: int, rows: int, min_key, max_key) -> None:
+        """After compact/optimize the log IS the live view: one commit,
+        no tombstones, unique keys — mark it ``clean`` so reads skip the
+        LWW merge entirely until the next write dirties the log."""
+
+        def put(m: dict[str, Any]) -> None:
+            m["segments"] = {
+                str(commit): {
+                    "rows": int(rows),
+                    "tombstones": 0,
+                    "min_key": min_key,
+                    "max_key": max_key,
+                    "unique_keys": True,
+                }
+            }
+            m["clean"] = True
+
+        self._update_manifest(put)
+
+    def _seq_dirs(self) -> list[int]:
+        """Commit ids actually present on disk (``_seq=N`` hive dirs)."""
+        if not os.path.isdir(self._data_path):
+            return []
+        out = []
+        for name in os.listdir(self._data_path):
+            if name.startswith(SEQ_COL + "="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def segment_stats(self) -> dict[int, dict[str, Any]]:
+        """Per-commit manifest statistics (public introspection surface)."""
+        segs = self._read_manifest()["segments"]
+        return {int(k): dict(v) for k, v in segs.items()}
+
+    def _stats_if_complete(self) -> dict[int, dict[str, Any]] | None:
+        """Stats keyed by commit id, or None if any on-disk commit dir has
+        no manifest entry (e.g. a collection written by an older version) —
+        callers must then fall back to the distributed path."""
+        segs = self.segment_stats()
+        on_disk = self._seq_dirs()
+        if any(n not in segs for n in on_disk):
+            return None
+        return {n: segs[n] for n in on_disk}
+
+    def _candidate_seqs(self, keys: Sequence[str]) -> list[int] | None:
+        """Commits whose ``[min_key, max_key]`` could contain any of
+        ``keys`` (every version of a key — including its tombstones — lies
+        in a commit whose bounds cover it, so pruning the rest preserves
+        LWW). None ⇒ stats incomplete, caller reads everything."""
+        stats = self._stats_if_complete()
+        if stats is None:
+            return None
+        cands = []
+        for n, s in stats.items():
+            lo, hi = s.get("min_key"), s.get("max_key")
+            if lo is None or hi is None:
+                continue  # tombstone-only empty commit or no rows
+            if any(lo <= k <= hi for k in keys):
+                cands.append(n)
+        return cands
+
+    def _len_fast(self) -> int | None:
+        """Driver-only ``len()`` when the manifest can prove it: the log is
+        ``clean`` (post-compaction), or no commit has tombstones, every
+        commit's keys are known-unique, and commit key ranges are pairwise
+        disjoint (the time-keyed append-only case — exactly the 100 TB log
+        workload). Returns None when correctness would require the merge."""
+        if self._pending:
+            return None
+        stats = self._stats_if_complete()
+        if stats is None:
+            return None
+        total = sum(s["rows"] for s in stats.values())
+        if self._read_manifest()["clean"]:
+            return total
+        if any(s["tombstones"] for s in stats.values()):
+            return None
+        if any(s.get("unique_keys") is not True for s in stats.values()):
+            return None
+        bounded = sorted(
+            (s["min_key"], s["max_key"], s["rows"])
+            for s in stats.values()
+            if s["min_key"] is not None
+        )
+        for (_, hi, _), (lo2, _, _) in zip(bounded, bounded[1:]):
+            if hi >= lo2:
+                return None  # ranges overlap — shadowing possible
+        return sum(r for _, _, r in bounded)
 
     # ------------------------------------------------------------------ writes
     def _coerce(self, record: Mapping[str, Any] | Sequence[Any]) -> dict[str, Any]:
@@ -283,6 +422,16 @@ class HadroCollection:
         ]
         df = self.spark.createDataFrame(rows, self._full_schema)
         self._write_segments(df)
+        # stats are exact and free here — the batch is driver-resident
+        keys = [key for key, _, _ in self._pending]
+        self._record_segment_stats(
+            commit,
+            rows=len(rows),
+            tombstones=sum(1 for _, _, d in self._pending if d),
+            min_key=min(keys),
+            max_key=max(keys),
+            unique_keys=len(set(keys)) == len(keys),
+        )
         # only forget staged records once they are durably on disk — a failed
         # segment write leaves them staged and the flush retryable (the gap
         # in the commit counter is harmless)
@@ -322,15 +471,36 @@ class HadroCollection:
             .withColumn(DELETED_COL, F.lit(False))
             .select(*INTERNAL_COLS, *[f.name for f in self.schema.fields])
         )
+        # piggyback stats on the write action itself (observe = no 2nd scan)
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.min(KEY_COL).alias("min_key"),
+            F.max(KEY_COL).alias("max_key"),
+        )
         self._write_segments(out)
+        got = obs.get
+        self._record_segment_stats(
+            commit,
+            rows=got["rows"],
+            tombstones=0,
+            min_key=got["min_key"],
+            max_key=got["max_key"],
+            # generated uuids are unique; caller-supplied keys may collide
+            # within the commit, and proving otherwise would cost a shuffle
+            unique_keys=True if key_col is None else None,
+        )
 
     def _write_segments(self, df: DataFrame) -> None:
-        """One atomic Parquet commit; hive-partitioned when partition_by is
-        set, so reads with partition-key predicates prune entire directories
-        (PartitionFilters) — the scale path for time/tenant-keyed logs."""
-        writer = df.write.mode("append")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        """One atomic Parquet commit, hive-partitioned by ``_seq`` (then any
+        user ``partition_by`` columns): each commit is a self-contained
+        ``segments/_seq=N/`` directory, so time-travel (``_seq <= c``),
+        stats-pruned point gets (``_seq IN (...)``), and partition-key
+        predicates all prune whole directories (PartitionFilters) before a
+        single footer is opened — the scale path for time/tenant-keyed
+        logs."""
+        writer = df.write.mode("append").partitionBy(SEQ_COL, *self.partition_by)
         writer.parquet(self._data_path)
 
     # --------------------------------------------------------------- KV writes
@@ -369,7 +539,23 @@ class HadroCollection:
             F.lit(True).alias(DELETED_COL),
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in self.schema.fields],
         )
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.min(KEY_COL).alias("min_key"),
+            F.max(KEY_COL).alias("max_key"),
+        )
         self._write_segments(out)
+        got = obs.get
+        self._record_segment_stats(
+            commit,
+            rows=got["rows"],
+            tombstones=got["rows"],
+            min_key=got["min_key"],
+            max_key=got["max_key"],
+            unique_keys=True,  # keys come from the LWW view: one row per key
+        )
 
     # ------------------------------------------------------------------- reads
     def _log(self) -> DataFrame:
@@ -421,7 +607,31 @@ class HadroCollection:
         )
 
     def _lww(self) -> DataFrame:
-        return self._latest(self._log())
+        log = self._log()
+        # post-compaction fast path: the manifest proves one version per key
+        # and no tombstones, so the KeyDir merge is the identity — reads are
+        # then pure Parquet scans (pushdown + pruning, zero shuffle)
+        if not self._pending and self._read_manifest()["clean"]:
+            return log
+        return self._latest(log)
+
+    def _pruned_lww(self, keys: Sequence[str]) -> DataFrame | None:
+        """LWW view pruned — via manifest key bounds — to the commit dirs
+        that could contain any of ``keys`` (partition filter on ``_seq``,
+        so non-matching commits are skipped before any footer is read).
+        None ⇒ the bounds prove no commit holds any of the keys. LWW-safe:
+        every version of a key, tombstones included, lies in a commit
+        whose bounds cover it."""
+        self.flush()
+        cand = self._candidate_seqs(keys)
+        if cand == []:
+            return None
+        base = self._log()
+        if cand is not None:
+            base = base.filter(F.col(SEQ_COL).isin(cand))
+        if self._read_manifest()["clean"]:
+            return base
+        return self._latest(base)
 
     def scan(self, columns: Sequence[str] | None = None, predicate: str | Column | None = None) -> DataFrame:
         """Live view: latest non-tombstoned version of every key.
@@ -444,10 +654,13 @@ class HadroCollection:
         """Point / multi-get (``INTERFACE.md:6-8``). Driver-side collect of a
         key-filtered LWW view; the filter prunes via Parquet min/max stats."""
         want = [str(k) for k in keys]
+        pruned = self._pruned_lww(want)
+        if pruned is None:
+            # manifest bounds prove no commit can hold any wanted key —
+            # answered on the driver, no job, no file listing
+            raise KeyError(want[0])
         rows = (
-            self._lww()
-            .filter(F.col(KEY_COL).isin(want) & ~F.col(DELETED_COL))
-            .collect()
+            pruned.filter(F.col(KEY_COL).isin(want) & ~F.col(DELETED_COL)).collect()
         )
         by_key = {r[KEY_COL]: {f.name: r[f.name] for f in self.schema.fields} for r in rows}
         missing = [k for k in want if k not in by_key]
@@ -463,9 +676,11 @@ class HadroCollection:
 
     def __contains__(self, key: str) -> bool:
         """``id in hadro`` (``INTERFACE.md:19-21``)."""
+        pruned = self._pruned_lww([str(key)])
+        if pruned is None:
+            return False
         return (
-            self._lww()
-            .filter((F.col(KEY_COL) == str(key)) & ~F.col(DELETED_COL))
+            pruned.filter((F.col(KEY_COL) == str(key)) & ~F.col(DELETED_COL))
             .limit(1)
             .count()
             > 0
@@ -481,14 +696,22 @@ class HadroCollection:
         ]
 
     def __len__(self) -> int:
-        """``len(hadro)`` (``INTERFACE.md:26-27``)."""
+        """``len(hadro)`` (``INTERFACE.md:26-27``). Answered from manifest
+        stats when they can prove the count (clean log, or disjoint-keyed
+        tombstone-free appends); otherwise the distributed LWW count."""
+        fast = self._len_fast()
+        if fast is not None:
+            return fast
         return self._lww().filter(~F.col(DELETED_COL)).count()
 
     # ------------------------------------------------------------- maintenance
     def compact(self) -> None:
         """The Bitcask merge (``hadro/engine.py:53-54`` acknowledged need):
-        rewrite segments keeping only live LWW rows. After compaction the
-        read path is a plain Parquet scan — no merge-on-read shuffle."""
+        rewrite segments keeping only live LWW rows, re-sequenced into ONE
+        fresh commit. Afterwards the manifest marks the log ``clean``, so
+        reads are plain Parquet scans — no merge-on-read shuffle — until
+        the next write. Time-travel history resets at the compaction point
+        (the merge discards shadowed versions, like Delta VACUUM)."""
         live = self._lww().filter(~F.col(DELETED_COL))
         self._rewrite_segments(live, self._data_path + ".compact")
 
@@ -515,31 +738,48 @@ class HadroCollection:
         by ``sort_cols`` so parquet min/max stats give the data-skipping the
         reference hoped for from b+tree indexes (INTERFACE.md:32-38) —
         point/range predicates on the sort key then prune row groups."""
-        live = (
-            self._lww()
-            .filter(~F.col(DELETED_COL))
-            .repartitionByRange(*[F.col(c) for c in sort_cols])
-            .sortWithinPartitions(*sort_cols)
+        live = self._lww().filter(~F.col(DELETED_COL))
+        self._rewrite_segments(
+            live, self._data_path + ".optimize", sort_cols=list(sort_cols)
         )
-        self._rewrite_segments(live, self._data_path + ".optimize")
 
-    def _rewrite_segments(self, df: DataFrame, tmp: str) -> None:
-        """Materialize ``df`` to ``tmp`` then swap it in with two renames:
-        the live dir is moved aside BEFORE the new one moves in, so a crash
-        at any point leaves either the old data live or the old data in
-        ``.old`` (recoverable by a rename) — never a window with no data
-        directory at all."""
+    def _rewrite_segments(
+        self, df: DataFrame, tmp: str, sort_cols: Sequence[str] | None = None
+    ) -> None:
+        """Materialize ``df`` — re-sequenced into one fresh commit — to
+        ``tmp`` then swap it in with two renames: the live dir is moved
+        aside BEFORE the new one moves in, so a crash at any point leaves
+        either the old data live or the old data in ``.old`` (recoverable
+        by a rename) — never a window with no data directory at all."""
         import shutil
 
-        writer = df.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        commit = self._next_commit()
+        out = df.withColumn(SEQ_COL, F.lit(commit).cast("long"))
+        if sort_cols:
+            # cluster by sort_cols for min/max data skipping; lead the sort
+            # with the partition columns so the dynamic-partition writer's
+            # required ordering is already satisfied and it does not insert
+            # its own (clustering-destroying) sort
+            out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
+            out = out.sortWithinPartitions(SEQ_COL, *self.partition_by, *sort_cols)
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.min(KEY_COL).alias("min_key"),
+            F.max(KEY_COL).alias("max_key"),
+        )
+        writer = out.write.mode("overwrite").partitionBy(SEQ_COL, *self.partition_by)
         writer.parquet(tmp)
         old = self._data_path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self._data_path, old)
         os.rename(tmp, self._data_path)
         shutil.rmtree(old)
+        got = obs.get
+        self._reset_segment_stats(
+            commit, rows=got["rows"], min_key=got["min_key"], max_key=got["max_key"]
+        )
 
     def transaction(self) -> "_Transaction":
         """``with hadro.transaction() as batch`` (``INTERFACE.md:40-43``):

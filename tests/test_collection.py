@@ -113,11 +113,20 @@ def test_compaction_equivalence_and_segment_shrink(spark, coll):
         coll.set(f"k{i}", {"title": f"v{i}'", "author": None})
     coll.delete("k0")
     coll.flush()
+    def n_segments() -> int:
+        # segments live under hive dirs (segments/_seq=N/...) — walk
+        return sum(
+            1
+            for _, _, files in os.walk(coll._data_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     before = sorted((r["_key"], r["title"]) for r in coll.scan().collect())
-    n_seg_before = len([f for f in os.listdir(coll._data_path) if f.endswith(".parquet")])
+    n_seg_before = n_segments()
     coll.compact()
     after = sorted((r["_key"], r["title"]) for r in coll.scan().collect())
-    n_seg_after = len([f for f in os.listdir(coll._data_path) if f.endswith(".parquet")])
+    n_seg_after = n_segments()
     assert before == after
     assert len(after) == 9 and all(t.endswith("'") for _, t in after)
     assert n_seg_after < n_seg_before
@@ -188,10 +197,13 @@ def test_partitioned_collection_prunes(spark, tmp_path):
         "CAST(id AS DOUBLE) AS v",
     )
     coll.append_df(df, key_col="k")
-    # partition dirs exist
+    # partition dirs exist, nested under the commit dir (_seq=N/day=...)
     import os
 
-    assert any("day=" in d for d in os.listdir(coll._data_path))
+    def has_day_dir() -> bool:
+        return any("day=" in d for d, _, _ in os.walk(coll._data_path))
+
+    assert has_day_dir()
     # read back: full and filtered
     assert len(coll) == 200
     day1 = coll.where("day = '2024-01-01'")
@@ -206,7 +218,7 @@ def test_partitioned_collection_prunes(spark, tmp_path):
     c2 = HadroCollection(spark, str(tmp_path / "part"))
     assert c2.partition_by == ["day"]
     c2.compact()
-    assert len(c2) == 199 and any("day=" in d for d in os.listdir(c2._data_path))
+    assert len(c2) == 199 and has_day_dir()
 
 
 def test_optimize_clusters_and_preserves_rows(spark, tmp_path):

@@ -1,0 +1,177 @@
+"""Manifest segment statistics: per-commit row counts + key bounds recorded
+at write time (via ``df.observe`` — no second scan), serving point-get
+commit pruning, a driver-only ``len()`` fast path, and the post-compaction
+``clean`` flag that lets reads skip the LWW merge entirely.
+
+This is the metadata layer the reference's planned KeyDir/b+tree indexes
+(``/root/reference/INTERFACE.md:32-38``) were reaching for, rebuilt as
+Iceberg/Delta-style manifest pruning over the ``segments/_seq=N/`` layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadrodb_spark import HadroCollection
+
+DOCS = T.StructType(
+    [
+        T.StructField("title", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    return HadroCollection(spark, str(tmp_path / "c"), DOCS)
+
+
+def test_stats_recorded_per_commit(coll):
+    coll.set("a", {"title": "A", "n": 1})
+    coll.set("c", {"title": "C", "n": 2})
+    coll.flush()
+    coll.set("m", {"title": "M", "n": 3})
+    coll.flush()
+    stats = coll.segment_stats()
+    assert len(stats) == 2
+    first, second = (stats[k] for k in sorted(stats))
+    assert first == {
+        "rows": 2,
+        "tombstones": 0,
+        "min_key": "a",
+        "max_key": "c",
+        "unique_keys": True,
+    }
+    assert second["rows"] == 1 and second["min_key"] == "m"
+
+
+def test_seq_partitioned_layout(coll):
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    coll.set("b", {"title": "B", "n": 2})
+    coll.flush()
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(coll.path, "segments")) if d.startswith("_seq=")
+    )
+    assert len(dirs) == 2
+    assert coll._seq_dirs() == sorted(coll.segment_stats())
+
+
+def test_append_df_stats_via_observe(spark, coll):
+    df = spark.range(10).select(
+        F.concat(F.lit("k"), F.format_string("%03d", F.col("id"))).alias("key"),
+        F.concat(F.lit("t"), F.col("id")).alias("title"),
+        F.col("id").cast("int").alias("n"),
+    )
+    coll.append_df(df, key_col="key")
+    (s,) = coll.segment_stats().values()
+    assert s["rows"] == 10
+    assert s["min_key"] == "k000" and s["max_key"] == "k009"
+    assert s["unique_keys"] is None  # caller-supplied keys: unproven
+    # generated-uuid path is known-unique
+    coll.append_df(df.select("title", "n"))
+    latest = coll.segment_stats()[max(coll.segment_stats())]
+    assert latest["unique_keys"] is True
+
+
+def test_len_fast_path_disjoint_ranges(coll):
+    # monotone, disjoint per-commit key ranges — the time-keyed log case
+    for batch in (["a1", "a2"], ["b1", "b2", "b3"], ["c1"]):
+        for k in batch:
+            coll.set(k, {"title": k.upper(), "n": None})
+        coll.flush()
+    assert coll._len_fast() == 6
+    assert len(coll) == 6
+
+
+def test_len_fast_declines_on_overlap_and_tombstone(coll):
+    coll.set("a", {"title": "A", "n": 1})
+    coll.set("z", {"title": "Z", "n": 2})
+    coll.flush()
+    coll.set("m", {"title": "M", "n": 3})  # inside [a, z] — overlap
+    coll.flush()
+    assert coll._len_fast() is None
+    assert len(coll) == 3  # distributed fallback still right
+    coll.delete("m")
+    coll.flush()
+    assert coll._len_fast() is None
+    assert len(coll) == 2
+
+
+def test_point_get_commit_pruning(coll):
+    for batch in (["a1", "a2"], ["b1", "b2"], ["c1", "c2"]):
+        for k in batch:
+            coll.set(k, {"title": k.upper(), "n": None})
+        coll.flush()
+    cands = coll._candidate_seqs(["b2"])
+    assert cands is not None and len(cands) == 1
+    assert coll.get("b2")["title"] == "B2"
+    # plan-level check: the pruned read carries a partition filter on _seq
+    plan = coll._pruned_lww(["b2"])._jdf.queryExecution().executedPlan().toString()
+    assert "_seq" in plan
+    # provably-absent key: answered on the driver, KeyError without a job
+    assert coll._candidate_seqs(["zz"]) == []
+    with pytest.raises(KeyError):
+        coll.get("zz")
+    assert "zz" not in coll
+    assert "c1" in coll
+
+
+def test_pruning_preserves_lww_and_tombstones(coll):
+    coll.set("k", {"title": "v1", "n": 1})
+    coll.flush()
+    coll.set("k", {"title": "v2", "n": 2})
+    coll.flush()
+    assert coll.get("k")["title"] == "v2"  # both commits are candidates
+    coll.delete("k")
+    coll.flush()
+    with pytest.raises(KeyError):
+        coll.get("k")
+    assert "k" not in coll
+
+
+def test_compact_resets_stats_and_marks_clean(coll):
+    coll.set("a", {"title": "A1", "n": 1})
+    coll.flush()
+    coll.set("a", {"title": "A2", "n": 2})
+    coll.set("b", {"title": "B", "n": 3})
+    coll.flush()
+    coll.delete("b")
+    coll.flush()
+    coll.compact()
+    stats = coll.segment_stats()
+    (only,) = stats.values()
+    assert only == {
+        "rows": 1,
+        "tombstones": 0,
+        "min_key": "a",
+        "max_key": "a",
+        "unique_keys": True,
+    }
+    assert coll._read_manifest()["clean"] is True
+    assert coll._len_fast() == 1
+    assert coll.get("a")["title"] == "A2"
+    # clean read path: no window exchange in the plan
+    plan = coll.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # a new write dirties the log again
+    coll.set("c", {"title": "C", "n": 4})
+    coll.flush()
+    assert coll._read_manifest()["clean"] is False
+    assert len(coll) == 2
+
+
+def test_optimize_clusters_and_stays_correct(coll):
+    for i in range(20):
+        coll.set(f"k{i:02d}", {"title": f"T{i}", "n": i})
+    coll.flush()
+    coll.optimize(["n"])
+    assert coll._read_manifest()["clean"] is True
+    assert len(coll) == 20
+    assert coll.get("k07")["n"] == 7
+    assert sorted(coll.ids()) == [f"k{i:02d}" for i in range(20)]
