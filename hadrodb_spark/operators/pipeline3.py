@@ -1,0 +1,217 @@
+"""Third batch of training-data-pipeline operators (SURVEY.md §2.3 scope):
+repetition-based quality gating (the Gopher-rules family), temperature-based
+domain mixture weighting, greedy sequence packing for fixed context windows,
+and batched multi-query ANN.
+
+All queries are pure JVM built-ins with exact DuckDB oracle twins, following
+the repo contract: integer/rational math exact, transcendental values
+(pow/cosine) rounded to 6 decimals, unique tiebreakers in every ranking.
+
+Scale design:
+- repetition_gates: explode + two hash aggs with map-side combine; the
+  per-(doc, term) relation is the same shape a 100 TB tf pass produces.
+- mixture_weights: per-domain agg collapses the corpus to |domains| rows,
+  then a broadcast of the 1-row total — nothing driver-side.
+- pack_greedy: one window cumsum per domain partition (shuffle on lang) —
+  the standard concat-then-split packing used for pretraining batches;
+  bin assignment is integer math, no iteration, no driver loop.
+- vector_topk_batch: Q query vectors broadcast to a map-only corpus scan;
+  per-query rank window shuffles only (corpus × Q) scored rows on q_id —
+  at 100 TB you shard queries, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.functions import vectors as V
+from hadrodb_spark.operators.relational import load
+
+_DUP_FRAC_MAX = 0.5    # gate: fail docs where >50% of tokens are repeats
+_MIX_ALPHA = 0.7       # mixture temperature (pow exponent on domain counts)
+_MIX_SCALE = 100000    # target sample size the weights are scaled to
+_PACK_BUDGET = 512     # context-window token budget for packing
+_BATCH_Q = 5           # vec_id < 5 are the query vectors
+_BATCH_TOPK = 3
+
+
+def repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality gates per document: duplicate-token
+    fraction, most-frequent-token fraction, and the pass/fail verdict at
+    the 50% duplicate threshold — the token-level core of the published
+    Gopher repetition rules."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup_frac = F.round(
+        1.0 - F.col("n_uniq").cast("double") / F.col("n_tokens"), 6
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_uniq").cast("bigint").alias("n_uniq"),
+        dup_frac.alias("dup_token_frac"),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        (dup_frac <= _DUP_FRAC_MAX).alias("passes"),
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture: per-language doc counts reweighted
+    by count^0.7 (the multilingual-sampling temperature trick — upweights
+    tail domains) and scaled to a 100k-doc target budget."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "p", F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+    )
+    tot = powed.groupBy().agg(F.sum("p").alias("p_tot"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.round(F.col("p") / F.col("p_tot"), 6))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "weight",
+            F.floor(F.col("weight") * _MIX_SCALE).cast("bigint").alias("target_docs"),
+        )
+    )
+
+
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate each language's docs in doc_id
+    order and split at 512-token boundaries (the concat-then-chunk packing
+    every pretraining batcher uses). A doc belongs to the bin its first
+    token lands in; ``n_straddlers`` counts docs crossing a boundary.
+    Integer window math only — exact in both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    packed = docs.withColumn("bin", F.floor(before / _PACK_BUDGET)).withColumn(
+        "straddles",
+        F.floor(before / _PACK_BUDGET)
+        != F.floor((before + F.col("n_tokens") - 1) / _PACK_BUDGET),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("straddles").cast("long")).cast("bigint").alias("n_straddlers"),
+    )
+
+
+def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: exact cosine top-3 for EACH of 5 query vectors in one
+    pass — the query side broadcasts, the corpus is scanned once, and the
+    rank window shuffles only the scored rows on q_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= _BATCH_Q)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BATCH_TOPK)
+        .select("q_id", "vec_id", "label", "cos_sim", "rk")
+    )
+
+
+# ------------------------------------------------------------------ oracles
+_TOKS = X.sql_tokens("text")
+
+ORACLE: dict[str, str] = {
+    "repetition_gates": f"""
+        WITH terms AS (
+          SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+        ),
+        tc AS (
+          SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term
+        ),
+        per AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_uniq,
+                 MAX(cnt) AS top_cnt
+          FROM tc GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_uniq,
+               ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+               ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 6) <= {_DUP_FRAC_MAX}
+                 AS passes
+        FROM per
+    """,
+    "mixture_weights": f"""
+        WITH counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+        ),
+        powed AS (
+          SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS p
+          FROM counts
+        ),
+        tot AS (SELECT SUM(p) AS p_tot FROM powed)
+        SELECT lang, n_docs,
+               ROUND(p / p_tot, 6) AS weight,
+               CAST(FLOOR(ROUND(p / p_tot, 6) * {_MIX_SCALE}) AS BIGINT)
+                 AS target_docs
+        FROM powed CROSS JOIN tot
+    """,
+    "pack_greedy": f"""
+        WITH toks AS (
+          SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        packed AS (
+          SELECT lang,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens
+                   AS before_toks,
+                 n_tokens
+          FROM toks
+        )
+        SELECT lang,
+               CAST(FLOOR(before_toks / {_PACK_BUDGET}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(CASE WHEN FLOOR(before_toks / {_PACK_BUDGET})
+                              <> FLOOR((before_toks + n_tokens - 1) / {_PACK_BUDGET})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM packed
+        GROUP BY lang, FLOOR(before_toks / {_PACK_BUDGET})
+    """,
+    "vector_topk_batch": f"""
+        SELECT q_id, vec_id, label, cos_sim, rk FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.label,
+                 ROUND({V.sql_cosine('e.embedding', 'q.embedding')}, 6) AS cos_sim,
+                 CAST(ROW_NUMBER() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY ROUND({V.sql_cosine('e.embedding', 'q.embedding')}, 6)
+                                   DESC, e.vec_id
+                      ) AS BIGINT) AS rk
+          FROM embeddings e
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < {_BATCH_Q}) q
+          WHERE e.vec_id >= {_BATCH_Q}
+        ) WHERE rk <= {_BATCH_TOPK}
+    """,
+}

@@ -19,6 +19,7 @@ from hadrodb_spark.operators import (
     kv,
     multimodal_ops,
     pipeline2,
+    pipeline3,
     relational,
     relational2,
     relational3,
@@ -69,6 +70,11 @@ _register(
 )
 # --- new round-2 queries (inside the verification window) ---
 _register(pipeline2)
+# --- queued for the round-3 window rotation (positions 51+): added after
+# the round-2 gate's window was already full of unverified entries, so they
+# wait one round for a driver row; the local exact-compare parity suite
+# covers them meanwhile ---
+_register(pipeline3)
 # --- round-1-verified tier ---
 _register(relational)
 _register(relational2)

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast threshold: small dims (region/nation/supplier) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter pruning: a selective filter on one join side
+        # injects a bloom filter into the other side's scan (default-on in
+        # Spark 3.4+; pinned here so clusters with older defaults behave
+        # identically — the big-fact ⋈ filtered-dim case at 100 TB).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Split parquet scans down to row-group granularity. The local test
         # fixtures are single ~10 MB files — at the 128m default a scan gets
