@@ -111,6 +111,73 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM — the
+    cheap perplexity proxy used to quality-rank crawl text (low = generic
+    or repetitive, high = rare-token soup; both tails get filtered).
+
+    Cross-engine determinism: each token's −ln p is rounded to 6 decimals
+    and summed as DECIMAL(18,6) — order-independent exact addition — so the
+    float-sum nondeterminism of a plain double aggregate never appears.
+    Plan: explode → vocab count (map-side combine) → join back on term →
+    per-doc agg; the vocab relation is |V| rows (Zipf-bounded), which AQE
+    broadcasts when small and shuffle-joins when not."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.groupBy().agg(F.sum("cnt").alias("total"))
+    logp = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
+            .cast("decimal(18,6)")
+            .alias("neg_logp"),
+        )
+    )
+    per_doc = (
+        terms.join(logp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("neg_logp").alias("sum_nlp"),
+        )
+    )
+    xent = F.round(F.col("sum_nlp").cast("double") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via ``approx_percentile`` (Greenwald-Khanna,
+    bounded memory per group) — the 100 TB path where exact quantiles'
+    full sort is off the table. No SQL oracle (sketch internals are
+    engine-specific); the unit suite bounds its error against the exact
+    ``profile_quantiles`` instead."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            pct.alias("pct"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("pct")[0].cast("double").alias("q1"),
+            F.col("pct")[1].cast("double").alias("median"),
+            F.col("pct")[2].cast("double").alias("q3"),
+        )
+    )
+
+
 def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: exact cosine top-3 for EACH of 5 query vectors in one
     pass — the query side broadcasts, the corpus is scanned once, and the
@@ -140,7 +207,35 @@ def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 
+ROWS_ONLY = ("profile_quantiles_approx",)
+
 ORACLE: dict[str, str] = {
+    "unigram_logprob": f"""
+        WITH terms AS (
+          SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+        ),
+        vocab AS (
+          SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+        ),
+        tot AS (SELECT SUM(cnt) AS total FROM vocab),
+        logp AS (
+          SELECT term,
+                 CAST(ROUND(ln(CAST(total AS DOUBLE) / cnt), 6)
+                      AS DECIMAL(18,6)) AS neg_logp
+          FROM vocab CROSS JOIN tot
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM(neg_logp) AS sum_nlp
+          FROM terms JOIN logp USING (term)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(CAST(sum_nlp AS DOUBLE) / n_tokens, 6) AS xent,
+               ROUND(exp(ROUND(CAST(sum_nlp AS DOUBLE) / n_tokens, 6)), 6) AS ppl
+        FROM per_doc
+    """,
     "repetition_gates": f"""
         WITH terms AS (
           SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents

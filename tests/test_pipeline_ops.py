@@ -104,3 +104,24 @@ def test_sq_and_pq_recall_vs_brute_force(spark, sf_dir):
     assert len(sq) == 10 and len(pq) == 10
     assert len(exact & sq) >= 5
     assert len(exact & pq) >= 2
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    from hadrodb_spark.operators import pipeline2, pipeline3
+
+    exact = {
+        r["l_returnflag"]: r for r in pipeline2.profile_quantiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in pipeline3.profile_quantiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a["n_rows"] == e["n_rows"]
+        spread = e["q3"] - e["q1"] or 1.0
+        for col in ("q1", "median", "q3"):
+            # GK sketch with accuracy 10000: rank error ≤ 1/10000 of rows;
+            # allow 5% of the IQR in value space — far looser than observed
+            assert abs(a[col] - e[col]) <= 0.05 * spread, (flag, col, a[col], e[col])
