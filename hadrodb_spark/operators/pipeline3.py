@@ -31,6 +31,8 @@ from hadrodb_spark.functions import vectors as V
 from hadrodb_spark.operators.relational import load
 
 _DUP_FRAC_MAX = 0.5    # gate: fail docs where >50% of tokens are repeats
+_GAPFILL_USERS = 20    # gap-fill the first 20 users (bounds the dense grid)
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _MIX_ALPHA = 0.7       # mixture temperature (pow exponent on domain counts)
 _MIX_SCALE = 100000    # target sample size the weights are scaled to
 _PACK_BUDGET = 512     # context-window token budget for packing
@@ -109,6 +111,90 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.sum(F.col("straddles").cast("long")).cast("bigint").alias("n_straddlers"),
     )
+
+
+def time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: densify per-user hourly activity onto the full
+    hour grid (``F.sequence`` + explode — range generation stays on
+    executors, no driver loop) and carry the last observed hourly total
+    forward into silent hours. The hypertable-rollup shape: grid size is
+    |users| × |hours| (dimension-bounded, not data-bounded), the event agg
+    is one hash shuffle, the fill is one window per user."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _GAPFILL_USERS)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+    )
+    bounds = ev.groupBy().agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .withColumn("carry", F.last("sv", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0)).cast("double").alias("hour_value"),
+            F.coalesce(F.col("carry"), F.lit(0)).cast("double").alias("carry_value"),
+        )
+    )
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures in ONE scan:
+    all first/second moments accumulate as exact DECIMAL sums (one hash-free
+    global agg with map-side partials), then the correlation formula runs
+    on identical exact inputs in both engines — so the doubles match
+    bit-for-bit despite being float math. The built-in ``corr()`` aggregate
+    would be order-dependent; this is the scalable exact formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"sp_{a}_{b}"))
+    moments = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")) * F.sqrt(
+            n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return F.round(num / den, 6)
+
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return moments.select(F.explode(stacked).alias("p")).select("p.*")
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +295,58 @@ _TOKS = X.sql_tokens("text")
 
 ROWS_ONLY = ("profile_quantiles_approx",)
 
+def _corr_matrix_oracle() -> str:
+    moment_cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        moment_cols.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}"
+        )
+        moment_cols.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]]
+    for a, b in pairs:
+        moment_cols.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+                     / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                        * sqrt(n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+            FROM m"""
+        for a, b in pairs
+    )
+    return f"WITH m AS (SELECT {', '.join(moment_cols)} FROM lineitem) {selects}"
+
+
 ORACLE: dict[str, str] = {
+    "time_gapfill": f"""
+        WITH ev AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events WHERE user_id < {_GAPFILL_USERS}
+        ),
+        hourly AS (
+          SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+          FROM ev GROUP BY user_id, h
+        ),
+        b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+        hours AS (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+        grid AS (
+          SELECT u.user_id, hours.h
+          FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN hours
+        )
+        SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(sv, 0) AS DOUBLE) AS hour_value,
+               CAST(COALESCE(last_value(sv IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ), 0) AS DOUBLE) AS carry_value
+        FROM grid LEFT JOIN hourly USING (user_id, h)
+    """,
+    "corr_matrix": _corr_matrix_oracle(),
     "unigram_logprob": f"""
         WITH terms AS (
           SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents

@@ -105,3 +105,25 @@ def test_new_pipeline_ops_plan_shape(spark, sf_dir):
 
     assert E.has_broadcast_join(P.contamination_ngram(spark, sf_dir))
     assert E.shuffle_count(P.stratified_sample(spark, sf_dir)) == 0
+
+
+def test_pipeline3_plan_shapes(spark, sf_dir):
+    from hadrodb_spark.operators import pipeline3 as P3
+
+    # batched ANN: query side broadcast, only the rank-window shuffle
+    df = P3.vector_topk_batch(spark, sf_dir)
+    assert E.has_broadcast_join(df), E.formatted_plan(df)
+    assert E.shuffle_count(df) <= 2, E.formatted_plan(df)
+    # repetition gates: scan reads only (doc_id, text); two agg shuffles
+    gates = P3.repetition_gates(spark, sf_dir)
+    assert set(E.read_schema_columns(gates)) == {"doc_id", "text"}
+    assert E.shuffle_count(gates) <= 2, E.formatted_plan(gates)
+    # packing: exactly the one per-language window shuffle
+    assert E.shuffle_count(P3.pack_greedy(spark, sf_dir)) <= 1
+    # correlation matrix: single scan, global agg with map-side partials,
+    # no shuffle at all beyond the 1-row final agg exchange
+    cm = P3.corr_matrix(spark, sf_dir)
+    assert E.shuffle_count(cm) <= 1, E.formatted_plan(cm)
+    assert set(E.read_schema_columns(cm)) == set(P3._CORR_COLS)
+    # gap-fill: the dense hour grid broadcasts to the user side
+    assert E.has_broadcast_join(P3.time_gapfill(spark, sf_dir))
