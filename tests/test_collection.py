@@ -368,11 +368,11 @@ def test_flush_retryable_after_write_failure(spark, tmp_path, monkeypatch):
     boom = {"n": 0}
     orig = HadroCollection._write_segments
 
-    def failing(self, df):
+    def failing(self, df, commit):
         if boom["n"] == 0:
             boom["n"] += 1
             raise OSError("disk full")
-        return orig(self, df)
+        return orig(self, df, commit)
 
     monkeypatch.setattr(HadroCollection, "_write_segments", failing)
     with pytest.raises(OSError):
