@@ -57,6 +57,7 @@ INTERNAL_COLS = (KEY_COL, SEQ_COL, SUB_COL, DELETED_COL)
 _SCHEMA_FILE = "_hadro_schema.json"
 _MANIFEST_FILE = "_hadro_manifest.json"
 _DATA_DIR = "segments"
+_ZORDER_COL = "_zorder"  # transient clustering key, never written to disk
 
 
 class HadroError(Exception):
@@ -739,18 +740,81 @@ class HadroCollection:
         with open(self._manifest_path) as f:
             return json.load(f)["commits"] - 1
 
-    def optimize(self, sort_cols: Sequence[str]) -> None:
+    def optimize(
+        self,
+        sort_cols: Sequence[str],
+        zorder: bool = False,
+        target_files: int | None = None,
+    ) -> None:
         """Compact + cluster: rewrite live rows range-partitioned and sorted
         by ``sort_cols`` so parquet min/max stats give the data-skipping the
         reference hoped for from b+tree indexes (INTERFACE.md:32-38) —
-        point/range predicates on the sort key then prune row groups."""
+        point/range predicates on the sort key then prune row groups.
+
+        ``zorder=True`` interleaves the bits of the (numeric) sort columns
+        into a single space-filling-curve key and clusters on THAT, so
+        min/max pruning works on EVERY listed column instead of only the
+        leading one — the multi-dimensional data-skipping trade: each
+        dimension's per-file span shrinks to roughly global_span /
+        n_files^(1/k) rather than one column getting perfect clustering
+        and the rest none."""
         live = self._lww().filter(~F.col(DELETED_COL))
+        if zorder:
+            if len(sort_cols) < 2:
+                raise HadroError("zorder needs at least 2 columns")
+            live = live.withColumn(_ZORDER_COL, self._zorder_key(live, sort_cols))
+            cluster = [_ZORDER_COL]
+        else:
+            cluster = list(sort_cols)
         self._rewrite_segments(
-            live, self._data_path + ".optimize", sort_cols=list(sort_cols)
+            live,
+            self._data_path + ".optimize",
+            sort_cols=cluster,
+            target_files=target_files,
         )
 
+    def _zorder_key(self, df: DataFrame, cols: Sequence[str]) -> Column:
+        """Z-value: each column min-max-scaled to an 8-bit bucket
+        (``width_bucket`` — one tiny agg for the bounds, then map-only),
+        bits interleaved into one integer. Pure JVM expressions; the only
+        extra cost over a plain sort is the bounds agg."""
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, T.NumericType):
+                raise HadroError(f"zorder column {c!r} must be numeric")
+        bounds = df.agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).first()
+        bits = 8
+        parts = []
+        for i, c in enumerate(cols):
+            mn = float(bounds[f"mn_{i}"]) if bounds[f"mn_{i}"] is not None else 0.0
+            mx = float(bounds[f"mx_{i}"]) if bounds[f"mx_{i}"] is not None else 1.0
+            if mx <= mn:
+                mx = mn + 1.0
+            # width_bucket → 1..n, with n+1 for values == max; shift to
+            # 0..n-1 and clamp the max-value overflow into the top bucket
+            bucket = F.least(
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(1 << bits)
+                )
+                - 1,
+                F.lit((1 << bits) - 1),
+            )
+            parts.append(bucket)
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, bucket in enumerate(parts):
+                pos = bit * len(parts) + i
+                z = z + (F.shiftleft(F.shiftright(bucket, bit) % 2, pos)).cast("long")
+        return z
+
     def _rewrite_segments(
-        self, df: DataFrame, tmp: str, sort_cols: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        tmp: str,
+        sort_cols: Sequence[str] | None = None,
+        target_files: int | None = None,
     ) -> None:
         """Materialize ``df`` — re-sequenced into one fresh commit — to
         ``tmp`` then swap it in with two renames: the live dir is moved
@@ -766,8 +830,17 @@ class HadroCollection:
             # with the partition columns so the dynamic-partition writer's
             # required ordering is already satisfied and it does not insert
             # its own (clustering-destroying) sort
-            out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
+            # target_files sizes the output explicitly (AQE otherwise
+            # coalesces small rewrites to very few files; on a cluster set
+            # this to data_size / desired_file_size)
+            if target_files:
+                out = out.repartitionByRange(
+                    target_files, *[F.col(c) for c in sort_cols]
+                )
+            else:
+                out = out.repartitionByRange(*[F.col(c) for c in sort_cols])
             out = out.sortWithinPartitions(*self.partition_by, *sort_cols)
+        out = out.drop(_ZORDER_COL)  # transient clustering key, if any
         obs = Observation()
         out = out.observe(
             obs,

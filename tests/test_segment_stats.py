@@ -175,3 +175,57 @@ def test_optimize_clusters_and_stays_correct(coll):
     assert len(coll) == 20
     assert coll.get("k07")["n"] == 7
     assert sorted(coll.ids()) == [f"k{i:02d}" for i in range(20)]
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after optimize(zorder=True) every parquet file's
+    min/max span on EACH dimension is a fraction of the global span — so
+    predicates on either column prune files, not just the leading sort key.
+    A lexicographic sort would leave the second column's per-file span at
+    ~100% of global."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType(), False),
+            T.StructField("y", T.LongType(), False),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "z"), schema)
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 128).alias("x"),
+            (F.col("id") / 128).cast("long").alias("y"),
+        )
+        .repartition(8)
+    )
+    coll.append_df(df)
+    coll.optimize(["x", "y"], zorder=True, target_files=8)
+
+    def spans(col_idx: int) -> list[float]:
+        out = []
+        for path in glob.glob(str(tmp_path / "z" / "segments" / "**" / "*.parquet"), recursive=True):
+            f = pq.ParquetFile(path)
+            mn, mx = None, None
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(col_idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            out.append((mx - mn) / 127.0)
+        return out
+
+    # storage column order: _key, _sub, _deleted, x, y  (SEQ is the hive dir)
+    x_spans, y_spans = spans(3), spans(4)
+    assert len(x_spans) >= 4, "expected several clustered files"
+    # both dimensions clustered: average per-file span well below global
+    assert sum(x_spans) / len(x_spans) < 0.6, x_spans
+    assert sum(y_spans) / len(y_spans) < 0.6, y_spans
+    # correctness preserved
+    assert len(coll) == n
+    assert coll.scan(predicate="x = 5 AND y = 7").count() == 1
