@@ -197,6 +197,51 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments.select(F.explode(stacked).alias("p")).select("p.*")
 
 
+_ANOM_MIN_N = 20       # prior observations required before flagging
+_ANOM_SIGMA = 3.0      # |z| threshold
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming-style anomaly detection, batch formulation: flag
+    each event whose value deviates >3σ from that user's EXPANDING history
+    (only events strictly before it, in time order) — exactly the state a
+    streaming detector carries, expressed as window cumulatives.
+
+    Determinism: the expanding sums accumulate as DECIMAL (exact, so the
+    engines agree bit-for-bit), and the mean/σ math runs on those exact
+    inputs. One shuffle on user_id; history never materializes anywhere."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = ev.select(
+        "event_id",
+        "user_id",
+        F.col("v").cast("double").alias("value"),
+        F.count(F.lit(1)).over(w).alias("pre_n"),
+        F.sum("v").over(w).cast("double").alias("pre_s"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("pre_ss"),
+    )
+    mean = F.col("pre_s") / F.col("pre_n")
+    var = (F.col("pre_ss") - F.col("pre_s") * F.col("pre_s") / F.col("pre_n")) / F.col(
+        "pre_n"
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        pre.filter(F.col("pre_n") >= _ANOM_MIN_N)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > _ANOM_SIGMA)
+        .select("user_id", "event_id", "value", "z")
+    )
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy against the corpus unigram LM — the
     cheap perplexity proxy used to quality-rank crawl text (low = generic
@@ -347,6 +392,27 @@ ORACLE: dict[str, str] = {
         FROM grid LEFT JOIN hourly USING (user_id, h)
     """,
     "corr_matrix": _corr_matrix_oracle(),
+    "anomaly_zscore": f"""
+        WITH pre AS (
+          SELECT event_id, user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+                 COUNT(*) OVER w AS pre_n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS pre_s,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS pre_ss
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, value,
+               ROUND((value - pre_s / pre_n)
+                     / sqrt((pre_ss - pre_s * pre_s / pre_n) / pre_n), 6) AS z
+        FROM pre
+        WHERE pre_n >= {_ANOM_MIN_N}
+          AND ABS(ROUND((value - pre_s / pre_n)
+                        / sqrt((pre_ss - pre_s * pre_s / pre_n) / pre_n), 6))
+              > {_ANOM_SIGMA}
+    """,
     "unigram_logprob": f"""
         WITH terms AS (
           SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents

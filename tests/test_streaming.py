@@ -133,3 +133,20 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     q2 = SC.curate_stream(spark, src, coll, str(tmp_path / "ckpt"))
     q2.awaitTermination(60)
     assert len(coll) == len(want)
+
+
+def test_streaming_anomaly_matches_batch(spark, sf_dir, event_dir):
+    """The stateful z-score detector must flag exactly the events the batch
+    expanding-window query (the oracle-backed twin) flags."""
+    from hadrodb_spark.operators.pipeline3 import anomaly_zscore
+    from hadrodb_spark.streaming.anomaly import flag_anomalies
+
+    out = _drain(
+        spark, flag_anomalies(S.stream_events(spark, event_dir)), "t_anom", "append"
+    )
+    got = {(r["user_id"], r["event_id"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["event_id"]) for r in anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert len(want) > 0, "fixture should contain anomalies"
+    assert got == want
