@@ -44,6 +44,11 @@ HEADLINE = [
     "contamination_ngram",
     "vector_topk_sq",
     "curation_pipeline",
+    # round 2 late additions (pipeline3 tier) — subtract these three as well
+    # when comparing totals across rounds
+    "unigram_logprob",
+    "anomaly_zscore",
+    "vector_topk_batch",
 ]
 
 
