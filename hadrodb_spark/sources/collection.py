@@ -712,15 +712,87 @@ class HadroCollection:
         return self._lww().filter(~F.col(DELETED_COL)).count()
 
     # ------------------------------------------------------------- maintenance
-    def compact(self) -> None:
-        """The Bitcask merge (``hadro/engine.py:53-54`` acknowledged need):
-        rewrite segments keeping only live LWW rows, re-sequenced into ONE
-        fresh commit. Afterwards the manifest marks the log ``clean``, so
-        reads are plain Parquet scans — no merge-on-read shuffle — until
-        the next write. Time-travel history resets at the compaction point
-        (the merge discards shadowed versions, like Delta VACUUM)."""
-        live = self._lww().filter(~F.col(DELETED_COL))
-        self._rewrite_segments(live, self._data_path + ".compact")
+    def compact(self, upto: int | None = None) -> None:
+        """The Bitcask merge (``hadro/engine.py:53-54`` acknowledged need).
+
+        Full compaction (``upto=None``): rewrite segments keeping only live
+        LWW rows, re-sequenced into ONE fresh commit. Afterwards the
+        manifest marks the log ``clean``, so reads are plain Parquet scans
+        — no merge-on-read shuffle — until the next write. Time-travel
+        history resets at the compaction point (the merge discards
+        shadowed versions, like Delta VACUUM).
+
+        Incremental compaction (``upto=h``): merge only the commits with
+        ``_seq <= h`` — the cold tail — into one segment at ``_seq = h``,
+        leaving newer commits untouched. This is the 100 TB maintenance
+        posture: steady-state compaction cost tracks the cold tail's size,
+        never the whole log. Two invariants make it sound:
+
+        - the merged rows keep ordering position ``h``, so any newer
+          version (``_seq > h``) still wins LWW exactly as before;
+        - tombstones whose key has no newer version are PRESERVED (not
+          purged — only a full compact may purge), so during and after the
+          swap no shadowed old row can resurface."""
+        if upto is None:
+            live = self._lww().filter(~F.col(DELETED_COL))
+            self._rewrite_segments(live, self._data_path + ".compact")
+            return
+        self.flush()
+        on_disk = self._seq_dirs()
+        covered = [n for n in on_disk if n <= upto]
+        if len(covered) < 2:
+            return  # nothing to merge
+        h = max(covered)
+        merged = self._latest(
+            self._log().filter(F.col(SEQ_COL) <= h)
+        ).withColumn(SUB_COL, F.lit(0).cast("long"))
+        obs = Observation()
+        merged = merged.drop(SEQ_COL).observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("tombs"),
+            F.min(KEY_COL).alias("min_key"),
+            F.max(KEY_COL).alias("max_key"),
+        )
+        import shutil
+
+        tmp = self._data_path + ".compact_inc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = merged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        got = obs.get
+        # swap under the commit lock: replace _seq=h first (briefly stale,
+        # never wrong-after), then drop the now-fully-shadowed older dirs
+        import fcntl
+
+        with open(os.path.join(self.path, "_hadro_lock"), "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            trash = self._data_path + ".trash"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.makedirs(trash)
+            h_dir = os.path.join(self._data_path, f"{SEQ_COL}={h}")
+            os.rename(h_dir, os.path.join(trash, f"{SEQ_COL}={h}"))
+            os.rename(tmp, h_dir)
+            for n in covered[:-1]:
+                d = os.path.join(self._data_path, f"{SEQ_COL}={n}")
+                if os.path.isdir(d):
+                    os.rename(d, os.path.join(trash, f"{SEQ_COL}={n}"))
+            shutil.rmtree(trash)
+
+        def put(m: dict[str, Any]) -> None:
+            for n in covered:
+                m["segments"].pop(str(n), None)
+            m["segments"][str(h)] = {
+                "rows": int(got["rows"]),
+                "tombstones": int(got["tombs"] or 0),
+                "min_key": got["min_key"],
+                "max_key": got["max_key"],
+                "unique_keys": True,  # the merge keeps one row per key
+            }
+
+        self._update_manifest(put)
 
     def read_at(self, commit: int) -> DataFrame:
         """Time-travel: the live view AS OF the given commit id (inclusive)

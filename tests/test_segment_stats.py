@@ -229,3 +229,67 @@ def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
     # correctness preserved
     assert len(coll) == n
     assert coll.scan(predicate="x = 5 AND y = 7").count() == 1
+
+
+def test_incremental_compact_preserves_semantics(coll):
+    """compact(upto=h) merges only the cold tail: scan results identical,
+    newer commits untouched, tombstones preserved (not purged), stats and
+    dirs consistent."""
+    # commits 0..3: overwrites + a delete in the cold range, fresh writes after
+    coll.set("a", {"title": "A1", "n": 1})
+    coll.set("b", {"title": "B1", "n": 2})
+    coll.flush()                                   # commit 0
+    coll.set("a", {"title": "A2", "n": 3})
+    coll.delete("b")
+    coll.flush()                                   # commit 1
+    coll.set("c", {"title": "C1", "n": 4})
+    coll.flush()                                   # commit 2
+    coll.set("a", {"title": "A3", "n": 5})
+    coll.flush()                                   # commit 3 (hot)
+    before = sorted(tuple(r) for r in coll.scan().collect())
+
+    coll.compact(upto=1)
+
+    after = sorted(tuple(r) for r in coll.scan().collect())
+    assert before == after
+    assert coll._seq_dirs() == [1, 2, 3]           # 0 merged into 1
+    assert sorted(coll.segment_stats()) == [1, 2, 3]
+    # tombstone for b survives in the merged segment (purge needs full compact)
+    merged = coll._log().filter("_seq = 1")
+    assert merged.filter("_key = 'b' AND _deleted").count() == 1
+    # newer version of a still wins
+    assert coll.get("a")["title"] == "A3"
+    with pytest.raises(KeyError):
+        coll.get("b")
+    # stats entry for the merged segment is accurate
+    s = coll.segment_stats()[1]
+    # merged range (commits 0-1) holds a=A2 and b's tombstone; c is commit 2
+    assert s["rows"] == 2 and s["tombstones"] == 1 and s["unique_keys"] is True
+    assert s["min_key"] == "a" and s["max_key"] == "b"
+    # full compact afterwards purges the tombstone and marks clean
+    coll.compact()
+    assert coll._log().filter("_deleted").count() == 0
+    assert coll._read_manifest()["clean"] is True
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before
+
+
+def test_incremental_compact_noop_on_single_commit(coll):
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    coll.compact(upto=99)                          # only one commit — no-op
+    assert coll._seq_dirs() == [0]
+    assert coll.get("a")["title"] == "A"
+
+
+def test_incremental_compact_key_deleted_then_rewritten(coll):
+    """A key deleted in the cold range and re-created in the hot range must
+    read back the hot value after the merge."""
+    coll.set("k", {"title": "old", "n": 1})
+    coll.flush()
+    coll.delete("k")
+    coll.flush()
+    coll.set("k", {"title": "new", "n": 2})
+    coll.flush()
+    coll.compact(upto=1)
+    assert coll.get("k")["title"] == "new"
+    assert len(coll) == 1
