@@ -25,6 +25,9 @@ ops = st.lists(
         st.tuples(st.just("del"), st.sampled_from(KEYS), st.none()),
         st.tuples(st.just("flush"), st.none(), st.none()),
         st.tuples(st.just("compact"), st.none(), st.none()),
+        # incremental compaction at a random horizon — must be a no-op for
+        # every observable read regardless of where the horizon falls
+        st.tuples(st.just("compact_upto"), st.none(), st.integers(0, 12)),
     ),
     min_size=1,
     max_size=12,
@@ -54,6 +57,8 @@ def test_kv_model_equivalence(spark, tmp_path_factory, sequence):
         elif op == "compact":
             coll.flush()
             coll.compact()
+        elif op == "compact_upto":
+            coll.compact(upto=val)
     coll.flush()
     got = {r["_key"]: r["v"] for r in coll.scan().collect()}
     assert got == model
