@@ -199,6 +199,24 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOM_MIN_N = 20       # prior observations required before flagging
 _ANOM_SIGMA = 3.0      # |z| threshold
+_RESERVOIR_K = 25      # docs kept per language
+
+
+def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: keep the 25 docs per language
+    whose md5(doc_id) sorts lowest — the balanced-subset step after
+    mixture weighting decides per-domain budgets. Hash order is a uniform
+    random order that every engine, partitioning, and retry agrees on
+    (same contract as ``stratified_sample``'s global threshold); one rank
+    window per group, no RNG state."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", "source", "rk")
+    )
 
 
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +410,16 @@ ORACLE: dict[str, str] = {
         FROM grid LEFT JOIN hourly USING (user_id, h)
     """,
     "corr_matrix": _corr_matrix_oracle(),
+    "reservoir_per_group": f"""
+        SELECT doc_id, lang, source, rk FROM (
+          SELECT doc_id, lang, source,
+                 CAST(ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                      ) AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= {_RESERVOIR_K}
+    """,
     "anomaly_zscore": f"""
         WITH pre AS (
           SELECT event_id, user_id,
