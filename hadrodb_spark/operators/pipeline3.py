@@ -268,29 +268,35 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: each token's −ln p is rounded to 6 decimals
     and summed as DECIMAL(18,6) — order-independent exact addition — so the
     float-sum nondeterminism of a plain double aggregate never appears.
-    Plan: explode → vocab count (map-side combine) → join back on term →
-    per-doc agg; the vocab relation is |V| rows (Zipf-bounded), which AQE
-    broadcasts when small and shuffle-joins when not."""
+    Plan: the heavy lineage — explode → (doc, term, count) → per-term
+    window count → per-doc agg — is consumed exactly ONCE (a DAG with two
+    consumers of the tf relation would recompute it: Catalyst shares no
+    common subplans and AQE defeated ReuseExchange here, measured 3 corpus
+    scans before this shape). Per-term corpus counts come from a window
+    over the term partitioning instead of a vocab join; the ONE global
+    scalar (total tokens) comes from a separate map-only scan (no explode
+    shuffle) broadcast as a 1-row relation. A token's contribution is
+    count × −ln p — exact decimal by integer arithmetic."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.groupBy().agg(F.sum("cnt").alias("total"))
-    logp = (
-        vocab.crossJoin(F.broadcast(total))
-        .select(
-            "term",
-            F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
-            .cast("decimal(18,6)")
-            .alias("neg_logp"),
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    total = docs.groupBy().agg(
+        F.sum(X.token_count(F.col("text"))).alias("total")
+    )
+    cnt = F.sum("tc").over(Window.partitionBy("term"))
+    scored = (
+        tf.withColumn("cnt", cnt)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "neg_logp",
+            F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6).cast(
+                "decimal(18,6)"
+            ),
         )
     )
-    per_doc = (
-        terms.join(logp, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("neg_logp").alias("sum_nlp"),
-        )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tc").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("tc") * F.col("neg_logp")).alias("sum_nlp"),
     )
     xent = F.round(F.col("sum_nlp").cast("double") / F.col("n_tokens"), 6)
     return per_doc.select(
@@ -445,8 +451,11 @@ ORACLE: dict[str, str] = {
         WITH terms AS (
           SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
         ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tc FROM terms GROUP BY doc_id, term
+        ),
         vocab AS (
-          SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+          SELECT term, SUM(tc) AS cnt FROM tf GROUP BY term
         ),
         tot AS (SELECT SUM(cnt) AS total FROM vocab),
         logp AS (
@@ -457,9 +466,9 @@ ORACLE: dict[str, str] = {
         ),
         per_doc AS (
           SELECT doc_id,
-                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                 SUM(neg_logp) AS sum_nlp
-          FROM terms JOIN logp USING (term)
+                 CAST(SUM(tc) AS BIGINT) AS n_tokens,
+                 SUM(tc * neg_logp) AS sum_nlp
+          FROM tf JOIN logp USING (term)
           GROUP BY doc_id
         )
         SELECT doc_id, n_tokens,
