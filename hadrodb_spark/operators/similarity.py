@@ -189,6 +189,7 @@ _PQ_SUBS = 16        # 16 subspaces × 4 dims each over the 64-dim embeddings
 _PQ_SUBDIM = _DIM // _PQ_SUBS
 _PQ_K = 16           # codewords per subspace → 4-bit codes, 16 B per vector
 _PQ_ITERS = 3        # deterministic Lloyd steps (init = vec_id % K)
+_PQ_TRAIN_HEX = "8"  # train codebooks on vectors with md5(vec_id)[0] < '8' (~50%)
 _PQ_PRESELECT = 30   # deeper than SQ's: PQ codes are 2× smaller, and the
                      # rerank only ever touches 30 full vectors
                      # (measured recall@10 vs brute force at this setting: 9/10)
@@ -254,9 +255,9 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s", "cell", F.transform("pm", lambda x: x["m"]).alias("centroid"))
         )
 
-    def assign_to(cent: DataFrame) -> DataFrame:
+    def assign_to(cent: DataFrame, base: DataFrame) -> DataFrame:
         """argmin codeword per (vec_id, s); ties broken by cell id."""
-        scored = sub.join(F.broadcast(cent), "s").withColumn(
+        scored = base.join(F.broadcast(cent), "s").withColumn(
             "d2", _pq_sq_l2(F.col("sub"), F.col("centroid"))
         )
         w = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cell").asc())
@@ -266,12 +267,19 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "s", "cell", "sub")
         )
 
-    assign = sub.withColumn("cell", (F.col("vec_id") % _PQ_K).cast("int"))
+    # train on a deterministic ~50% hash sample (the 100 TB posture: Lloyd
+    # iterations touch a sample, the full relation is encoded exactly once
+    # with the final codebooks); md5-threshold selection is the same
+    # partitioning/retry-invariant contract as stratified_sample
+    train = sub.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < _PQ_TRAIN_HEX
+    )
+    assign = train.withColumn("cell", (F.col("vec_id") % _PQ_K).cast("int"))
     for _ in range(_PQ_ITERS):
         # localCheckpoint truncates the per-iteration lineage (window+join)
         cent = centroids_of(assign).localCheckpoint()
-        assign = assign_to(cent)
-    codes = assign.select("vec_id", "s", "cell")
+        assign = assign_to(cent, train)
+    codes = assign_to(cent, sub).select("vec_id", "s", "cell")
 
     # ADC lookup table: 128 rows of (s, cell, qd2) for the query vector
     qsub = sub.filter(F.col("vec_id") == _QUERY_ID).select(
@@ -625,9 +633,13 @@ def _pq_oracle() -> str:
           FROM embeddings,
                (SELECT UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS s) sq
         )""",
+        f"""train AS (
+          SELECT * FROM sub
+          WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{_PQ_TRAIN_HEX}'
+        )""",
         f"""assign0 AS (
           SELECT vec_id, s, sub, CAST(vec_id % {_PQ_K} AS INTEGER) AS cell
-          FROM sub
+          FROM train
         )""",
     ]
     for i in range(1, _PQ_ITERS + 1):
@@ -648,19 +660,33 @@ def _pq_oracle() -> str:
           FROM cent{i}_0 GROUP BY s, cell
         )"""
         )
+        # training iterations assign the SAMPLE; the full relation is
+        # encoded once below with the final codebooks
         ctes.append(
             f"""assign{i} AS (
           SELECT vec_id, s, sub, cell FROM (
-            SELECT sub.vec_id, sub.s, sub.sub, cent{i}.cell,
+            SELECT train.vec_id, train.s, train.sub, cent{i}.cell,
                    ROW_NUMBER() OVER (
-                     PARTITION BY sub.vec_id, sub.s
-                     ORDER BY {d2('sub.sub', f'cent{i}.centroid')} ASC,
+                     PARTITION BY train.vec_id, train.s
+                     ORDER BY {d2('train.sub', f'cent{i}.centroid')} ASC,
                               cent{i}.cell ASC) AS rn
-            FROM sub JOIN cent{i} USING (s)
+            FROM train JOIN cent{i} USING (s)
           ) WHERE rn = 1
         )"""
         )
     last = _PQ_ITERS
+    ctes.append(
+        f"""codes AS (
+          SELECT vec_id, s, cell FROM (
+            SELECT sub.vec_id, sub.s, cent{last}.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY sub.vec_id, sub.s
+                     ORDER BY {d2('sub.sub', f'cent{last}.centroid')} ASC,
+                              cent{last}.cell ASC) AS rn
+            FROM sub JOIN cent{last} USING (s)
+          ) WHERE rn = 1
+        )"""
+    )
     ctes.append(
         f"""qsub AS (SELECT s, sub AS qsub FROM sub WHERE vec_id = {_QUERY_ID})"""
     )
@@ -673,11 +699,11 @@ def _pq_oracle() -> str:
     )
     ctes.append(
         f"""scored AS (
-          SELECT assign{last}.vec_id,
-                 list_sum(array_agg(adc.qd2 ORDER BY assign{last}.s)) AS adc_d2
-          FROM assign{last} JOIN adc USING (s, cell)
-          WHERE assign{last}.vec_id <> {_QUERY_ID}
-          GROUP BY assign{last}.vec_id
+          SELECT codes.vec_id,
+                 list_sum(array_agg(adc.qd2 ORDER BY codes.s)) AS adc_d2
+          FROM codes JOIN adc USING (s, cell)
+          WHERE codes.vec_id <> {_QUERY_ID}
+          GROUP BY codes.vec_id
         )"""
     )
     ctes.append(
