@@ -36,6 +36,7 @@ but ignores — ``hadro/engine.py:139``; Spark honors both for free).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -62,6 +63,42 @@ _ZORDER_COL = "_zorder"  # transient clustering key, never written to disk
 
 class HadroError(Exception):
     """Collection-level error (bad schema, unknown key, invalid record)."""
+
+
+# Per-commit key bloom filters (manifest-level, the SSTable-bloom idea):
+# min/max key bounds prune commits only when ranges are disjoint — under
+# uuid-style keys every commit spans the whole keyspace and bounds prune
+# nothing. A 1 KiB bloom per commit answers "could this commit hold key k?"
+# with no false negatives, so pruning on it preserves LWW exactly like the
+# bounds do (every version of a key, tombstones included, was in the staged
+# batch the bloom was built from). Built driver-side on the flush() path —
+# where the batch is already resident and commits are small, precisely the
+# KV workload where per-commit blooms stay sparse; bulk appends (millions of
+# keys) would saturate any fixed-size bloom and correctly stay bounds-only.
+_BLOOM_M = 8192   # bits (1 KiB per commit in the manifest, hex-encoded)
+_BLOOM_K = 4      # hash functions: 4 slices of one md5
+_BLOOM_CAP = 1024  # max distinct keys; ~39% fill → ~2% false-positive rate
+
+
+def _bloom_positions(key: str) -> list[int]:
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return [int(digest[8 * i : 8 * i + 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_build(keys: Iterable[str]) -> str | None:
+    distinct = set(keys)
+    if not distinct or len(distinct) > _BLOOM_CAP:
+        return None
+    bits = 0
+    for k in distinct:
+        for p in _bloom_positions(k):
+            bits |= 1 << p
+    return format(bits, "x")
+
+
+def _bloom_maybe(bloom_hex: str, key: str) -> bool:
+    bits = int(bloom_hex, 16)
+    return all((bits >> p) & 1 for p in _bloom_positions(key))
 
 
 def _internal_fields() -> list[T.StructField]:
@@ -267,10 +304,12 @@ class HadroCollection:
         min_key: str | None,
         max_key: str | None,
         unique_keys: bool | None,
+        key_bloom: str | None = None,
     ) -> None:
         """Manifest-level statistics, one entry per commit directory
         (``segments/_seq=N/``): row count, tombstone count, key bounds,
-        and whether keys are known-unique within the commit.
+        an optional key bloom filter, and whether keys are known-unique
+        within the commit.
 
         This is the Iceberg/Delta manifest idea scaled down to a Bitcask
         log: at 100 TB the expensive part of a point lookup is not reading
@@ -284,6 +323,7 @@ class HadroCollection:
                 "min_key": min_key,
                 "max_key": max_key,
                 "unique_keys": unique_keys,
+                "key_bloom": key_bloom,
             }
             m["clean"] = False  # any append may shadow existing keys
 
@@ -337,9 +377,10 @@ class HadroCollection:
         return {n: segs[n] for n in on_disk}
 
     def _candidate_seqs(self, keys: Sequence[str]) -> list[int] | None:
-        """Commits whose ``[min_key, max_key]`` could contain any of
-        ``keys`` (every version of a key — including its tombstones — lies
-        in a commit whose bounds cover it, so pruning the rest preserves
+        """Commits whose ``[min_key, max_key]`` — and, when present, key
+        bloom — could contain any of ``keys`` (every version of a key,
+        including its tombstones, lies in a commit whose bounds cover it
+        and whose bloom was built over it, so pruning the rest preserves
         LWW). None ⇒ stats incomplete, caller reads everything."""
         stats = self._stats_if_complete()
         if stats is None:
@@ -349,7 +390,11 @@ class HadroCollection:
             lo, hi = s.get("min_key"), s.get("max_key")
             if lo is None or hi is None:
                 continue  # tombstone-only empty commit or no rows
-            if any(lo <= k <= hi for k in keys):
+            bloom = s.get("key_bloom")
+            if any(
+                lo <= k <= hi and (bloom is None or _bloom_maybe(bloom, k))
+                for k in keys
+            ):
                 cands.append(n)
         return cands
 
@@ -432,6 +477,7 @@ class HadroCollection:
             min_key=min(keys),
             max_key=max(keys),
             unique_keys=len(set(keys)) == len(keys),
+            key_bloom=_bloom_build(keys),
         )
         # only forget staged records once they are durably on disk — a failed
         # segment write leaves them staged and the flush retryable (the gap

@@ -40,6 +40,8 @@ def test_stats_recorded_per_commit(coll):
     stats = coll.segment_stats()
     assert len(stats) == 2
     first, second = (stats[k] for k in sorted(stats))
+    bloom = first.pop("key_bloom")
+    assert isinstance(bloom, str) and int(bloom, 16) > 0
     assert first == {
         "rows": 2,
         "tombstones": 0,
@@ -120,6 +122,46 @@ def test_point_get_commit_pruning(coll):
         coll.get("zz")
     assert "zz" not in coll
     assert "c1" in coll
+
+
+def test_bloom_prunes_commits_with_overlapping_bounds(coll):
+    """Interleaved key ranges defeat min/max pruning (every commit's bounds
+    cover every probe); the per-commit key bloom still prunes to exactly the
+    commits that wrote the key — the uuid-keyed KV case at scale."""
+    for batch in (["a", "z1"], ["b", "z2"], ["ab", "z3"]):
+        for k in batch:
+            coll.set(k, {"title": k.upper(), "n": None})
+        coll.flush()
+    stats = coll.segment_stats()
+    # bounds alone would keep all three commits for any of the probes below
+    assert all(s["min_key"] <= "b" <= s["max_key"] for s in stats.values())
+    assert coll._candidate_seqs(["b"]) == [1]
+    assert coll.get("b")["title"] == "B"
+    # in-bounds but never-written key: bloom-definite miss, no Spark job
+    assert coll._candidate_seqs(["d"]) == []
+    with pytest.raises(KeyError):
+        coll.get("d")
+    assert "d" not in coll
+    # multi-get unions the per-key candidates
+    assert sorted(coll._candidate_seqs(["a", "ab"])) == [0, 2]
+    assert [r["title"] for r in coll.get("a", "ab")] == ["A", "AB"]
+
+
+def test_bloom_covers_tombstones_and_caps_out(coll):
+    # tombstones are staged keys too — the delete commit stays a candidate,
+    # so a pruned get still sees the tombstone and misses correctly
+    coll.set("k", {"title": "V", "n": 1})
+    coll.flush()
+    coll.delete("k")
+    coll.flush()
+    assert sorted(coll._candidate_seqs(["k"])) == [0, 1]
+    with pytest.raises(KeyError):
+        coll.get("k")
+    # oversized batches decline the bloom (saturation) → bounds-only entry
+    from hadrodb_spark.sources.collection import _BLOOM_CAP, _bloom_build
+
+    assert _bloom_build([f"k{i}" for i in range(_BLOOM_CAP + 1)]) is None
+    assert _bloom_build([]) is None
 
 
 def test_pruning_preserves_lww_and_tombstones(coll):
