@@ -135,6 +135,56 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     assert len(coll) == len(want)
 
 
+def test_ordered_anomaly_exact_across_out_of_order_batches(spark, tmp_path):
+    """flag_anomalies_ordered must flag the chronological-truth anomaly even
+    when micro-batches arrive OUT of event-time order.
+
+    Fixture: one user's events 0..39 (minute i, value ~10.5±1) with event 39
+    a clear outlier (value 1000, 39 chronological priors). The LATER half
+    (events 20..39) arrives in batch 1, the EARLIER half in batch 2 — a
+    naive arrival-order fold would see event 39 with only 19 priors
+    (< _ANOM_MIN_N = 20) and never flag it. Two far-future sentinel batches
+    advance the watermark so the buffered events finalize via the
+    event-time timeout."""
+    import os
+    from datetime import datetime, timedelta
+
+    from hadrodb_spark.streaming.anomaly import flag_anomalies_ordered
+    from hadrodb_spark.streaming.events import EVENT_SCHEMA
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid=1, val=None):
+        v = 10.0 + (eid % 5) * 0.5 if val is None else val
+        return (eid, base + timedelta(minutes=minutes), uid, "t", v, "{}")
+
+    chunks = [
+        [ev(i, i) for i in range(20, 39)] + [ev(39, 39, val=1000.0)],  # late half first
+        [ev(i, i) for i in range(20)],                                 # early half second
+        [ev(900, 600, uid=999)],                                       # sentinels: advance
+        [ev(901, 660, uid=999)],                                       # watermark + timeout
+    ]
+    d = str(tmp_path / "ooo_events")
+    seen: set[str] = set()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        new = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
+        seen |= new
+        for f in new:  # pin mtime so the file source batches in THIS order
+            os.utime(os.path.join(d, f), (1_700_000_000 + i * 100,) * 2)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = _drain(
+        spark, flag_anomalies_ordered(stream, delay="40 minutes"), "t_anom_ord"
+    )
+    got = {(r["user_id"], r["event_id"]) for r in out.collect()}
+    assert got == {(1, 39)}
+
+
 def test_streaming_anomaly_matches_batch(spark, sf_dir, event_dir):
     """The stateful z-score detector must flag exactly the events the batch
     expanding-window query (the oracle-backed twin) flags."""
