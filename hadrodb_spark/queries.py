@@ -26,6 +26,7 @@ from hadrodb_spark.operators import (
     sessionize,
     similarity,
     skew,
+    sqlsuite,
     textops,
 )
 
@@ -75,6 +76,7 @@ _register(pipeline2)
 # wait one round for a driver row; the local exact-compare parity suite
 # covers them meanwhile ---
 _register(pipeline3)
+_register(sqlsuite)
 # --- round-1-verified tier ---
 _register(relational)
 _register(relational2)
