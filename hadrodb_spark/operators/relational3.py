@@ -3,7 +3,7 @@ coverage. Same determinism contract as the other operator modules."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadrodb_spark.operators.relational import dec, load
@@ -95,6 +95,73 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank family: ntile / percent_rank / cume_dist. The ORDER BY
+    key is made unique (acctbal, custkey) so every function — ntile
+    especially, which splits ties arbitrarily — is deterministic."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 name pairs via SymSpell-style deletion-neighborhood
+    blocking: each name expands to its |name|+1 single-deletion variants
+    (identity included), candidates are pairs sharing ANY variant — a
+    complete cover of edit distance ≤ 1 — and exact ``levenshtein`` verifies
+    candidates only.
+
+    Scale: candidate generation is a map-only ×(L+1) explode and one hash
+    join on the variant key — linear in corpus size, never the quadratic
+    all-pairs cross join; the same generate-candidates→exact-verify shape
+    as the MinHash path in ``dedup.dedup_near``."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_name")
+    )
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "CASE WHEN i = 0 THEN c_name "
+                "ELSE concat(substring(c_name, 1, i-1), "
+                "substring(c_name, i+1, length(c_name))) END)"
+            )
+        ).alias("variant"),
+    ).dropDuplicates(["c_custkey", "variant"])
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "events_hourly_windows": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -140,5 +207,38 @@ ORACLE: dict[str, str] = {
         SELECT a.r_regionkey AS a_key, b.r_regionkey AS b_key
         FROM region a CROSS JOIN region b
         WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    "window_analytic_ranks": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "fuzzy_pairs_levenshtein": """
+        WITH c AS (
+          SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100
+        ),
+        v AS (
+          SELECT DISTINCT c_custkey, c_name,
+                 CASE WHEN i = 0 THEN c_name
+                      ELSE concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))
+                 END AS variant
+          FROM (
+            SELECT c_custkey, c_name,
+                   unnest(range(0, length(c_name) + 1)) AS i
+            FROM c
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT a.c_custkey AS id_a, a.c_name AS name_a,
+                          b.c_custkey AS id_b, b.c_name AS name_b
+          FROM v a JOIN v b
+            ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 1
     """,
 }

@@ -64,7 +64,20 @@ _register(multimodal_ops)
 _register(sessionize)
 _register(skew)
 _register(asof)
-_register(relational3)
+# pinned list: relational3 later gained entries (window_analytic_ranks,
+# fuzzy_pairs_levenshtein) that must NOT shift the already-frozen round-2
+# window — they register at the end with the other round-3-queue additions
+_register(
+    relational3,
+    only=[
+        "events_hourly_windows",
+        "setop_union_all",
+        "dedup_drop_duplicates",
+        "scalar_array2",
+        "null_semantics",
+        "join_cross",
+    ],
+)
 _register(
     relational2,
     only=["profile_columns", "udf_scalar", "udf_pandas", "agg_approx_distinct"],
@@ -77,6 +90,7 @@ _register(pipeline2)
 # covers them meanwhile ---
 _register(pipeline3)
 _register(sqlsuite)
+_register(relational3)  # its post-freeze additions
 # --- round-1-verified tier ---
 _register(relational)
 _register(relational2)
