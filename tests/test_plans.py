@@ -107,6 +107,32 @@ def test_new_pipeline_ops_plan_shape(spark, sf_dir):
     assert E.shuffle_count(P.stratified_sample(spark, sf_dir)) == 0
 
 
+def test_sqlsuite_plan_shapes(spark, sf_dir):
+    """TPC-H-shape queries: dims broadcast, TopK is TakeOrdered, shuffles
+    bounded to the fact joins + final agg."""
+    from hadrodb_spark.operators import sqlsuite as Q
+
+    q3 = Q.sql_tpch_q3_like(spark, sf_dir)
+    plan3 = E.formatted_plan(q3)
+    assert E.has_broadcast_join(q3), plan3
+    assert "TakeOrderedAndProject" in plan3, plan3
+    q5 = Q.sql_tpch_q5_like(spark, sf_dir)
+    assert E.has_broadcast_join(q5), E.formatted_plan(q5)
+    assert "SortMergeJoin" not in E.formatted_plan(q5)
+    q18 = Q.sql_tpch_q18_like(spark, sf_dir)
+    assert "TakeOrderedAndProject" in E.formatted_plan(q18)
+
+
+def test_fuzzy_pairs_plan_is_hash_join_not_cross(spark, sf_dir):
+    """Deletion-neighborhood blocking must execute as an equi hash join on
+    the variant key — never a nested-loop/cartesian over names."""
+    from hadrodb_spark.operators import relational3 as R3
+
+    plan = E.formatted_plan(R3.fuzzy_pairs_levenshtein(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_pipeline3_plan_shapes(spark, sf_dir):
     from hadrodb_spark.operators import pipeline3 as P3
 
