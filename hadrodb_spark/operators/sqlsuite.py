@@ -15,6 +15,11 @@ Scale notes per query:
 - Q18 shape: the HAVING subquery is a semi-join against an aggregated
   lineitem — partial aggregation map-side, one hash shuffle on l_orderkey,
   then the probe side reuses the same partitioning.
+- Q7 shape: the nation dimension joins twice under different roles
+  (supplier's vs customer's) — both broadcast; the selective nation IN
+  filters prune before the fact shuffle.
+- Q10 shape: returned-items top-k — the l_returnflag filter is pushed to
+  the lineitem scan, customer/nation broadcast, TopK is TakeOrdered.
 """
 
 from __future__ import annotations
