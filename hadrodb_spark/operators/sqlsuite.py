@@ -16,10 +16,28 @@ Scale notes per query:
   lineitem — partial aggregation map-side, one hash shuffle on l_orderkey,
   then the probe side reuses the same partitioning.
 - Q7 shape: the nation dimension joins twice under different roles
-  (supplier's vs customer's) — both broadcast; the selective nation IN
-  filters prune before the fact shuffle.
+  (supplier's vs customer's) — both broadcast; the selective nation pair
+  filter prunes before the fact shuffle.
 - Q10 shape: returned-items top-k — the l_returnflag filter is pushed to
   the lineitem scan, customer/nation broadcast, TopK is TakeOrdered.
+- Q4 shape: EXISTS decorrelates to a left-semi join on l_orderkey; the
+  date filter prunes orders before the semi-join probe.
+- Q6 shape: pure scan-and-aggregate — every predicate reaches the parquet
+  scan, zero joins, one map-side-combined global agg. The cheapest query
+  at any scale.
+- Q8 shape: two broadcast dimension chains (region→nation→customer and
+  part) around one fact shuffle; the market-share division happens on
+  |years| rows after a second tiny agg.
+- Q12 shape: orders⋈lineitem on the fact keys with conditional-count
+  pivots — the CASE aggregation is map-side partial.
+- Q14 shape: lineitem⋈part broadcast join (part is the small side), one
+  global agg, promo share computed from two exact DECIMAL sums.
+- Q19 shape: disjunctive brand/size/quantity predicates — the p_brand IN
+  superset is pushed to the part scan, the OR-of-ANDs evaluates post-join
+  on the broadcast side.
+- Q22 shape: scalar subquery (broadcast 1-row avg) + anti-join against
+  urgent orders; the anti side aggregates to distinct custkeys before the
+  join at scale.
 """
 
 from __future__ import annotations
@@ -28,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadrodb_spark.operators.relational import load
 
-_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
 
 _DEC = "CAST({c} AS DECIMAL(18,2))"
 _REV = (
@@ -84,6 +102,167 @@ _Q18 = """
 """
 
 
+_VOL = (
+    f"{_DEC.format(c='l_extendedprice')} * "
+    f"(CAST(1 AS DECIMAL(18,2)) - {_DEC.format(c='l_discount')})"
+)
+
+_Q4 = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM {p}orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM {p}lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q6 = """
+    SELECT CAST(SUM({dec_price} * {dec_disc}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {p}lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             {vol} AS volume
+      FROM {p}supplier
+      JOIN {p}lineitem ON s_suppkey = l_suppkey
+      JOIN {p}orders ON o_orderkey = l_orderkey
+      JOIN {p}customer ON c_custkey = o_custkey
+      JOIN {p}nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN {p}nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8 = """
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             {vol} AS volume,
+             n2.n_name AS nation
+      FROM {p}part
+      JOIN {p}lineitem ON p_partkey = l_partkey
+      JOIN {p}orders ON l_orderkey = o_orderkey
+      JOIN {p}customer ON o_custkey = c_custkey
+      JOIN {p}nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN {p}region ON n1.n_regionkey = r_regionkey
+      JOIN {p}supplier ON l_suppkey = s_suppkey
+      JOIN {p}nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST({rev} AS DOUBLE) AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           n_name
+    FROM {p}customer
+    JOIN {p}orders ON c_custkey = o_custkey
+    JOIN {p}lineitem ON l_orderkey = o_orderkey
+    JOIN {p}nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_Q12 = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM {p}orders
+    JOIN {p}lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+_Q14 = """
+    SELECT CAST(ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {vol}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({vol}) AS DOUBLE), 6) AS DOUBLE) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {p}lineitem
+    JOIN {p}part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+_Q19 = """
+    SELECT CAST(SUM({vol}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {p}lineitem
+    JOIN {p}part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q22 = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM {p}customer
+    JOIN {p}nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM {p}customer
+        WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM {p}orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+def _fmt(body: str, p: str) -> str:
+    return body.format(
+        p=p,
+        rev=_REV,
+        vol=_VOL,
+        dec_price=_DEC.format(c="l_extendedprice"),
+        dec_disc=_DEC.format(c="l_discount"),
+    )
+
+
 def _run(spark: SparkSession, sf_dir: str, body: str) -> DataFrame:
     # timestamp→string rendering follows the session TZ; pin UTC so it
     # matches DuckDB's naive reading under any host TZ (same contract as
@@ -91,7 +270,7 @@ def _run(spark: SparkSession, sf_dir: str, body: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in _TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql(body.format(p="v_", rev=_REV))
+    return spark.sql(_fmt(body, "v_"))
 
 
 def sql_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,8 +291,76 @@ def sql_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q18)
 
 
+def sql_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS against
+    lineitem (decorrelated to a semi-join); the reference's lineitem lacks
+    commit/receipt dates, so "late" is shipped >60 days after order."""
+    return _run(spark, sf_dir, _Q4)
+
+
+def sql_tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-and-agg, every
+    predicate pushed to the scan, exact DECIMAL revenue sum."""
+    return _run(spark, sf_dir, _Q6)
+
+
+def sql_tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): nation joined twice under two
+    roles, symmetric nation-pair filter, per-year revenue rollup."""
+    return _run(spark, sf_dir, _Q7)
+
+
+def sql_tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-relation join, share
+    computed as a conditional-sum / total-sum ratio per year."""
+    return _run(spark, sf_dir, _Q8)
+
+
+def sql_tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): returnflag filter pushed to the
+    fact scan, customer/nation dims broadcast, deterministic top-20."""
+    return _run(spark, sf_dir, _Q10)
+
+
+def sql_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority): conditional-count
+    pivot by line status (the reference's lineitem lacks shipmode; the
+    high/low priority split is the Q12 CASE structure verbatim)."""
+    return _run(spark, sf_dir, _Q12)
+
+
+def sql_tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo-share-of-revenue ratio
+    from two exact DECIMAL sums over a part⋈lineitem month slice."""
+    return _run(spark, sf_dir, _Q14)
+
+
+def sql_tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    OR-of-ANDs over brand/size/quantity bands (container/shipmode columns
+    don't exist in this schema; the disjunctive-pushdown structure is the
+    point)."""
+    return _run(spark, sf_dir, _Q19)
+
+
+def sql_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-average subquery
+    + NOT EXISTS anti-join (adapted: every customer has orders in this
+    dataset, so the anti-join excludes customers with any URGENT order)."""
+    return _run(spark, sf_dir, _Q22)
+
+
 ORACLE: dict[str, str] = {
-    "sql_tpch_q3_like": _Q3.format(p="", rev=_REV),
-    "sql_tpch_q5_like": _Q5.format(p="", rev=_REV),
-    "sql_tpch_q18_like": _Q18.format(p="", rev=_REV),
+    "sql_tpch_q3_like": _fmt(_Q3, ""),
+    "sql_tpch_q5_like": _fmt(_Q5, ""),
+    "sql_tpch_q18_like": _fmt(_Q18, ""),
+    "sql_tpch_q4_like": _fmt(_Q4, ""),
+    "sql_tpch_q6_like": _fmt(_Q6, ""),
+    "sql_tpch_q7_like": _fmt(_Q7, ""),
+    "sql_tpch_q8_like": _fmt(_Q8, ""),
+    "sql_tpch_q10_like": _fmt(_Q10, ""),
+    "sql_tpch_q12_like": _fmt(_Q12, ""),
+    "sql_tpch_q14_like": _fmt(_Q14, ""),
+    "sql_tpch_q19_like": _fmt(_Q19, ""),
+    "sql_tpch_q22_like": _fmt(_Q22, ""),
 }

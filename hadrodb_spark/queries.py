@@ -51,10 +51,17 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries each round.  Round 1 verified the relational/relational2 tier
-# (see CORRECTNESS_r01.json, 50/50 green), so round 2 front-loads the 41
-# entries that had no driver row yet — the KV tier, the LLM-pipeline tier
-# (dedup / similarity / text / multimodal), and the stragglers — followed
-# by any queries new this round, with the already-verified tier last.
+# (CORRECTNESS_r01.json, 50/50 green); round 2's window held the KV /
+# LLM-pipeline tiers plus pipeline2.  Round 3 therefore front-loads the
+# 15 entries still without a driver row — the pipeline3 tier, the
+# composite SQL suite, and relational3's post-freeze additions — followed
+# by everything NEW this round, with previously-verified tiers last.
+_register(pipeline3)
+_register(sqlsuite)
+_register(relational3, only=["window_analytic_ranks", "fuzzy_pairs_levenshtein"])
+# --- new round-3 modules (inside the verification window) ---
+# (registered here as they are built: pipeline4, relational4, ...)
+# --- round-2-verified tier ---
 _register(kv)
 _register(textops)
 _register(dedup)
@@ -64,33 +71,12 @@ _register(multimodal_ops)
 _register(sessionize)
 _register(skew)
 _register(asof)
-# pinned list: relational3 later gained entries (window_analytic_ranks,
-# fuzzy_pairs_levenshtein) that must NOT shift the already-frozen round-2
-# window — they register at the end with the other round-3-queue additions
-_register(
-    relational3,
-    only=[
-        "events_hourly_windows",
-        "setop_union_all",
-        "dedup_drop_duplicates",
-        "scalar_array2",
-        "null_semantics",
-        "join_cross",
-    ],
-)
 _register(
     relational2,
     only=["profile_columns", "udf_scalar", "udf_pandas", "agg_approx_distinct"],
 )
-# --- new round-2 queries (inside the verification window) ---
 _register(pipeline2)
-# --- queued for the round-3 window rotation (positions 51+): added after
-# the round-2 gate's window was already full of unverified entries, so they
-# wait one round for a driver row; the local exact-compare parity suite
-# covers them meanwhile ---
-_register(pipeline3)
-_register(sqlsuite)
-_register(relational3)  # its post-freeze additions
+_register(relational3)  # its round-2-verified remainder
 # --- round-1-verified tier ---
 _register(relational)
 _register(relational2)
