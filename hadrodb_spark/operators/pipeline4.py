@@ -1,0 +1,449 @@
+"""Fourth batch of training-data-pipeline operators (SURVEY.md §2.3 scope):
+RAG-style document chunking, deterministic dataset splits, duplicate-cluster
+statistics, multi-signal quality gating, language-ID evaluation, BM25
+retrieval scoring, and per-label embedding outlier detection.
+
+All pure JVM built-ins with exact DuckDB oracle twins, following the repo
+contract: integer/rational math exact, transcendental values rounded to 6
+decimals BEFORE any cross-row aggregation (rounded decimals sum exactly in
+both engines regardless of accumulation order), unique tiebreakers in every
+ranking.
+
+Scale design:
+- chunk_documents: map-only — tokenization, chunk-start sequence, slice and
+  fingerprint all happen inside one projection; output is |chunks| rows with
+  no shuffle at all. The canonical RAG/pretraining chunker at 100 TB.
+- train_val_split: md5-prefix range split is pure map + one small agg; every
+  engine, partition, and retry assigns a row the same split (no RNG state),
+  which is the property a reproducible 100 TB split actually needs.
+- dedup_cluster_hist: two hash aggs (fingerprint → size, size → histogram);
+  the first is the same shuffle exact dedup already pays, the second is
+  |distinct sizes| rows.
+- quality_filter_ensemble: map-only signal computation + verdicts; one scan.
+- langid_confusion: map-only prediction then a |langs|² agg.
+- bm25_score: the tf pass filters to the query's terms BEFORE the explode
+  shuffle (array_intersect prunes ~all tokens map-side); df/N/avgdl are
+  broadcast 1-row/3-row relations; top-k is TakeOrdered, never a full sort.
+- embedding_outliers: posexplode to (row × dim), one agg to |labels|×|dims|
+  centroid sums (broadcast back), one decimal agg per vector for the
+  distance, rank window per label for the top-5. At 100 TB the explode is
+  the scalable formulation — no per-row Python, no driver-side vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.relational import load
+
+_CHUNK = 64            # tokens per chunk
+_STRIDE = 48           # chunk stride (CHUNK - STRIDE = 16-token overlap)
+_TRAIN_HEX = "'e6'"    # md5-prefix thresholds: <e6 train (~89.8%),
+_VAL_HEX = "'f3'"      # <f3 val (~5.1%), else test (~5.1%)
+_MIN_TOKENS = 10       # quality gates
+_MAX_TOKENS = 100000
+_MIN_MEAN_TOK = 2.0
+_MAX_MEAN_TOK = 12.0
+_MAX_DUP_FRAC = 0.6
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_OUTLIER_TOPK = 5
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks (64-token windows, 48-token
+    stride) with an md5 fingerprint per chunk — the RAG / pretraining
+    chunking pass. Chunk generation is `sequence` + `transform` + `explode`:
+    range math stays on executors, nothing is driver-side."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        F.col("toks"),
+        F.explode(starts).alias("s"),
+    ).select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.slice(F.col("toks"), F.col("s") + 1, _CHUNK).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via md5-prefix ranges —
+    the reproducible-split contract (stable under reshuffling, retries, and
+    engine choice) — summarized per (split, lang)."""
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < F.expr(_TRAIN_HEX), "train")
+        .when(h2 < F.expr(_VAL_HEX), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+def dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: group docs by canonical-text
+    fingerprint, then histogram the cluster sizes — the corpus-health
+    summary run after every dedup pass (how much mass sits in clusters of
+    size 2, 3, ...)."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy(X.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.first("cluster_size")).cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+def quality_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate: token count, mean token length, and
+    duplicate-token fraction, each with a pass/fail rule, plus the overall
+    verdict and the FIRST failing rule as the reject reason — the
+    composable filter stack every curation pipeline ends with."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks").cast("bigint")
+    chars = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_tok = F.round(chars.cast("double") / n, 6)
+    dup_frac = F.round(
+        1.0 - F.size(F.array_distinct("toks")).cast("double") / n, 6
+    )
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        mean_tok.alias("mean_tok_len"),
+        dup_frac.alias("dup_frac"),
+    )
+    len_ok = F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+    tok_ok = F.col("mean_tok_len").between(_MIN_MEAN_TOK, _MAX_MEAN_TOK)
+    dup_ok = F.col("dup_frac") <= _MAX_DUP_FRAC
+    return sig.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_tok_len",
+        "dup_frac",
+        (len_ok & tok_ok & dup_ok).alias("keep"),
+        F.when(~len_ok, "length")
+        .when(~tok_ok, "token_shape")
+        .when(~dup_ok, "repetition")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the stopword-profile
+    predictor against the labeled ``lang`` column (the labeled set includes
+    languages the predictor can't emit, e.g. zh — those rows measure its
+    out-of-coverage behavior)."""
+    docs = load(spark, sf_dir, "documents")
+    pred = X.lang_id(X.tokens(F.col("text")))
+    return (
+        docs.select(F.col("lang").alias("actual"), pred.alias("pred"))
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75) — the lexical
+    retrieval baseline. Per-(doc, term) scores are rounded to 6 decimals
+    and summed as DECIMAL so the engines agree bit-for-bit; tf filtering
+    happens BEFORE the explode (``array_intersect`` with the broadcast
+    query terms prunes map-side)."""
+    qterms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.array_intersect(F.col("toks"), qterms).alias("hit_terms"),
+        F.filter(F.col("toks"), lambda x: F.array_contains(qterms, x)).alias("hits"),
+    )
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_dl")
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOPK)
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: squared euclidean distance of every
+    vector to its label centroid, top-5 per label — the semantic
+    data-cleaning pass that surfaces mislabeled / anomalous vectors.
+
+    Determinism: per-dim values round to 6 decimals as DECIMAL before any
+    cross-row sum (centroid sums exact), and each vector's per-dim squared
+    deviation rounds to 6 before the per-vector DECIMAL sum — so the
+    distance is identical in both engines despite float inputs."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = dims.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round(
+            F.pow(
+                F.col("v").cast("double")
+                - F.col("s").cast("double") / F.col("n"),
+                2,
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("d2"),
+    )
+    dist = dev.groupBy("vec_id", "label").agg(
+        F.sum("d2").cast("double").alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _OUTLIER_TOPK)
+        .select("label", "vec_id", F.round("dist2", 6).alias("dist2"), "rk")
+    )
+
+
+# ------------------------------------------------------------------ oracles
+_TOKS = X.sql_tokens("text")
+_QLIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+ORACLE: dict[str, str] = {
+    "chunk_documents": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t,
+                 UNNEST(generate_series(0, len(t) - 1, {_STRIDE})) AS s
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(s / {_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(len(t[s + 1 : s + {_CHUNK}]) AS BIGINT) AS chunk_len,
+               md5(array_to_string(t[s + 1 : s + {_CHUNK}], ' ')) AS chunk_md5
+        FROM starts
+    """,
+    "train_val_split": f"""
+        WITH tagged AS (
+          SELECT lang, n_chars,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_TRAIN_HEX}
+                        THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_VAL_HEX}
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM tagged GROUP BY split, lang
+    """,
+    "dedup_cluster_hist": f"""
+        WITH sizes AS (
+          SELECT {X.sql_fingerprint('text')} AS fp, COUNT(*) AS cluster_size
+          FROM documents GROUP BY fp
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """,
+    "quality_filter_ensemble": f"""
+        WITH sig AS (
+          SELECT doc_id, lang,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                       / len(t), 6) AS mean_tok_len,
+                 ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_frac
+          FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+        )
+        SELECT doc_id, lang, n_tokens, mean_tok_len, dup_frac,
+               (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS})
+                 AND (mean_tok_len BETWEEN {_MIN_MEAN_TOK} AND {_MAX_MEAN_TOK})
+                 AND (dup_frac <= {_MAX_DUP_FRAC}) AS keep,
+               CASE WHEN NOT (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS})
+                      THEN 'length'
+                    WHEN NOT (mean_tok_len BETWEEN {_MIN_MEAN_TOK} AND {_MAX_MEAN_TOK})
+                      THEN 'token_shape'
+                    WHEN dup_frac > {_MAX_DUP_FRAC} THEN 'repetition'
+                    ELSE 'ok' END AS reason
+        FROM sig
+    """,
+    "langid_confusion": f"""
+        WITH pred AS (
+          SELECT lang AS actual,
+                 CASE
+                   WHEN {X.sql_stopword_hits('t', 'en')} >= {X.sql_stopword_hits('t', 'de')}
+                    AND {X.sql_stopword_hits('t', 'en')} >= {X.sql_stopword_hits('t', 'es')}
+                    AND {X.sql_stopword_hits('t', 'en')} >= {X.sql_stopword_hits('t', 'fr')}
+                     THEN 'en'
+                   WHEN {X.sql_stopword_hits('t', 'de')} >= {X.sql_stopword_hits('t', 'es')}
+                    AND {X.sql_stopword_hits('t', 'de')} >= {X.sql_stopword_hits('t', 'fr')}
+                     THEN 'de'
+                   WHEN {X.sql_stopword_hits('t', 'es')} >= {X.sql_stopword_hits('t', 'fr')}
+                     THEN 'es'
+                   ELSE 'fr' END AS pred
+          FROM (SELECT lang, {_TOKS} AS t FROM documents)
+        )
+        SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY actual, pred
+    """,
+    "bm25_score": f"""
+        WITH d AS (
+          SELECT doc_id, t,
+                 CAST(len(t) AS BIGINT) AS dl,
+                 list_filter(t, x -> list_contains([{_QLIST}], x)) AS hits
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl
+          FROM d
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, UNNEST(hits) AS term FROM d)
+          GROUP BY doc_id, dl, term
+        ),
+        dfq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B}
+                         + {_BM25_B} * dl * n_docs / CAST(total_dl AS DOUBLE))),
+                   6) AS DECIMAL(18,6)) AS term_score
+          FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id,
+               CAST(SUM(term_score) AS DOUBLE) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {_BM25_TOPK}
+    """,
+    "embedding_outliers": f"""
+        WITH dims AS (
+          SELECT vec_id, label, dim,
+                 CAST(ROUND(CAST(val AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+          FROM (SELECT vec_id, label,
+                       UNNEST(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings)
+        ),
+        cent AS (
+          SELECT label, dim, SUM(v) AS s, COUNT(*) AS n
+          FROM dims GROUP BY label, dim
+        ),
+        dev AS (
+          SELECT vec_id, dims.label,
+                 CAST(ROUND(pow(CAST(v AS DOUBLE)
+                                - CAST(s AS DOUBLE) / n, 2), 6)
+                      AS DECIMAL(18,6)) AS d2
+          FROM dims JOIN cent USING (label, dim)
+        ),
+        dist AS (
+          SELECT vec_id, label, CAST(SUM(d2) AS DOUBLE) AS dist2
+          FROM dev GROUP BY vec_id, label
+        )
+        SELECT label, vec_id, ROUND(dist2, 6) AS dist2, rk FROM (
+          SELECT label, vec_id, dist2,
+                 CAST(ROW_NUMBER() OVER (
+                        PARTITION BY label ORDER BY dist2 DESC, vec_id
+                      ) AS BIGINT) AS rk
+          FROM dist
+        ) WHERE rk <= {_OUTLIER_TOPK}
+    """,
+}

@@ -1,0 +1,190 @@
+"""Fourth relational tier: correlated LATERAL joins, map-typed aggregation,
+calendar/interval arithmetic, regex extraction, and boolean/bitwise
+aggregates — the long tail of the reference's host-engine SQL surface
+(delegated wholesale to Opteryx, ``/root/reference/README.md:5``) that
+rounds out SURVEY.md §2.2's scalar/aggregate/join families.
+
+Scale notes:
+- lateral_topk: Catalyst decorrelates the LATERAL LIMIT subquery into a
+  rank-window over the correlated key — one shuffle on c_nationkey, never a
+  per-row re-execution. The per-group-top-k plan you'd write by hand.
+- agg_map_counts: two hash aggs (status counts, then per-priority map
+  assembly); the map value is built executor-side from the grouped rows.
+- date_arithmetic: map-only projection — every function is a JVM intrinsic.
+- regexp_extract_events: map-only; the event_id filter is pushed to the
+  parquet scan.
+- agg_boolean_bitwise: single hash agg with map-side partials; bit/bool
+  aggregates combine associatively so partial aggregation is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+
+_LATERAL_K = 2
+_REGEX_MAX_ID = 2000
+
+
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the 2 highest-balance customers per
+    nation, written as ``FROM nation, LATERAL (... ORDER BY ... LIMIT 2)``
+    — the SQL shape for per-group top-k; Catalyst decorrelates it to a
+    rank window rather than re-running the subquery per outer row."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(f"""
+        SELECT n_name, c_custkey, c_name, acctbal
+        FROM v_nation,
+             LATERAL (
+               SELECT c_custkey, c_name,
+                      CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+               FROM v_customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               LIMIT {_LATERAL_K}
+             )
+    """)
+
+
+def agg_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation: per order priority, a status→count map built
+    with ``map_from_entries`` + ``collect_list``, consumed back through
+    ``map_keys`` / ``element_at`` / ``map_entries`` and rendered as a
+    deterministic sorted string (cross-engine comparable)."""
+    orders = load(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    render = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size(F.map_keys("m")).cast("bigint").alias("n_statuses"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("F")), F.lit(0))
+        .cast("bigint")
+        .alias("n_finished"),
+        render.alias("status_counts"),
+    )
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic over order dates: day differences, day and month
+    offsets, month boundaries, quarter, and day-of-week — every expression
+    a JVM intrinsic (dayofweek aligned to Sunday=1 in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1996-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epochish"),
+        F.date_add(d, 30).cast("string").alias("plus_30d"),
+        F.add_months(d, 2).cast("string").alias("plus_2m"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofweek(d).cast("int").alias("dow"),
+    )
+
+
+def regexp_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction over the JSON props payload: first number, ALL
+    numbers (``regexp_extract_all`` joined to a deterministic string), and
+    the match count — the scrape-and-clean text primitive."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _REGEX_MAX_ID)
+    nums = F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).alias("first_num"),
+        F.concat_ws(",", nums).alias("all_nums"),
+        F.size(nums).cast("bigint").alias("n_nums"),
+    )
+
+
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates per return flag: ``bool_and`` /
+    ``bool_or`` over predicates, ``bit_and`` / ``bit_or`` / ``bit_xor``
+    over line numbers — all associative, so map-side partials are exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("ln_and"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("ln_or"),
+        F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("ln_xor"),
+    )
+
+
+# ------------------------------------------------------------------ oracles
+ORACLE: dict[str, str] = {
+    "lateral_topk": f"""
+        SELECT n_name, c_custkey, c_name, acctbal
+        FROM nation,
+             LATERAL (
+               SELECT c_custkey, c_name,
+                      CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+               FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               LIMIT {_LATERAL_K}
+             )
+    """,
+    "agg_map_counts": """
+        WITH per AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+          FROM orders GROUP BY o_orderpriority, o_orderstatus
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_statuses,
+               CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0)
+                    AS BIGINT) AS n_finished,
+               string_agg(o_orderstatus || ':' || cnt, ','
+                          ORDER BY o_orderstatus) AS status_counts
+        FROM per GROUP BY o_orderpriority
+    """,
+    "date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(datediff('day', DATE '1996-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS days_since_epochish,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR
+                 AS plus_30d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)::VARCHAR
+                 AS plus_2m,
+               last_day(CAST(o_orderdate AS DATE))::VARCHAR AS month_end,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        FROM orders
+    """,
+    "regexp_extract_events": f"""
+        SELECT event_id,
+               COALESCE(regexp_extract(props, '[0-9]+'), '') AS first_num,
+               array_to_string(regexp_extract_all(props, '[0-9]+'), ',')
+                 AS all_nums,
+               CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
+        FROM events WHERE event_id < {_REGEX_MAX_ID}
+    """,
+    "agg_boolean_bitwise": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bool_and(l_quantity > 0) AS all_qty_pos,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               bit_and(CAST(l_linenumber AS BIGINT)) AS ln_and,
+               bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
+               bit_xor(CAST(l_linenumber AS BIGINT)) AS ln_xor
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

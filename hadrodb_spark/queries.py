@@ -20,9 +20,11 @@ from hadrodb_spark.operators import (
     multimodal_ops,
     pipeline2,
     pipeline3,
+    pipeline4,
     relational,
     relational2,
     relational3,
+    relational4,
     sessionize,
     similarity,
     skew,
@@ -60,7 +62,8 @@ _register(pipeline3)
 _register(sqlsuite)
 _register(relational3, only=["window_analytic_ranks", "fuzzy_pairs_levenshtein"])
 # --- new round-3 modules (inside the verification window) ---
-# (registered here as they are built: pipeline4, relational4, ...)
+_register(pipeline4)
+_register(relational4)
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
