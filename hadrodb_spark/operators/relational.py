@@ -35,18 +35,21 @@ from pyspark.sql.window import Window
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as raw nanos and convert (µs truncation —
-        # oracle SQL must therefore never compare sub-second precision).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read as raw nanos and convert; µs
+        # truncation, so oracle SQL never compares sub-second precision)
+        # and as TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Normalize
+        # both to an LTZ timestamp under a pinned-UTC session so
+        # date_format/strftime outputs match DuckDB's naive-timestamp
+        # reading under ANY host TZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields an LTZ timestamp whose string rendering
-        # follows the session TZ; pin UTC so date_format/strftime outputs
-        # match DuckDB's naive-timestamp reading under ANY host TZ
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos-as-long era
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        else:  # NTZ wall-clock → LTZ; identity instant under UTC session TZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
