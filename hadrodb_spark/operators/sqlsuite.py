@@ -253,6 +253,80 @@ _Q22 = """
 """
 
 
+_Q13 = """
+    SELECT c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM {p}customer
+      LEFT JOIN {p}orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {rev} AS total_revenue
+      FROM {p}lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM {p}supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q17 = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {p}lineitem
+    JOIN {p}part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS DOUBLE) < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*))
+        FROM {p}lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+_Q21 = """
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM {p}supplier
+    JOIN {p}lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN {p}orders ON o_orderkey = l1.l_orderkey
+    JOIN {p}nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM {p}lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM {p}lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+      AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 def _fmt(body: str, p: str) -> str:
     return body.format(
         p=p,
@@ -350,6 +424,36 @@ def sql_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q22)
 
 
+def sql_tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): conditional
+    LEFT join preserving zero-order customers, double aggregation — the
+    outer histogram groups on the inner count."""
+    return _run(spark, sf_dir, _Q13)
+
+
+def sql_tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue CTE reused twice — once as
+    the join side, once under a scalar MAX — exact-DECIMAL revenue so the
+    max-equality predicate is deterministic across engines."""
+    return _run(spark, sf_dir, _Q15)
+
+
+def sql_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG subquery per part, decorrelated by both engines to an aggregate
+    join; the 0.2×avg threshold is one exact-DECIMAL sum + one IEEE
+    division/multiply so the row membership is bit-stable."""
+    return _run(spark, sf_dir, _Q17)
+
+
+def sql_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS self-joins on lineitem with outer-scope correlation
+    (lateness defined as shipped >60 days after order date — this schema
+    carries no commit/receipt dates)."""
+    return _run(spark, sf_dir, _Q21)
+
+
 ORACLE: dict[str, str] = {
     "sql_tpch_q3_like": _fmt(_Q3, ""),
     "sql_tpch_q5_like": _fmt(_Q5, ""),
@@ -363,4 +467,8 @@ ORACLE: dict[str, str] = {
     "sql_tpch_q14_like": _fmt(_Q14, ""),
     "sql_tpch_q19_like": _fmt(_Q19, ""),
     "sql_tpch_q22_like": _fmt(_Q22, ""),
+    "sql_tpch_q13_like": _fmt(_Q13, ""),
+    "sql_tpch_q15_like": _fmt(_Q15, ""),
+    "sql_tpch_q17_like": _fmt(_Q17, ""),
+    "sql_tpch_q21_like": _fmt(_Q21, ""),
 }

@@ -121,6 +121,16 @@ def test_sqlsuite_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in E.formatted_plan(q5)
     q18 = Q.sql_tpch_q18_like(spark, sf_dir)
     assert "TakeOrderedAndProject" in E.formatted_plan(q18)
+    # Q17/Q21: correlated subqueries must decorrelate to hash joins —
+    # never a per-row nested loop; dims stay broadcast.
+    for name in ("sql_tpch_q13_like", "sql_tpch_q15_like",
+                 "sql_tpch_q17_like", "sql_tpch_q21_like"):
+        df = getattr(Q, name)(spark, sf_dir)
+        plan = E.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert E.has_broadcast_join(df), (name, plan)
+        assert E.shuffle_count(df) <= 4, (name, plan)
 
 
 def test_fuzzy_pairs_plan_is_hash_join_not_cross(spark, sf_dir):
