@@ -69,6 +69,117 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_t: str,
+    right_t: str,
+    right_vals: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Forward as-of: for each left row, the right row with the smallest
+    ``(right_t, tiebreak)`` such that ``right_t >= left_t`` (inclusive).
+    Same union+window idiom — one shuffle on the key; the sort places left
+    rows before right rows at equal ``t`` so an exact-``t`` match lands in
+    the following frame."""
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_t).alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_vals],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_t).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = l.unionByName(r).select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return merged.filter(F.col("_kind") == 0).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_vals]
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_t: str,
+    right_t: str,
+    right_vals: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Nearest as-of: the right row minimizing ``|right_t - left_t|``, ties
+    going to the earlier (backward) side, then that side's tiebreak rule.
+    Both directional passes run over ONE union with the same hash
+    partitioning on the key — Catalyst plans a single Exchange with two
+    local sorts (the backward sort puts right rows before left at equal
+    ``t``; the forward sort inverts that), never a second shuffle."""
+    vals_t = [*right_vals, "__rt"]
+    r2 = right.withColumn("__rt", F.col(right_t).cast("long"))
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_t).alias("_t"),
+        F.lit(1).alias("_kind_b"),
+        F.lit(0).alias("_kind_f"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(r2.schema[c].dataType).alias(f"_r_{c}") for c in vals_t],
+    )
+    r = r2.select(
+        F.col(key).alias("_k"),
+        F.col(right_t).alias("_t"),
+        F.lit(0).alias("_kind_b"),
+        F.lit(1).alias("_kind_f"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in vals_t],
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind_b", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind_f", "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = l.unionByName(r).select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}") for c in vals_t],
+        *[F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}") for c in vals_t],
+    )
+    lt = F.col("_t").cast("long")
+    use_bwd = F.col("_b___rt").isNotNull() & (
+        F.col("_f___rt").isNull()
+        | ((lt - F.col("_b___rt")) <= (F.col("_f___rt") - lt))
+    )
+    picked = [
+        F.when(use_bwd, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(f"asof_{c}")
+        for c in right_vals
+    ]
+    return merged.filter(F.col("_kind_b") == 1).select(*lcols, *picked)
+
+
 def asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each order joined to the customer's most recent event at or before
     the order date (second-floored epochs for cross-engine stability)."""
@@ -104,6 +215,59 @@ def asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("key"),
+            F.unix_timestamp("o_orderdate").alias("o_ets"),
+        )
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.unix_timestamp("ts").alias("e_ets"),
+    )
+    return orders, events
+
+
+def asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined to the customer's next event at or after the order
+    date — the forward mirror of ``asof_orders_events``."""
+    orders, events = _orders_events(spark, sf_dir)
+    out = asof_join_forward(
+        orders, events,
+        key="key", left_t="o_ets", right_t="e_ets",
+        right_vals=["event_id", "event_type"], tiebreak="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("key").alias("o_custkey"),
+        F.col("asof_event_id").alias("next_event_id"),
+        F.col("asof_event_type").alias("next_event_type"),
+    )
+
+
+def asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined to the customer's closest event in absolute time,
+    ties to the earlier side."""
+    orders, events = _orders_events(spark, sf_dir)
+    out = asof_join_nearest(
+        orders, events,
+        key="key", left_t="o_ets", right_t="e_ets",
+        right_vals=["event_id", "event_type"], tiebreak="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("key").alias("o_custkey"),
+        F.col("asof_event_id").alias("near_event_id"),
+        F.col("asof_event_type").alias("near_event_type"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "asof_orders_events": """
         SELECT o.o_orderkey, o.o_custkey,
@@ -118,6 +282,41 @@ ORACLE: dict[str, str] = {
                        CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets FROM events) ev
           WHERE ev.user_id = o.o_custkey AND ev.e_ets <= o.o_ets
           ORDER BY ev.e_ets DESC, ev.event_id DESC
+          LIMIT 1
+        ) e ON TRUE
+    """,
+    "asof_events_forward": """
+        SELECT o.o_orderkey, o.o_custkey,
+               e.event_id AS next_event_id,
+               e.event_type AS next_event_type
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_ets
+              FROM orders WHERE o_custkey <= 200) o
+        LEFT JOIN LATERAL (
+          SELECT event_id, event_type
+          FROM (SELECT user_id, event_id, event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets FROM events) ev
+          WHERE ev.user_id = o.o_custkey AND ev.e_ets >= o.o_ets
+          ORDER BY ev.e_ets ASC, ev.event_id ASC
+          LIMIT 1
+        ) e ON TRUE
+    """,
+    "asof_events_nearest": """
+        SELECT o.o_orderkey, o.o_custkey,
+               e.event_id AS near_event_id,
+               e.event_type AS near_event_type
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_ets
+              FROM orders WHERE o_custkey <= 200) o
+        LEFT JOIN LATERAL (
+          SELECT event_id, event_type
+          FROM (SELECT user_id, event_id, event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets FROM events) ev
+          WHERE ev.user_id = o.o_custkey
+          ORDER BY ABS(ev.e_ets - o.o_ets) ASC,
+                   ev.e_ets ASC,
+                   CASE WHEN ev.e_ets <= o.o_ets
+                        THEN -ev.event_id ELSE ev.event_id END ASC
           LIMIT 1
         ) e ON TRUE
     """,

@@ -64,6 +64,8 @@ _register(relational3, only=["window_analytic_ranks", "fuzzy_pairs_levenshtein"]
 # --- new round-3 modules (inside the verification window) ---
 _register(pipeline4)
 _register(relational4)
+# --- new this round (inside the verification window) ---
+_register(asof, only=["asof_events_forward", "asof_events_nearest"])
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)

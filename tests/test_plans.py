@@ -133,6 +133,19 @@ def test_sqlsuite_plan_shapes(spark, sf_dir):
         assert E.shuffle_count(df) <= 4, (name, plan)
 
 
+def test_asof_variants_single_shuffle(spark, sf_dir):
+    """All three as-of directions are the union+window idiom: exactly one
+    hash Exchange on the key, never a range-join or per-row lookup; the
+    nearest variant's two directional windows share that one Exchange."""
+    from hadrodb_spark.operators import asof as A
+
+    for fn in (A.asof_orders_events, A.asof_events_forward, A.asof_events_nearest):
+        df = fn(spark, sf_dir)
+        plan = E.formatted_plan(df)
+        assert E.shuffle_count(df) == 1, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
 def test_fuzzy_pairs_plan_is_hash_join_not_cross(spark, sf_dir):
     """Deletion-neighborhood blocking must execute as an equi hash join on
     the variant key — never a nested-loop/cartesian over names."""
