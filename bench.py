@@ -101,6 +101,10 @@ def main() -> None:
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
+    # BENCH_r01 covered only the first 15 queries; emit that subset's warm
+    # total so cross-round comparisons don't misread list growth as a
+    # regression.
+    r01_subset = round(sum(warm[n] for n in HEADLINE[:15]), 3)
     print(
         json.dumps(
             {
@@ -110,6 +114,7 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold": cold,
                 "total_cold": total_cold,
+                "r01_comparable_warm_total": r01_subset,
                 "steal_pct": steal_pct,
                 "sf": sf,
             }
