@@ -94,6 +94,93 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType(), True),
+        T.StructField("resized_bytes", T.LongType(), True),
+        T.StructField("resized_md5", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_chars: int = 200) -> DataFrame:
+    """Arrow-batched "resize": the deterministic stand-in for an image
+    resize keeps the first ``target_chars`` code points of the decoded
+    blob (a real implementation would swap in PIL here — the schema,
+    batch shape, and partitioning are what this exercises). 1→1 rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            orig, resized, digests = [], [], []
+            for b in pdf["blob"]:
+                if b is None:
+                    orig.append(None); resized.append(None); digests.append(None)
+                    continue
+                small = bytes(b).decode("utf-8")[:target_chars].encode("utf-8")
+                orig.append(len(b))
+                resized.append(len(small))
+                digests.append(_hashlib.md5(small).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": _pd.array(orig, dtype="Int64"),
+                    "resized_bytes": _pd.array(resized, dtype="Int64"),
+                    "resized_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_chars: int = 64, every_n: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling: the blob is treated as a sequence of
+    ``frame_chars``-code-point pseudo-frames and every ``every_n``-th frame
+    is emitted as its own row — the 1→N batch-expansion shape a real video
+    frame sampler produces (codec swap-in point: ``sample_video_frames``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                if b is None:
+                    continue
+                text = bytes(b).decode("utf-8")
+                for i in range(0, len(text), frame_chars):
+                    idx = i // frame_chars
+                    if idx % every_n:
+                        continue
+                    frame = text[i : i + frame_chars].encode("utf-8")
+                    ids.append(mid)
+                    idxs.append(idx)
+                    digests.append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="int64"),
+                    "frame_idx": _pd.array(idxs, dtype="int64"),
+                    "frame_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text as an opaque utf-8 blob — the fixture for
     multimodal plumbing tests (no real media in the test data)."""

@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadrodb_spark.functions.multimodal import documents_as_media, extract_features
+from hadrodb_spark.functions.multimodal import (
+    documents_as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from hadrodb_spark.operators.relational import load
 
 
@@ -18,6 +23,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "content_md5")
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake resize over Arrow batches (1→1); the oracle
+    recomputes the truncation declaratively, proving the Pandas path."""
+    docs = load(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(docs))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake frame sampling (1→N row expansion inside
+    mapInPandas) — every 4th 64-char pseudo-frame per document."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs))
+
+
 ORACLE: dict[str, str] = {
     "multimodal_features": """
         SELECT doc_id AS media_id,
@@ -25,5 +44,24 @@ ORACLE: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents
+    """,
+    "multimodal_resize": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+               CAST(octet_length(encode(substr(text, 1, 200))) AS BIGINT)
+                 AS resized_bytes,
+               md5(substr(text, 1, 200)) AS resized_md5
+        FROM documents
+    """,
+    "multimodal_frames": """
+        SELECT doc_id AS media_id,
+               CAST(f.i AS BIGINT) AS frame_idx,
+               md5(substr(text, CAST(f.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        FROM documents,
+             LATERAL (
+               SELECT UNNEST(generate_series(
+                 0, CAST(CEIL(length(text) / 64.0) AS BIGINT) - 1)) AS i
+             ) f
+        WHERE f.i % 4 = 0
     """,
 }

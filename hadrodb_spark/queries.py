@@ -66,6 +66,7 @@ _register(pipeline4)
 _register(relational4)
 # --- new this round (inside the verification window) ---
 _register(asof, only=["asof_events_forward", "asof_events_nearest"])
+_register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
