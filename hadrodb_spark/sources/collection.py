@@ -610,6 +610,111 @@ class HadroCollection:
             unique_keys=True,  # keys come from the LWW view: one row per key
         )
 
+    def merge_df(
+        self,
+        df: DataFrame,
+        key_col: str,
+        when_matched: str = "update",
+        insert_unmatched: bool = True,
+    ) -> None:
+        """MERGE INTO over the LWW log — the conditional-upsert surface the
+        reference's ``INTERFACE.md`` KV sketch implies but never provides.
+
+        ``when_matched``: ``"update"`` appends new versions for source keys
+        that exist live (LWW makes them win), ``"delete"`` appends
+        tombstones for them, ``"ignore"`` leaves them untouched.
+        ``insert_unmatched`` appends source rows whose key is absent.
+
+        One distributed commit: the matched/unmatched split is a semi/anti
+        join against the live key set (the one shuffle any MERGE pays — at
+        scale this is a key-only relation, not the data), and all branches
+        union into a single segment write.
+        """
+        if when_matched not in ("update", "delete", "ignore"):
+            raise HadroError(f"unknown when_matched mode: {when_matched!r}")
+        self.flush()
+        keyed = df.withColumn(KEY_COL, F.col(key_col).cast("string"))
+        live = self._lww().filter(~F.col(DELETED_COL)).select(KEY_COL)
+        commit = self._next_commit()
+        user = [f.name for f in self.schema.fields]
+
+        def versions(rows: DataFrame) -> DataFrame:
+            return rows.select(
+                F.col(KEY_COL),
+                F.lit(commit).cast("long").alias(SEQ_COL),
+                F.xxhash64(*[F.col(c) for c in user]).alias(SUB_COL),
+                F.lit(False).alias(DELETED_COL),
+                *user,
+            )
+
+        parts: list[DataFrame] = []
+        if when_matched == "update":
+            parts.append(versions(keyed.join(live, KEY_COL, "left_semi")))
+        elif when_matched == "delete":
+            parts.append(
+                keyed.join(live, KEY_COL, "left_semi").select(
+                    F.col(KEY_COL),
+                    F.lit(commit).cast("long").alias(SEQ_COL),
+                    F.lit(0).cast("long").alias(SUB_COL),
+                    F.lit(True).alias(DELETED_COL),
+                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in self.schema.fields],
+                )
+            )
+        if insert_unmatched:
+            parts.append(versions(keyed.join(live, KEY_COL, "left_anti")))
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("tombstones"),
+            F.min(KEY_COL).alias("min_key"),
+            F.max(KEY_COL).alias("max_key"),
+        )
+        self._write_segments(out, commit)
+        got = obs.get
+        self._record_segment_stats(
+            commit,
+            rows=got["rows"],
+            tombstones=int(got["tombstones"] or 0),
+            min_key=got["min_key"],
+            max_key=got["max_key"],
+            unique_keys=None,  # source may carry duplicate keys
+        )
+
+    def diff(self, commit_a: int, commit_b: int) -> DataFrame:
+        """Key-level changes between two snapshots: ``(key, change)`` with
+        ``change ∈ {added, removed, updated}`` for keys whose live row
+        differs between ``read_at(commit_a)`` and ``read_at(commit_b)``.
+
+        Rows are compared by content hash, so the plan is a full-outer
+        join of two (key, hash) relations — never a column-wise compare of
+        the data itself."""
+        user = [f.name for f in self.schema.fields]
+
+        def snap(commit: int, fp: str) -> DataFrame:
+            return self.read_at(commit).select(
+                KEY_COL, F.xxhash64(*[F.col(c) for c in user]).alias(fp)
+            )
+
+        a = snap(commit_a, "_fp_a")
+        b = snap(commit_b, "_fp_b")
+        joined = a.join(b, KEY_COL, "full_outer")
+        return (
+            joined.withColumn(
+                "change",
+                F.when(F.col("_fp_a").isNull(), F.lit("added"))
+                .when(F.col("_fp_b").isNull(), F.lit("removed"))
+                .when(F.col("_fp_a") != F.col("_fp_b"), F.lit("updated")),
+            )
+            .filter(F.col("change").isNotNull())
+            .select(F.col(KEY_COL).alias("key"), "change")
+        )
+
     # ------------------------------------------------------------------- reads
     def _log(self) -> DataFrame:
         """The raw log including shadowed versions and tombstones."""

@@ -437,3 +437,70 @@ def test_schema_evolution_partition_column_protected(spark, tmp_path):
     c.set("k", {"tenant": "t1", "v": "x"})
     with pytest.raises(HadroError):
         c.remove_field("tenant")
+
+
+def test_merge_df_update_and_insert(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "merge"), schema)
+    coll.append_df(spark.range(10).selectExpr("id AS k", "'old' AS v"), key_col="k")
+    # source: keys 5..14 — 5 matched (update), 5 unmatched (insert)
+    src = spark.range(5, 15).selectExpr("id AS k", "'new' AS v")
+    coll.merge_df(src, key_col="k")
+    assert len(coll) == 15
+    assert coll.get("3")["v"] == "old"
+    assert coll.get("7")["v"] == "new"
+    assert coll.get("12")["v"] == "new"
+
+
+def test_merge_df_delete_matched(spark, tmp_path):
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+    coll = HadroCollection(spark, str(tmp_path / "mergedel"), schema)
+    coll.append_df(spark.range(10).selectExpr("id AS k"), key_col="k")
+    src = spark.range(5, 15).selectExpr("id AS k")
+    coll.merge_df(src, key_col="k", when_matched="delete", insert_unmatched=False)
+    assert len(coll) == 5
+    assert "7" not in coll
+    assert "3" in coll
+
+
+def test_merge_df_ignore_matched(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "mergeign"), schema)
+    coll.append_df(spark.range(10).selectExpr("id AS k", "'old' AS v"), key_col="k")
+    src = spark.range(5, 15).selectExpr("id AS k", "'new' AS v")
+    coll.merge_df(src, key_col="k", when_matched="ignore")
+    assert len(coll) == 15
+    assert coll.get("7")["v"] == "old"   # matched untouched
+    assert coll.get("12")["v"] == "new"  # unmatched inserted
+    with pytest.raises(HadroError):
+        coll.merge_df(src, key_col="k", when_matched="upsert")
+
+
+def test_diff_between_commits(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "diff"), schema)
+    coll.append_df(spark.range(5).selectExpr("id AS k", "'a' AS v"), key_col="k")
+    c0 = coll.current_commit()
+    coll.set("1", {"k": 1, "v": "b"})   # updated
+    coll.delete("2")                     # removed
+    coll.set("9", {"k": 9, "v": "a"})   # added
+    coll.flush()
+    c1 = coll.current_commit()
+    changes = {r["key"]: r["change"] for r in coll.diff(c0, c1).collect()}
+    assert changes == {"1": "updated", "2": "removed", "9": "added"}
+    assert coll.diff(c1, c1).count() == 0
