@@ -128,6 +128,71 @@ def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COGROUP_MAX_KEY = 300
+
+
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped ``applyInPandas`` — the one Pandas-UDF entry point the
+    UDF tier didn't yet exercise: orders and events cogrouped per customer
+    key, merged in one Arrow-batched Python call per key. Money sums in
+    integer cents so the result is exact (no float accumulation).
+
+    Scale: cogroup shuffles both sides once on the key — the same cost as
+    the equivalent join-of-aggregates — and streams each key's two frames
+    through Python. The oracle is that declarative twin (full-outer join
+    of two grouped aggs)."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= _COGROUP_MAX_KEY)
+        .select(F.col("o_custkey").alias("key"), "o_totalprice")
+    )
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= _COGROUP_MAX_KEY)
+        .select(F.col("user_id").alias("key"), "value")
+    )
+
+    # closure must stay stdlib+pandas-only (executor workers may not have
+    # hadrodb_spark importable — see hadrolog.register)
+    def merge(key, odf, edf):
+        import pandas as _pd
+
+        cents = (
+            int((odf["o_totalprice"] * 100).round().astype("int64").sum())
+            if len(odf)
+            else 0
+        )
+        return _pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_orders": [len(odf)],
+                "n_events": [len(edf)],
+                "spend_cents": [cents],
+            }
+        )
+
+    return (
+        orders.groupBy("key")
+        .cogroup(events.groupBy("key"))
+        .applyInPandas(
+            merge, schema="key long, n_orders long, n_events long, spend_cents long"
+        )
+    )
+
+
+def json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with an explicit schema (struct
+    field access + null propagation on absent keys) — the schema-ful
+    counterpart of ``get_json_object`` string extraction."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _REGEX_MAX_ID)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        parsed["k"].isNotNull().alias("has_k"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
     "lateral_topk": f"""
@@ -186,5 +251,27 @@ ORACLE: dict[str, str] = {
                bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
                bit_xor(CAST(l_linenumber AS BIGINT)) AS ln_xor
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "udf_cogrouped": f"""
+        WITH o AS (
+          SELECT o_custkey AS key, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS spend_cents
+          FROM orders WHERE o_custkey <= {_COGROUP_MAX_KEY} GROUP BY o_custkey
+        ), e AS (
+          SELECT user_id AS key, COUNT(*) AS n_events
+          FROM events WHERE user_id <= {_COGROUP_MAX_KEY} GROUP BY user_id
+        )
+        SELECT COALESCE(o.key, e.key) AS key,
+               CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(o.spend_cents, 0) AS BIGINT) AS spend_cents
+        FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+    "json_typed": f"""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+               json_extract(props, '$.k') IS NOT NULL AS has_k
+        FROM events WHERE event_id < {_REGEX_MAX_ID}
     """,
 }
