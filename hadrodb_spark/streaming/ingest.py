@@ -88,6 +88,51 @@ def stream_into_collection(
     return writer.start()
 
 
+def stream_merge_into_collection(
+    stream: DataFrame,
+    coll: HadroCollection,
+    key_col: str,
+    checkpoint: str,
+    when_matched: str = "update",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE: each micro-batch upserts into the collection via
+    ``merge_df`` (one semi/anti-join split + one atomic segment commit per
+    batch) — the CDC-apply shape, where the stream carries the latest row
+    per key and the collection converges to it.
+
+    Same checkpoint-scoped idempotency marker as
+    ``stream_into_collection``: a replayed batch after a crash between
+    commit and checkpoint write is skipped, so re-applied updates can't
+    mint spurious extra versions."""
+    import json
+    import os
+
+    marker = os.path.join(coll.path, "_hadro_stream_batch.json")
+    ckpt_id = os.path.abspath(checkpoint)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                state = json.load(f)
+            if state.get("checkpoint") == ckpt_id and batch_id <= state["last_batch"]:
+                return
+        coll.merge_df(batch, key_col=key_col, when_matched=when_matched)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint": ckpt_id, "last_batch": batch_id}, f)
+        os.replace(tmp, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """Per-user running totals on the transformWithStateInPandas API (the
     applyInPandasWithState successor, present in this PySpark build) — same

@@ -171,3 +171,28 @@ def test_running_user_totals_transform_with_state(spark, sf_dir, tmp_path):
     got = [(r["user_id"], r["n"]) for r in final.collect()]
     want = [(r["user_id"], r["count"]) for r in batch.collect()]
     assert got == want
+
+
+def test_stream_merge_into_collection(spark, tmp_path):
+    from hadrodb_spark.streaming.ingest import stream_merge_into_collection
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    coll = HadroCollection(spark, str(tmp_path / "cdc"), schema)
+    coll.append_df(spark.range(10).selectExpr("id AS k", "'old' AS v"), key_col="k")
+    # CDC batch: updates for keys 5..9, inserts for 10..14
+    src_dir = str(tmp_path / "cdcsrc")
+    spark.range(5, 15).selectExpr("id AS k", "'new' AS v").write.parquet(src_dir)
+    stream = spark.readStream.schema("k long, v string").parquet(src_dir)
+    q = stream_merge_into_collection(
+        stream, coll, key_col="k", checkpoint=str(tmp_path / "cdcckpt")
+    )
+    q.awaitTermination()
+    assert len(coll) == 15
+    assert coll.get("3")["v"] == "old"
+    assert coll.get("7")["v"] == "new"
+    assert coll.get("12")["v"] == "new"
