@@ -16,6 +16,7 @@ from hadrodb_spark.operators import (
     asof,
     components,
     dedup,
+    graph,
     kv,
     multimodal_ops,
     pipeline2,
@@ -67,6 +68,7 @@ _register(relational4)
 # --- new this round (inside the verification window) ---
 _register(asof, only=["asof_events_forward", "asof_events_nearest"])
 _register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
+_register(graph)
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
