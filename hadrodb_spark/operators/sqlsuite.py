@@ -38,6 +38,27 @@ Scale notes per query:
 - Q22 shape: scalar subquery (broadcast 1-row avg) + anti-join against
   urgent orders; the anti side aggregates to distinct custkeys before the
   join at scale.
+- Q2/Q9/Q11/Q16/Q20 shapes: this schema has no ``partsupp`` table, so a
+  shared ``ps`` CTE derives one from lineitem (``GROUP BY l_partkey,
+  l_suppkey`` with MIN price as supplycost and the exact-DECIMAL quantity
+  sum as availqty) — one hash shuffle on the composite key, reused by
+  every consumer in the query. The original query *structures* are kept
+  verbatim: Q2's correlated-MIN supplier selection, Q9's profit expression
+  per nation/year, Q11's group-HAVING against a scalar fraction of the
+  total, Q16's COUNT(DISTINCT) with a NOT-IN blacklist, Q20's doubly
+  nested IN with a correlated half-of-shipped-quantity threshold.
+- Q2 shape: the correlated MIN decorrelates to an aggregate join keyed on
+  partkey; region→nation→supplier broadcast on both sides, so the only
+  big shuffles are the two ps aggregations AQE can reuse.
+- Q9 shape: the p_name filter prunes part before the fact join; profit is
+  computed per row from exact DECIMALs and summed map-side.
+- Q11 shape: the scalar total is a 1-row broadcast; both consumers read
+  the same value_by_part CTE.
+- Q16 shape: the NOT IN blacklist is a tiny broadcast null-aware anti
+  join; COUNT(DISTINCT) shuffles once on the group key.
+- Q20 shape: the correlated quantity threshold decorrelates to an
+  aggregate on (partkey, suppkey) — the same key ps is already hashed on,
+  so AQE co-partitions; supplier side is a broadcast semi-join.
 """
 
 from __future__ import annotations
@@ -327,6 +348,139 @@ _Q21 = """
 """
 
 
+# Derived partsupp: the reference schema ships no partsupp table, so the
+# Q2/Q9/Q11/Q16/Q20 shapes reconstruct one from lineitem.  MIN(price) plays
+# ps_supplycost; the exact-DECIMAL quantity sum plays ps_availqty.
+_PS = """ps AS (
+        SELECT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS ps_availqty
+        FROM {p}lineitem
+        GROUP BY l_partkey, l_suppkey
+    )"""
+
+_Q2 = (
+    "\n    WITH "
+    + _PS
+    + """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM {p}part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN {p}supplier ON s_suppkey = ps_suppkey
+    JOIN {p}nation ON s_nationkey = n_nationkey
+    JOIN {p}region ON n_regionkey = r_regionkey
+    WHERE p_size = 15
+      AND p_type = 'STANDARD'
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN {p}supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN {p}nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN {p}region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey
+            AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+)
+
+_Q9 = (
+    "\n    WITH "
+    + _PS
+    + """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               YEAR(o_orderdate) AS o_year,
+               {vol} - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+                   AS amount
+        FROM {p}lineitem
+        JOIN {p}part ON p_partkey = l_partkey
+        JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN {p}supplier ON s_suppkey = l_suppkey
+        JOIN {p}orders ON o_orderkey = l_orderkey
+        JOIN {p}nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+)
+
+_Q11 = (
+    "\n    WITH "
+    + _PS
+    + """,
+    value_by_part AS (
+        SELECT ps_partkey,
+               SUM(ps_supplycost * ps_availqty) AS val
+        FROM ps
+        JOIN {p}supplier ON ps_suppkey = s_suppkey
+        JOIN {p}nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, CAST(val AS DOUBLE) AS value
+    FROM value_by_part
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM value_by_part)
+    ORDER BY value DESC, ps_partkey
+"""
+)
+
+_Q16 = (
+    "\n    WITH "
+    + _PS
+    + """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN {p}part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM {p}supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+)
+
+_Q20 = (
+    "\n    WITH "
+    + _PS
+    + """
+    SELECT s_name, s_suppkey
+    FROM {p}supplier
+    JOIN {p}nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (
+          SELECT ps_suppkey
+          FROM ps
+          WHERE ps_partkey IN (
+              SELECT p_partkey FROM {p}part WHERE p_name LIKE 'small%'
+          )
+          AND ps_availqty > (
+              SELECT 0.5 *
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              FROM {p}lineitem
+              WHERE l_partkey = ps_partkey
+                AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate < TIMESTAMP '1999-01-01'
+          )
+      )
+    ORDER BY s_name, s_suppkey
+"""
+)
+
+
 def _fmt(body: str, p: str) -> str:
     return body.format(
         p=p,
@@ -454,6 +608,41 @@ def sql_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q21)
 
 
+def sql_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery over
+    the derived partsupp, decorrelated by both engines to an aggregate join
+    on partkey; region/nation/supplier dims broadcast on both branches."""
+    return _run(spark, sf_dir, _Q2)
+
+
+def sql_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per-row profit = revenue minus
+    derived supplycost×quantity, exact DECIMAL throughout, rolled up per
+    nation and order year."""
+    return _run(spark, sf_dir, _Q9)
+
+
+def sql_tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value HAVING-filtered
+    against a scalar fraction of the grand total — the CTE is consumed
+    twice, once grouped and once under the scalar SUM."""
+    return _run(spark, sf_dir, _Q11)
+
+
+def sql_tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    suppkey) per part attribute triple with a NOT IN supplier blacklist
+    (null-aware anti join on the tiny side)."""
+    return _run(spark, sf_dir, _Q16)
+
+
+def sql_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN subqueries
+    with a correlated scalar threshold — suppliers whose derived availqty
+    exceeds half the quantity they shipped in 1998 for qualifying parts."""
+    return _run(spark, sf_dir, _Q20)
+
+
 ORACLE: dict[str, str] = {
     "sql_tpch_q3_like": _fmt(_Q3, ""),
     "sql_tpch_q5_like": _fmt(_Q5, ""),
@@ -471,4 +660,9 @@ ORACLE: dict[str, str] = {
     "sql_tpch_q15_like": _fmt(_Q15, ""),
     "sql_tpch_q17_like": _fmt(_Q17, ""),
     "sql_tpch_q21_like": _fmt(_Q21, ""),
+    "sql_tpch_q2_like": _fmt(_Q2, ""),
+    "sql_tpch_q9_like": _fmt(_Q9, ""),
+    "sql_tpch_q11_like": _fmt(_Q11, ""),
+    "sql_tpch_q16_like": _fmt(_Q16, ""),
+    "sql_tpch_q20_like": _fmt(_Q20, ""),
 }
