@@ -17,6 +17,14 @@ Scale design:
   counted exactly once, and the join fan-out is bounded by the forward
   degree (at scale you'd order endpoints by degree, cutting the fan-out to
   O(m^1.5) — the id-ordering here is the same plan with a weaker bound).
+- Reachability: native ``WITH RECURSIVE`` BFS (Spark 4.1's recursive-CTE
+  support; UNION ALL dialect — Spark rejects UNION DISTINCT in recursion,
+  so the frontier carries duplicate paths and the final GROUP BY dedups.
+  The depth guard bounds the blow-up: path count ≤ Σ_d deg^d, fine for a
+  bounded-degree graph and ≪ the 100-level recursion limit. At 100 TB the
+  same query runs with per-level DISTINCT materialization — the iterative
+  DataFrame loop in operators/components.py is that plan; this entry
+  exercises the SQL-native surface.)
 - PageRank: FIXED-POINT integer arithmetic (PR scaled by 1e12, integer
   division by out-degree, integer 85% damping) — sums of integers are
   exact under any partitioning/accumulation order, which is what makes an
@@ -112,6 +120,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REACH_SEEDS = "1, 2"
+_REACH_DEPTH = 3
+
+# One SQL body shared verbatim between the Spark query (over v_ views) and
+# the DuckDB oracle — the parity check covers the recursive text itself.
+_REACH_SQL = f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM {{p}}lineitem a JOIN {{p}}lineitem b
+          ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+          AND a.l_partkey < {_PART_CAP} AND b.l_partkey < {_PART_CAP}
+    ),
+    dir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ),
+    reach(node, depth) AS (
+        SELECT DISTINCT src AS node, 0 AS depth
+        FROM dir WHERE src IN ({_REACH_SEEDS})
+        UNION ALL
+        SELECT d.dst, r.depth + 1
+        FROM reach r JOIN dir d ON d.src = r.node
+        WHERE r.depth < {_REACH_DEPTH}
+    )
+    SELECT node,
+           CAST(MIN(depth) AS INT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node
+"""
+
+
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability from a seed set via a native recursive CTE: per
+    reached node, the hop distance (MIN over duplicate paths) and the
+    ≤{depth}-hop path count — both deterministic under UNION ALL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_REACH_SQL.format(p="v_"))
+
+
 _EDGE_CTE = f"""
       edges AS (
         SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -122,6 +173,7 @@ _EDGE_CTE = f"""
 """
 
 ORACLE: dict[str, str] = {
+    "graph_reachability": _REACH_SQL.format(p=""),
     "graph_triangles": f"""
         WITH {_EDGE_CTE},
         tri AS (

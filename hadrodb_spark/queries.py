@@ -28,6 +28,7 @@ from hadrodb_spark.operators import (
     relational4,
     sessionize,
     similarity,
+    sketch,
     skew,
     sqlsuite,
     textops,
@@ -69,6 +70,7 @@ _register(relational4)
 _register(asof, only=["asof_events_forward", "asof_events_nearest"])
 _register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
 _register(graph)
+_register(sketch)
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
