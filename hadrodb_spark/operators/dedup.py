@@ -232,6 +232,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, sig)
 
 
+_CONTAIN_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A→B) = |A∩B| / |A| over the LSH candidate
+    set — catches subset duplication (quotations, truncated re-crawls)
+    that symmetric Jaccard dilutes when the containing document is long.
+    The planted near-dups (one token dropped) are fully contained in their
+    originals, so the mutant-side containment is exactly 1.0.
+
+    Same scale shape as :func:`dedup_near`: the band self-join is the only
+    shuffle; the verify join touches candidate pairs only."""
+    sig = _signatures(spark, sf_dir, keep="dtoks")
+    sig = sig.persist()
+    cand = _band_candidates(sig)
+    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
+    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    out = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("contain_a", F.round(inter / F.size("toks_a"), 6))
+        .withColumn("contain_b", F.round(inter / F.size("toks_b"), 6))
+        .filter(F.greatest("contain_a", "contain_b") >= _CONTAIN_MIN)
+        .select("id_a", "id_b", "contain_a", "contain_b")
+    )
+    return _materialize_release(out, sig)
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 _DTOKS = f"list_distinct({_TOKS})"
@@ -302,6 +331,35 @@ ORACLE: dict[str, str] = {
         WHERE ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
                     / (len(ta.dtoks) + len(tb.dtoks)
                        - len(list_intersect(ta.dtoks, tb.dtoks))), 6) >= {_JACCARD_MIN}
+    """,
+    "dedup_containment": f"""
+        WITH base AS ({_NEAR_BASE}),
+        sig AS (
+          SELECT doc_id, {_DTOKS} AS dtoks,
+                 {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+          FROM base
+          WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+        ),
+        bands AS ({_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
+                       / len(ta.dtoks), 6) AS contain_a,
+                 ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
+                       / len(tb.dtoks), 6) AS contain_b
+          FROM cand
+          JOIN sig ta ON ta.doc_id = id_a
+          JOIN sig tb ON tb.doc_id = id_b
+        )
+        SELECT id_a, id_b, contain_a, contain_b
+        FROM scored
+        WHERE GREATEST(contain_a, contain_b) >= {_CONTAIN_MIN}
     """,
     "dedup_simhash": f"""
         WITH v AS (

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.functions import vectors as V
 from hadrodb_spark.operators.relational import load
 
 _CHUNK = 64            # tokens per chunk
@@ -53,6 +54,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 20
 _OUTLIER_TOPK = 5
+_RAG_QUERY_IDS = (0, 1, 2)   # embeddings doubling as query vectors
+_RAG_TOPK = 5                # retrieved passages per query
+_RAG_BUDGET = 120            # context token budget per query
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +293,51 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly end-to-end in one plan: per query vector,
+    retrieve the top-5 passages by exact cosine, join their text, and
+    greedy-pack them in rank order into a 120-token context budget
+    (running token sum; a passage ships iff the budget still covers it).
+
+    Scale: the 3 query vectors broadcast against one corpus scan (the
+    vector_topk_batch plan); the text join is a hash join on the retrieval
+    output (k×|queries| rows, trivially small relative to the corpus); the
+    pack is a window over ≤k rows per query. No driver-side loops."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_RAG_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    scored = (
+        emb.filter(~F.col("vec_id").isin(*_RAG_QUERY_IDS))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _RAG_TOPK)
+    )
+    joined = top.join(docs, top.vec_id == docs.doc_id).withColumn(
+        "n_tokens", X.token_count(F.col("text"))
+    )
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("cum_tokens", F.sum("n_tokens").over(wc).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select("query_id", "rnk", "doc_id", "n_tokens", "cum_tokens", "cos_sim")
+    )
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 _QLIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -445,5 +494,40 @@ ORACLE: dict[str, str] = {
                       ) AS BIGINT) AS rk
           FROM dist
         ) WHERE rk <= {_OUTLIER_TOPK}
+    """,
+    "rag_context_pack": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id IN ({", ".join(map(str, _RAG_QUERY_IDS))})
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND({V.sql_cosine('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id NOT IN ({", ".join(map(str, _RAG_QUERY_IDS))})
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+                 ) AS INT) AS rnk
+          FROM scored
+        ),
+        joined AS (
+          SELECT t.query_id, t.rnk, d.doc_id, t.cos_sim,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM ranked t JOIN documents d ON t.vec_id = d.doc_id
+          WHERE t.rnk <= {_RAG_TOPK}
+        ),
+        packed AS (
+          SELECT query_id, rnk, doc_id, cos_sim, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                     PARTITION BY query_id ORDER BY rnk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens
+          FROM joined
+        )
+        SELECT query_id, rnk, doc_id, n_tokens, cum_tokens, cos_sim
+        FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
     """,
 }
