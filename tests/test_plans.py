@@ -176,3 +176,62 @@ def test_pipeline3_plan_shapes(spark, sf_dir):
     assert set(E.read_schema_columns(cm)) == set(P3._CORR_COLS)
     # gap-fill: the dense hour grid broadcasts to the user side
     assert E.has_broadcast_join(P3.time_gapfill(spark, sf_dir))
+
+
+def test_derived_partsupp_sqlsuite_plan_shapes(spark, sf_dir):
+    """Q2/Q9/Q11/Q16/Q20 (derived-partsupp shapes): correlated subqueries
+    decorrelate to hash joins — no per-row nested loop, no cartesian; dims
+    stay broadcast."""
+    from hadrodb_spark.operators import sqlsuite as Q
+
+    for name in ("sql_tpch_q2_like", "sql_tpch_q9_like", "sql_tpch_q11_like",
+                 "sql_tpch_q16_like", "sql_tpch_q20_like"):
+        df = getattr(Q, name)(spark, sf_dir)
+        plan = E.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert E.has_broadcast_join(df), (name, plan)
+
+
+def test_sketch_plan_shapes(spark, sf_dir):
+    """Sketch builds are map-side-combinable aggs; the probe joins keep the
+    tiny sketch relation on the broadcast side — never a cartesian."""
+    from hadrodb_spark.operators import sketch as SK
+
+    cms = SK.sketch_countmin(spark, sf_dir)
+    plan = E.formatted_plan(cms)
+    assert "CartesianProduct" not in plan, plan
+    assert E.has_broadcast_join(cms), plan
+    bloom = SK.sketch_bloom(spark, sf_dir)
+    plan = E.formatted_plan(bloom)
+    assert "CartesianProduct" not in plan, plan
+    assert E.has_broadcast_join(bloom), plan
+
+
+def test_graph_reachability_is_recursive_union(spark, sf_dir):
+    """The BFS must compile to Spark's recursive-CTE execution (UnionLoop),
+    not an unrolled join tree."""
+    from hadrodb_spark.operators import graph as G
+
+    plan = E.formatted_plan(G.graph_reachability(spark, sf_dir))
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Loop" in plan, plan
+
+
+def test_rag_context_pack_broadcasts_queries(spark, sf_dir):
+    """Retrieval broadcasts the 3 query vectors against one corpus scan;
+    the pack adds only the per-query window shuffle."""
+    from hadrodb_spark.operators import pipeline4 as P4
+
+    df = P4.rag_context_pack(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert E.shuffle_count(df) <= 3, plan
+
+
+def test_dedup_containment_no_quadratic_join(spark, sf_dir):
+    """Containment verifies LSH candidate pairs only — the plan must stay
+    equi-join (band keys), never a cartesian."""
+    from hadrodb_spark.operators import dedup as D
+
+    plan = E.formatted_plan(D.dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
