@@ -1,0 +1,287 @@
+"""Fifth batch of training-data-pipeline operators (SURVEY.md §2.3 scope):
+contrastive-training data prep (hard-negative mining), embedding
+compression (symmetric int8 quantization with reconstruction-error audit),
+and subword-vocabulary training (unrolled BPE merge steps).
+
+Repo contract as everywhere: exact integer/rational math where possible,
+transcendental values rounded to 6 decimals before any cross-row
+aggregation, unique tiebreakers in every ranking, aliases identical in the
+Spark plan and the DuckDB oracle.
+
+Scale design:
+
+- hard_negative_mining: the labeled query vectors broadcast against one
+  corpus scan (same shape as vector_topk_batch); the label-mismatch
+  predicate is evaluated map-side before ranking, so the shuffle carries
+  only scored rows for the per-query rank window. The canonical
+  contrastive-pairs plan at 100 TB — no pairwise corpus×corpus join ever.
+- embedding_quantize_int8: map-only — scale, codes, clip count, and
+  reconstruction error are all computed per row inside one projection
+  (JVM higher-order functions, sequential fold order identical in both
+  engines); the only shuffle is the final TakeOrdered top-k by error.
+- bpe_train_merges: each merge step is (a) one map-side pair explode, (b)
+  one count aggregation, (c) a 1-row argmax broadcast back into a map-only
+  token rewrite. Three unrolled steps = three bounded shuffles whose size
+  is the pair vocabulary, never the corpus; the oracle unrolls the same
+  loop as CTEs (the operators/similarity.py PQ-codebook pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.functions import vectors as V
+from hadrodb_spark.operators.relational import load
+
+_HN_QUERY_IDS = (0, 1, 2)   # labeled query vectors
+_HN_TOPK = 5                # hard negatives per query
+_Q_TOPK = 20                # vectors reported by reconstruction error
+_Q_LEVELS = 127             # int8 symmetric range
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each labeled query vector,
+    the top-5 most cosine-similar vectors with a DIFFERENT label — the
+    near-misses a contrastive loss learns the most from."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_HN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _HN_TOPK)
+        .select("query_id", "rnk", "vec_id", "label", "cos_sim")
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, the scale
+    (max |x| / 127, rounded to 6), the worst absolute reconstruction
+    error and its mean — reported for the 20 vectors that quantize worst.
+    Codes use floor(x/scale + 0.5) (explicit half-up — identical in both
+    engines, unlike native round's ties behavior on doubles)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # max |x| via sequential fold; scale rounded to 6 BEFORE use so both
+    # engines quantize against the identical double
+    amax = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    df = emb.withColumn("scale", F.round(amax / _Q_LEVELS, 6)).filter(
+        F.col("scale") > 0
+    )
+    codes = F.expr(
+        f"transform(embedding, x -> CAST(greatest(CAST(-{_Q_LEVELS} AS DOUBLE), "
+        f"least(CAST({_Q_LEVELS} AS DOUBLE), "
+        f"floor(CAST(x AS DOUBLE) / scale + 0.5d))) AS INT))"
+    )
+    df = df.withColumn("codes", codes)
+    err = F.expr(
+        "transform(arrays_zip(embedding, codes), "
+        "t -> round(abs(CAST(t.embedding AS DOUBLE) - t.codes * scale), 6))"
+    )
+    df = df.withColumn("errs", err)
+    return (
+        df.select(
+            "vec_id",
+            "scale",
+            F.expr("aggregate(errs, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))")
+            .alias("max_err"),
+            F.round(
+                F.expr("aggregate(errs, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+                / F.size("errs"),
+                6,
+            ).alias("mean_err"),
+        )
+        .orderBy(F.desc("max_err"), "vec_id")
+        .limit(_Q_TOPK)
+    )
+
+
+_BPE_STEPS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training, 3 merge steps: start from
+    character symbols per word, repeatedly (count adjacent symbol pairs
+    weighted by word frequency) → (argmax pair, lexicographic tiebreak) →
+    (rewrite symbols, single left-to-right replace pass — the same
+    non-overlapping convention both engines implement natively, verified
+    identical).
+
+    Train/apply boundary: each step's learned merge is ONE row; collecting
+    it driver-side is materializing the model, not a data-path collect —
+    the corpus-side work per step stays one pair explode + one count
+    aggregation over the persisted |vocab|-row word relation (at 100 TB
+    the word relation is the aggregation exact dedup already pays; the
+    pair vocabulary bounds every later shuffle)."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        )).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("sym", F.array_join(F.split(F.col("word"), ""), " "))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for step in range(_BPE_STEPS):
+        top = (
+            cur.withColumn("syms", F.split("sym", " "))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+                )).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, pcount = top["pair"], int(top["pair_count"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, pcount))
+        # pair is [a-z ]-only by construction — safe to inline in the expr
+        cur = cur.withColumn(
+            "sym",
+            F.expr(
+                f"trim(replace(concat(' ', sym, ' '), ' {pair} ', ' {merged} '))"
+            ),
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count bigint"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "hard_negative_mining": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+          FROM embeddings WHERE vec_id IN ({", ".join(map(str, _HN_QUERY_IDS))})
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id, e.label,
+                 ROUND({V.sql_cosine('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+        )
+        SELECT query_id, rnk, vec_id, label, cos_sim
+        FROM (
+          SELECT query_id, vec_id, label, cos_sim,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+                 ) AS INT) AS rnk
+          FROM scored
+        ) WHERE rnk <= {_HN_TOPK}
+    """,
+    "embedding_quantize_int8": f"""
+        WITH scaled AS (
+          SELECT vec_id,
+                 ROUND(list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max')
+                       / {_Q_LEVELS}, 6) AS scale,
+                 embedding
+          FROM embeddings
+        ),
+        coded AS (
+          SELECT vec_id, scale,
+                 list_transform(embedding,
+                     x -> CAST(greatest(CAST(-{_Q_LEVELS} AS DOUBLE),
+                               least(CAST({_Q_LEVELS} AS DOUBLE),
+                               floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT)
+                 ) AS codes
+          FROM scaled WHERE scale > 0
+        ),
+        errs AS (
+          SELECT c.vec_id, c.scale,
+                 list_transform(list_zip(s.embedding, c.codes),
+                     t -> ROUND(abs(CAST(t[1] AS DOUBLE) - t[2] * c.scale), 6)
+                 ) AS e
+          FROM coded c JOIN scaled s ON c.vec_id = s.vec_id
+        )
+        SELECT vec_id, scale,
+               list_aggregate(e, 'max') AS max_err,
+               ROUND(list_sum(e) / len(e), 6) AS mean_err
+        FROM errs
+        ORDER BY max_err DESC, vec_id
+        LIMIT {_Q_TOPK}
+    """,
+    "bpe_train_merges": None,  # built below (unrolled merge-step CTEs)
+}
+
+
+def _bpe_oracle() -> str:
+    from hadrodb_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    ctes = [f"""
+        words0 AS (
+          SELECT word, COUNT(*) AS cnt,
+                 array_to_string(string_split(word, ''), ' ') AS sym
+          FROM (SELECT unnest({toks}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z]{{2,12}}$')
+          GROUP BY word
+        )"""]
+    selects = []
+    for k in range(_BPE_STEPS):
+        ctes.append(f"""
+        p{k} AS (
+          SELECT pair, SUM(cnt) AS pair_count FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(sp) - 1),
+                          i -> sp[i] || ' ' || sp[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(sym, ' ') AS sp FROM words{k})
+            WHERE len(sp) >= 2
+          ) GROUP BY pair
+        )""")
+        ctes.append(f"""
+        m{k} AS (
+          SELECT pair, replace(pair, ' ', '') AS merged, pair_count
+          FROM p{k} ORDER BY pair_count DESC, pair LIMIT 1
+        )""")
+        if k + 1 < _BPE_STEPS:
+            ctes.append(f"""
+        words{k + 1} AS (
+          SELECT word, cnt,
+                 trim(replace(' ' || sym || ' ',
+                              ' ' || m{k}.pair || ' ',
+                              ' ' || m{k}.merged || ' ')) AS sym
+          FROM words{k}, m{k}
+        )""")
+        selects.append(
+            f"SELECT CAST({k} AS INT) AS step, pair, merged, "
+            f"CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLE["bpe_train_merges"] = _bpe_oracle()

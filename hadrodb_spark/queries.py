@@ -22,6 +22,7 @@ from hadrodb_spark.operators import (
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     relational,
     relational2,
     relational3,
@@ -71,6 +72,7 @@ _register(asof, only=["asof_events_forward", "asof_events_nearest"])
 _register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
 _register(graph)
 _register(sketch)
+_register(pipeline5)
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
