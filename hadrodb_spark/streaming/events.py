@@ -84,6 +84,44 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def trending_topk_sink(
+    counts: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    k: int = 3,
+):
+    """Per-window trending top-k — the rank-on-emit idiom: append-mode
+    windowed aggregation finalizes every window exactly once (all its
+    event_type rows close together when the watermark passes window end),
+    so ranking inside ``foreachBatch`` is exact with NO extra streaming
+    state. Use over :func:`tumbling_counts` output; streaming DataFrames
+    can't host window functions, which is exactly why the rank belongs in
+    the per-batch (plain batch) plan.
+
+    Scale: each emitted batch holds only newly-closed windows (|types| rows
+    per window); the rank window partitions by window_start — bounded work
+    per trigger however large the stream history."""
+    from pyspark.sql.window import Window
+
+    def rank_batch(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+        (
+            batch.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .write.mode("append").parquet(out_dir)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon: state holds only
     keys newer than the watermark, so memory is bounded at any scale."""

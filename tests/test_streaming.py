@@ -200,3 +200,43 @@ def test_streaming_anomaly_matches_batch(spark, sf_dir, event_dir):
     }
     assert len(want) > 0, "fixture should contain anomalies"
     assert got == want
+
+
+def test_trending_topk_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    """Rank-on-emit trending top-k: every emitted window's top-3 must equal
+    the batch rank over the full data for that window."""
+    out_dir = str(tmp_path / "trend_out")
+    ckpt = str(tmp_path / "trend_ckpt")
+    q = S.trending_topk_sink(
+        S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in batch.collect()}
+    assert len(got_rows) > 0
+    # emitted windows (closed by final watermark) must match batch exactly
+    assert got_rows <= want_rows
+    emitted_windows = {r[0] for r in got_rows}
+    missing = {r for r in want_rows if r[0] in emitted_windows} - got_rows
+    assert not missing, missing
