@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hadrodb_spark.operators import (
+    analytics,
     asof,
     components,
     dedup,
@@ -73,6 +74,7 @@ _register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
 _register(graph)
 _register(sketch)
 _register(pipeline5)
+_register(analytics)
 # --- round-2-verified tier ---
 _register(kv)
 _register(textops)
