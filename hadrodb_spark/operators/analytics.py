@@ -86,6 +86,60 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_LEN = 3
+_PATH_TOPK = 15
+
+
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first 3 event types (by time,
+    event_id tiebreak) concatenated into a path, counted across users.
+    The path is assembled from rank-pivoted columns (MAX(CASE rn=k)), not
+    an ordered collect — no dependency on any engine's aggregation order.
+
+    Scale: one rank window on user_id (the shuffle), a pivot agg on the
+    same partitioning, then a tiny path rollup + TakeOrdered."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PATH_LEN
+    )
+    steps = ranked.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("rn") == k, F.col("event_type"))).alias(f"e{k}")
+            for k in range(1, _PATH_LEN + 1)
+        ]
+    )
+    return (
+        steps.filter(F.col(f"e{_PATH_LEN}").isNotNull())
+        .select(
+            F.concat_ws(">", *[f"e{k}" for k in range(1, _PATH_LEN + 1)]).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent event_type per user-activity
+    hour (ties → lexicographically smallest) — the count-then-rank
+    formulation every engine agrees on, unlike native mode()'s
+    unspecified tie behavior."""
+    ev = load(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"), "event_type"
+    )
+    counts = ev.groupBy("hr", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("hr").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hr", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
 ORACLE: dict[str, str] = {
     "retention_cohorts": """
         WITH ev AS (
@@ -103,6 +157,42 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM activity
         GROUP BY cohort_week, week_offset
+    """,
+    "event_paths": f"""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ),
+        steps AS (
+          SELECT user_id,
+                 {", ".join(f"MAX(CASE WHEN rn = {k} THEN event_type END) AS e{k}" for k in range(1, _PATH_LEN + 1))}
+          FROM ranked WHERE rn <= {_PATH_LEN}
+          GROUP BY user_id
+        )
+        SELECT {" || '>' || ".join(f"e{k}" for k in range(1, _PATH_LEN + 1))} AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM steps WHERE e{_PATH_LEN} IS NOT NULL
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT {_PATH_TOPK}
+    """,
+    "mode_per_group": """
+        WITH counts AS (
+          SELECT CAST(hour(ts) AS INT) AS hr, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY hr, event_type
+        )
+        SELECT hr, event_type AS mode_type, cnt
+        FROM (
+          SELECT hr, event_type, cnt,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY hr ORDER BY cnt DESC, event_type
+                 ) AS rn
+          FROM counts
+        ) WHERE rn = 1
     """,
     "rfm_segments": f"""
         WITH per_cust AS (
