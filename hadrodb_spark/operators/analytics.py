@@ -140,7 +140,50 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day via the first-touch trick: only
+    a user's FIRST event increments the cumulative count, turning
+    "COUNT(DISTINCT) OVER time" (unsupported as a window; state-heavy as a
+    stream) into one per-user agg + a cumsum over |days| rows. The final
+    unpartitioned window runs on the tiny daily relation — the 100 TB
+    heavy lifting is all in the first hash aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+    ).select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "cumulative_users",
+    )
+
+
 ORACLE: dict[str, str] = {
+    "cumulative_users": """
+        WITH first AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM first GROUP BY first_day
+        )
+        SELECT strftime(first_day, '%Y-%m-%d') AS day,
+               new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
     "retention_cohorts": """
         WITH ev AS (
           SELECT user_id, date_trunc('week', ts) AS wk FROM events

@@ -956,6 +956,31 @@ class HadroCollection:
             .drop(SEQ_COL, SUB_COL, DELETED_COL)
         )
 
+    def history(self) -> DataFrame:
+        """The commit log as a DataFrame (Delta's DESCRIBE HISTORY analog):
+        one row per on-disk commit with its manifest statistics, plus the
+        log-wide ``clean`` flag. Commits predating stats capture surface
+        with null rows/tombstones rather than forcing a distributed count."""
+        m = self._read_manifest()
+        segs = m["segments"]
+        rows = [
+            (
+                n,
+                (lambda s: s.get("rows"))(segs.get(str(n), {})),
+                segs.get(str(n), {}).get("tombstones"),
+                segs.get(str(n), {}).get("min_key"),
+                segs.get(str(n), {}).get("max_key"),
+                bool(segs.get(str(n), {}).get("unique_keys", False)),
+                bool(m["clean"]),
+            )
+            for n in sorted(self._seq_dirs())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "commit long, rows long, tombstones long, min_key string, "
+            "max_key string, unique_keys boolean, clean boolean",
+        )
+
     def current_commit(self) -> int:
         """Highest committed sequence number (−1 if empty)."""
         if not os.path.exists(self._manifest_path):

@@ -504,3 +504,24 @@ def test_diff_between_commits(spark, tmp_path):
     changes = {r["key"]: r["change"] for r in coll.diff(c0, c1).collect()}
     assert changes == {"1": "updated", "2": "removed", "9": "added"}
     assert coll.diff(c1, c1).count() == 0
+
+
+def test_history_commit_log(spark, coll):
+    coll.set("a", {"title": "v1", "author": None})
+    coll.flush()  # commit 0: 1 row
+    coll.set("a", {"title": "v2", "author": None})
+    coll.set("b", {"title": "w", "author": None})
+    coll.flush()  # commit 1: 2 rows
+    coll.delete("a")
+    coll.flush()  # commit 2: 1 tombstone
+    hist = {r["commit"]: r for r in coll.history().collect()}
+    assert sorted(hist) == [0, 1, 2]
+    assert hist[0]["rows"] == 1 and hist[0]["tombstones"] == 0
+    assert hist[1]["rows"] == 2 and hist[1]["tombstones"] == 0
+    assert hist[2]["rows"] == 1 and hist[2]["tombstones"] == 1
+    assert hist[0]["min_key"] == "a" and hist[1]["max_key"] == "b"
+    assert not hist[0]["clean"]
+    coll.compact()
+    hist2 = coll.history().collect()
+    assert all(r["clean"] for r in hist2)
+    assert sum(r["rows"] or 0 for r in hist2) == 1  # only 'b' survives
