@@ -293,6 +293,44 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = ("table", "hash")
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("{w1} {w2}"): build posting lists for the
+    phrase's terms only (map-side prune before the explode, the bm25
+    pattern), then an equi-join on (doc, adjacent position). Per matching
+    doc: occurrence count and first match position (0-based).
+
+    Scale: posting lists for TWO terms are a sliver of the corpus; the
+    adjacency join is an equi hash join on doc_id — the inverted-index
+    plan, not a per-doc array scan. The oracle deliberately uses the
+    opposite formulation (per-doc higher-order-function scan) so the two
+    engines verify each other through independent algorithms."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        ).alias("pos", "tok"),
+    )
+    a = toks.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = toks.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("pos_a").cast("int").alias("first_pos"),
+        )
+    )
+
+
 def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG context assembly end-to-end in one plan: per query vector,
     retrieve the top-5 passages by exact cosine, join their text, and
@@ -494,6 +532,22 @@ ORACLE: dict[str, str] = {
                       ) AS BIGINT) AS rk
           FROM dist
         ) WHERE rk <= {_OUTLIER_TOPK}
+    """,
+    "phrase_search": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        hits AS (
+          SELECT doc_id,
+                 list_filter(generate_series(1, len(t) - 1),
+                             i -> t[i] = '{_PHRASE[0]}'
+                                  AND t[i + 1] = '{_PHRASE[1]}') AS hs
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(hs) AS BIGINT) AS n_matches,
+               CAST(list_aggregate(hs, 'min') - 1 AS INT) AS first_pos
+        FROM hits WHERE len(hs) > 0
     """,
     "rag_context_pack": f"""
         WITH q AS (
