@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadrodb_spark.operators.relational import load
 
@@ -193,8 +194,127 @@ def json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's event days into maximal runs of
+    consecutive days (islands). The classic grouping key — day minus dense
+    rank — is pure window arithmetic: one shuffle on user_id shared by the
+    rank and the rollup.
+
+    Scale: |user × distinct-day| rows through one hash Exchange; no self
+    join, no iteration — the idiom survives any history length."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = ev.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("run_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("run_end"),
+            F.count(F.lit(1)).cast("int").alias("run_days"),
+        )
+        .drop("grp")
+    )
+
+
+_LIFT_SCALE = 10**6  # support/lift reported as exact 1e6 fixed-point
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: for co-purchased part pairs (a < b, same
+    order), support(a,b), and lift computed in exact fixed-point —
+    lift = n_ab * n_orders * 1e6 DIV (n_a * n_b) — so the driver hash
+    pins every digit. Top-15 pairs by lift (min pair support 3).
+
+    Scale: the pair self-join on l_orderkey is the one real shuffle (the
+    same co-occurrence join graph_triangles pays); item counts broadcast
+    back; at 100 TB frequent-itemset pruning (min-support filter BEFORE
+    the pair join) bounds the fan-out — applied here via _PART_CAP-free
+    min-support on both sides."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr(
+                f"CAST(n_ab * n_orders * {_LIFT_SCALE}L DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_fp"),
+        )
+        .orderBy(F.desc("lift_fp"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
+    "gaps_islands": """
+        WITH ev AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        runs AS (
+          SELECT user_id, d,
+                 d - CAST(ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY d
+                 ) AS INT) AS grp
+          FROM ev
+        )
+        SELECT user_id,
+               strftime(MIN(d), '%Y-%m-%d') AS run_start,
+               strftime(MAX(d), '%Y-%m-%d') AS run_end,
+               CAST(COUNT(*) AS INT) AS run_days
+        FROM runs GROUP BY user_id, grp
+    """,
+    "basket_lift": f"""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        item AS (
+          SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS n_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(n_ab * n_orders * {_LIFT_SCALE} // (ia.n_item * ib.n_item)
+                    AS BIGINT) AS lift_fp
+        FROM pairs
+        CROSS JOIN tot
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        ORDER BY lift_fp DESC, part_a, part_b
+        LIMIT 15
+    """,
     "lateral_topk": f"""
         SELECT n_name, c_custkey, c_name, acctbal
         FROM nation,
