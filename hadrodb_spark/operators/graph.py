@@ -20,8 +20,9 @@ Scale design:
 - Reachability: native ``WITH RECURSIVE`` BFS (Spark 4.1's recursive-CTE
   support; UNION ALL dialect — Spark rejects UNION DISTINCT in recursion,
   so the frontier carries duplicate paths and the final GROUP BY dedups.
-  The depth guard bounds the blow-up: path count ≤ Σ_d deg^d, fine for a
-  bounded-degree graph and ≪ the 100-level recursion limit. At 100 TB the
+  The depth guard bounds the blow-up: path count ≤ Σ_d deg^d — depth 2,
+  because on this dense fixture graph deg³ already trips Spark's
+  recursion row limit. At 100 TB the
   same query runs with per-level DISTINCT materialization — the iterative
   DataFrame loop in operators/components.py is that plan; this entry
   exercises the SQL-native surface.)
@@ -121,7 +122,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REACH_SEEDS = "1, 2"
-_REACH_DEPTH = 3
+_REACH_DEPTH = 2
 
 # One SQL body shared verbatim between the Spark query (over v_ views) and
 # the DuckDB oracle — the parity check covers the recursive text itself.
@@ -158,7 +159,15 @@ _REACH_SQL = f"""
 def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS reachability from a seed set via a native recursive CTE: per
     reached node, the hop distance (MIN over duplicate paths) and the
-    ≤{depth}-hop path count — both deterministic under UNION ALL."""
+    ≤{depth}-hop path count — both deterministic under UNION ALL.
+
+    Depth is 2 because UNION ALL recursion carries the full path multiset
+    (Spark rejects UNION DISTINCT in recursion): on a dense co-purchase
+    graph the depth-d frontier is O(deg^d) rows, and Spark additionally
+    enforces a recursion row limit (raised here as belt-and-braces).
+    Production BFS at 100 TB dedups the frontier per level — that is the
+    iterative DataFrame loop in operators/components.py."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     return spark.sql(_REACH_SQL.format(p="v_"))
 
