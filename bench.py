@@ -49,6 +49,12 @@ HEADLINE = [
     "unigram_logprob",
     "anomaly_zscore",
     "vector_topk_batch",
+    # restart-round additions — subtract for cross-round total comparisons
+    "sketch_countmin",
+    "bpe_train_merges",
+    "rag_context_pack",
+    "basket_lift",
+    "sql_tpch_q9_like",
 ]
 
 
