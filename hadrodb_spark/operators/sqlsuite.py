@@ -351,19 +351,29 @@ _Q21 = """
 # Derived partsupp: the reference schema ships no partsupp table, so the
 # Q2/Q9/Q11/Q16/Q20 shapes reconstruct one from lineitem.  MIN(price) plays
 # ps_supplycost; the exact-DECIMAL quantity sum plays ps_availqty.
-_PS = """ps AS (
+# Each query passes its own semi-join predicate (the magic-set rewrite
+# neither optimizer derives itself): ~97% of (part,supp) pairs never
+# survive the query's dimension filters, so aggregating them first is pure
+# waste — measured 8x shrink of the ps build for Q9 at sf0.1.
+def _ps_cte(where: str = "") -> str:
+    return f"""ps AS (
         SELECT l_partkey AS ps_partkey,
                l_suppkey AS ps_suppkey,
                MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
                    AS ps_availqty
-        FROM {p}lineitem
+        FROM {{p}}lineitem
+        {where}
         GROUP BY l_partkey, l_suppkey
     )"""
 
+
 _Q2 = (
     "\n    WITH "
-    + _PS
+    + _ps_cte("""WHERE l_partkey IN (
+            SELECT p_partkey FROM {p}part
+            WHERE p_size = 15 AND p_type = 'STANDARD'
+        )""")
     + """
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
            CAST(ps_supplycost AS DOUBLE) AS supplycost
@@ -389,26 +399,11 @@ _Q2 = (
 """
 )
 
-# Q9 specializes the ps CTE with a semi-join on the query's part filter —
-# the magic-set rewrite Catalyst can't derive itself: 97% of (part,supp)
-# pairs never survive the part join, so aggregating them first is pure
-# waste. Measured 8× shrink of the ps build at sf0.1.
-_PS_RED = """ps AS (
-        SELECT l_partkey AS ps_partkey,
-               l_suppkey AS ps_suppkey,
-               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-                   AS ps_availqty
-        FROM {p}lineitem
-        WHERE l_partkey IN (
-            SELECT p_partkey FROM {p}part WHERE p_name LIKE '%red%'
-        )
-        GROUP BY l_partkey, l_suppkey
-    )"""
-
 _Q9 = (
     "\n    WITH "
-    + _PS_RED
+    + _ps_cte("""WHERE l_partkey IN (
+            SELECT p_partkey FROM {p}part WHERE p_name LIKE '%red%'
+        )""")
     + """
     SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
     FROM (
@@ -431,7 +426,11 @@ _Q9 = (
 
 _Q11 = (
     "\n    WITH "
-    + _PS
+    + _ps_cte("""WHERE l_suppkey IN (
+            SELECT s_suppkey FROM {p}supplier
+            JOIN {p}nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        )""")
     + """,
     value_by_part AS (
         SELECT ps_partkey,
@@ -452,7 +451,11 @@ _Q11 = (
 
 _Q16 = (
     "\n    WITH "
-    + _PS
+    + _ps_cte("""WHERE l_partkey IN (
+            SELECT p_partkey FROM {p}part
+            WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        )""")
     + """
     SELECT p_brand, p_type, p_size,
            CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
@@ -471,7 +474,9 @@ _Q16 = (
 
 _Q20 = (
     "\n    WITH "
-    + _PS
+    + _ps_cte("""WHERE l_partkey IN (
+            SELECT p_partkey FROM {p}part WHERE p_name LIKE 'small%'
+        )""")
     + """
     SELECT s_name, s_suppkey
     FROM {p}supplier
