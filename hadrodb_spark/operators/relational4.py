@@ -236,25 +236,41 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     back; at 100 TB frequent-itemset pruning (min-support filter BEFORE
     the pair join) bounds the fan-out — applied here via _PART_CAP-free
     min-support on both sides."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE shuffle builds the basket relation; order total, item counts,
+    # and pair counts all derive from it (persisted across the 3 consumers
+    # — Catalyst would otherwise recompute the agg per consumer)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
     )
-    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    # map-side pair expansion: sorted parts array → (x, y) with x < y by
+    # index order, no self-join shuffle at all
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
         .crossJoin(F.broadcast(tot))
@@ -269,6 +285,9 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_fp"), "part_a", "part_b")
         .limit(15)
     )
+    out = out.localCheckpoint(eager=True)
+    baskets.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ oracles
