@@ -290,8 +290,109 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per line status from EXACT integer
+    power sums (Σx, Σx², Σx³, Σx⁴ over integral quantities) — the builtin
+    skewness/kurtosis disagree across engines on bias correction AND
+    accumulate floats in partition order; central moments derived from
+    exact sums in one fixed double-op sequence are bit-identical."""
+    qty = F.col("l_quantity").cast("long")
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qty).alias("s1"),
+            F.sum(qty * qty).alias("s2"),
+            F.sum(qty * qty * qty).alias("s3"),
+            F.sum(qty * qty * qty * qty).alias("s4"),
+        )
+    )
+    # identical textual formula on both sides — one fixed op sequence
+    exprs = _MOMENT_EXPRS
+    return agg.selectExpr(
+        "l_linestatus",
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND({exprs['skew']}, 6) AS skew",
+        f"ROUND({exprs['kurt']}, 6) AS excess_kurtosis",
+    )
+
+
+# shared double-op sequence: mean/central moments from exact integer sums
+_M = {
+    "mean": "(CAST(s1 AS DOUBLE) / n)",
+}
+_M["m2"] = f"(CAST(s2 AS DOUBLE) / n - {_M['mean']} * {_M['mean']})"
+_M["m3"] = (
+    f"(CAST(s3 AS DOUBLE) / n - 3 * {_M['mean']} * CAST(s2 AS DOUBLE) / n"
+    f" + 2 * {_M['mean']} * {_M['mean']} * {_M['mean']})"
+)
+_M["m4"] = (
+    f"(CAST(s4 AS DOUBLE) / n - 4 * {_M['mean']} * CAST(s3 AS DOUBLE) / n"
+    f" + 6 * {_M['mean']} * {_M['mean']} * CAST(s2 AS DOUBLE) / n"
+    f" - 3 * {_M['mean']} * {_M['mean']} * {_M['mean']} * {_M['mean']})"
+)
+_MOMENT_EXPRS = {
+    "skew": f"{_M['m3']} / POW({_M['m2']}, 1.5)",
+    "kurt": f"{_M['m4']} / ({_M['m2']} * {_M['m2']}) - 3",
+}
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: cumulative-weight
+    window over a TOTAL order (price, orderkey, linenumber), answer = the
+    smallest price whose running weight reaches half the group total.
+    Exact integer weights make the threshold comparison engine-proof.
+
+    Scale: one hash Exchange on the group key shared by both windows; no
+    sort beyond the within-partition window sort."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tspec = Window.partitionBy("l_returnflag")
+    cum = li.withColumn("cumw", F.sum("w").over(wspec)).withColumn(
+        "totw", F.sum("w").over(tspec)
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").cast("double").alias("weighted_median"))
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
+    "agg_higher_moments": None,  # built below (shared formula text)
+    "weighted_median": """
+        WITH cum AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+                 CAST(l_quantity AS BIGINT) AS w,
+                 SUM(CAST(l_quantity AS BIGINT)) OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                              l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cumw,
+                 SUM(CAST(l_quantity AS BIGINT)) OVER (
+                     PARTITION BY l_returnflag
+                 ) AS totw
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(MIN(price) AS DOUBLE) AS weighted_median
+        FROM cum WHERE 2 * cumw >= totw
+        GROUP BY l_returnflag
+    """,
     "gaps_islands": """
         WITH ev AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -414,3 +515,22 @@ ORACLE: dict[str, str] = {
         FROM events WHERE event_id < {_REGEX_MAX_ID}
     """,
 }
+
+ORACLE["agg_higher_moments"] = f"""
+    WITH agg AS (
+      SELECT l_linestatus,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           ROUND({_MOMENT_EXPRS["skew"]}, 6) AS skew,
+           ROUND({_MOMENT_EXPRS["kurt"]}, 6) AS excess_kurtosis
+    FROM agg
+"""
