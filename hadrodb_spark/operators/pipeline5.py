@@ -1,7 +1,8 @@
 """Fifth batch of training-data-pipeline operators (SURVEY.md §2.3 scope):
 contrastive-training data prep (hard-negative mining), embedding
 compression (symmetric int8 quantization with reconstruction-error audit),
-and subword-vocabulary training (unrolled BPE merge steps).
+subword-vocabulary training (unrolled BPE merge steps), and
+vocabulary-free featurization (signed hashing trick).
 
 Repo contract as everywhere: exact integer/rational math where possible,
 transcendental values rounded to 6 decimals before any cross-row
@@ -116,6 +117,55 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("max_err"), "vec_id")
         .limit(_Q_TOPK)
+    )
+
+
+_FH_DIM = 16
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: every token lands in bucket
+    hex(md5[0]) (16 dims) with sign from md5[1] — the fixed-dimension,
+    vocabulary-free featurization streaming trainers use. Output per doc:
+    the dense vector (rendered as a comma string — engine-stable), its L1
+    mass and nonzero count. Exact integer arithmetic end-to-end.
+
+    Scale: one explode + one (doc, bucket) hash agg + one per-doc pivot —
+    all map-side combinable; dimensionality is constant so the pivot row
+    is O(1) per doc. No vocabulary relation, no UDF."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        )).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.expr(
+            "locate(substring(md5(tok), 1, 1), '0123456789abcdef') - 1"
+        ).alias("b"),
+        F.expr(
+            "CASE WHEN substring(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    bs = h.groupBy("doc_id", "b").agg(F.sum("sgn").alias("s"))
+    vec = bs.groupBy("doc_id").agg(
+        *[
+            F.expr(f"COALESCE(SUM(CASE WHEN b = {k} THEN s END), 0L)").alias(f"v{k}")
+            for k in range(_FH_DIM)
+        ]
+    )
+    fvec = F.concat_ws(",", *[F.col(f"v{k}").cast("string") for k in range(_FH_DIM)])
+    l1 = sum(F.abs(F.col(f"v{k}")) for k in range(_FH_DIM))
+    nnz = sum(
+        F.when(F.col(f"v{k}") != 0, 1).otherwise(0) for k in range(_FH_DIM)
+    )
+    return vec.select(
+        "doc_id",
+        fvec.alias("fvec"),
+        l1.cast("bigint").alias("l1"),
+        nnz.cast("int").alias("nnz"),
     )
 
 
@@ -236,7 +286,44 @@ ORACLE: dict[str, str] = {
         LIMIT {_Q_TOPK}
     """,
     "bpe_train_merges": None,  # built below (unrolled merge-step CTEs)
+    "feature_hashing": None,   # built below (generated bucket columns)
 }
+
+
+def _feature_hashing_oracle() -> str:
+    from hadrodb_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    vcols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN b = {k} THEN s END), 0) AS v{k}"
+        for k in range(_FH_DIM)
+    )
+    fvec = " || ',' || ".join(f"CAST(v{k} AS VARCHAR)" for k in range(_FH_DIM))
+    l1 = " + ".join(f"abs(v{k})" for k in range(_FH_DIM))
+    nnz = " + ".join(
+        f"(CASE WHEN v{k} <> 0 THEN 1 ELSE 0 END)" for k in range(_FH_DIM)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest({toks}) AS tok FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS b,
+                 CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END AS sgn
+          FROM t
+        ),
+        bs AS (SELECT doc_id, b, SUM(sgn) AS s FROM h GROUP BY doc_id, b),
+        vec AS (SELECT doc_id, {vcols} FROM bs GROUP BY doc_id)
+        SELECT doc_id,
+               {fvec} AS fvec,
+               CAST({l1} AS BIGINT) AS l1,
+               CAST({nnz} AS INT) AS nnz
+        FROM vec
+    """
+
+
+ORACLE["feature_hashing"] = _feature_hashing_oracle()
 
 
 def _bpe_oracle() -> str:
