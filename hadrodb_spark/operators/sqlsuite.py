@@ -665,7 +665,26 @@ def sql_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q20)
 
 
+_NWIN = """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS run_spend
+    FROM {p}orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: one window definition shared by a rank and a
+    running exact-DECIMAL sum — the SQL surface for reusing a single sort
+    within a query block (both consumers share one Exchange)."""
+    return _run(spark, sf_dir, _NWIN)
+
+
 ORACLE: dict[str, str] = {
+    "sql_named_window": _fmt(_NWIN, ""),
     "sql_tpch_q3_like": _fmt(_Q3, ""),
     "sql_tpch_q5_like": _fmt(_Q5, ""),
     "sql_tpch_q18_like": _fmt(_Q18, ""),
