@@ -261,6 +261,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, sig)
 
 
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation against planted ground truth: the corpus
+    plants near-dups at known ids, so (doc, doc+100000) pairs ARE the
+    answer key. Per method (LSH band candidates / exact-SimHash collision)
+    report truth size, detected truth pairs, and extra (non-planted)
+    pairs — the recall/noise tradeoff a curation pipeline tunes.
+
+    Scale: reuses the production candidate generators verbatim (band
+    self-join, simhash groupBy); the eval joins touch candidate pairs
+    only. Evaluation-as-a-query means the tuning loop runs where the data
+    is — no sampling to a driver."""
+    sig = _signatures(spark, sf_dir, keep="dtoks")
+    sig = sig.persist()
+    cand = _band_candidates(sig)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    truth = (
+        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+    )
+
+    # SimHash over the SAME planted corpus (the production map-only path)
+    base = _with_near_dups(spark, sf_dir)
+    nib = "(locate(substr(md5(x), {p}, 1), '0123456789abcdef') - 1)"
+    v16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    vals = F.expr(
+        "transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')), "
+        f"x -> {v16})"
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * aggregate(v16s, 0, (acc, v) -> acc + (shiftright(v, {i}) & 1)) "
+        f"> size(v16s) THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    sim = (
+        base.withColumn("v16s", vals)
+        .filter(F.size("v16s") > 0)
+        .select("doc_id", F.expr(bit_terms).cast("bigint").alias("simhash"))
+    )
+    sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    simpairs = (
+        sa.join(sb, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+
+    def scoreboard(method: str, pairs: DataFrame) -> DataFrame:
+        det = truth.join(pairs, ["id_a", "id_b"], "left_semi")
+        extra = pairs.join(truth, ["id_a", "id_b"], "left_anti")
+        return (
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+            .crossJoin(det.agg(F.count(F.lit(1)).cast("bigint").alias("n_detected")))
+            .crossJoin(extra.agg(F.count(F.lit(1)).cast("bigint").alias("n_extra")))
+            .select(F.lit(method).alias("method"), "n_truth", "n_detected", "n_extra")
+        )
+
+    out = scoreboard("lsh", cand).unionByName(scoreboard("simhash", simpairs))
+    return _materialize_release(out, sig)
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 _DTOKS = f"list_distinct({_TOKS})"
@@ -331,6 +395,61 @@ ORACLE: dict[str, str] = {
         WHERE ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
                     / (len(ta.dtoks) + len(tb.dtoks)
                        - len(list_intersect(ta.dtoks, tb.dtoks))), 6) >= {_JACCARD_MIN}
+    """,
+    "dedup_method_eval": f"""
+        WITH base AS ({_NEAR_BASE}),
+        truth AS (
+          SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+          FROM documents
+          WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+          FROM base
+          WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+        ),
+        bands AS ({_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        ),
+        v AS (
+          SELECT doc_id, list_transform({_DTOKS}, x -> {_V16}) AS v16s
+          FROM base
+        ),
+        s AS (
+          SELECT doc_id, CAST({_BIT_TERMS} AS BIGINT) AS simhash
+          FROM v WHERE len(v16s) > 0
+        ),
+        simpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b
+            ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        )
+        SELECT 'lsh' AS method,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM truth t
+                     WHERE EXISTS (SELECT 1 FROM cand c
+                                   WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                    AS BIGINT) AS n_detected,
+               CAST((SELECT COUNT(*) FROM cand c
+                     WHERE NOT EXISTS (SELECT 1 FROM truth t
+                                       WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                    AS BIGINT) AS n_extra
+        UNION ALL
+        SELECT 'simhash',
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM truth t
+                     WHERE EXISTS (SELECT 1 FROM simpairs c
+                                   WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM simpairs c
+                     WHERE NOT EXISTS (SELECT 1 FROM truth t
+                                       WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                    AS BIGINT)
     """,
     "dedup_containment": f"""
         WITH base AS ({_NEAR_BASE}),
