@@ -37,7 +37,41 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(docs))
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of opaque media blobs: byte-level md5 groupBy —
+    the decode-free exact-dedup plan for image/audio corpora (identical
+    bytes ⇒ identical asset, no pixel decode needed). Planted duplicate
+    blobs at media_id+200000 make the check non-vacuous; one hash shuffle,
+    the dedup_exact plan over binary."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    copies = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    media = documents_as_media(docs.unionByName(copies))
+    return (
+        media.groupBy(F.md5("blob").alias("content_md5"))
+        .agg(
+            F.min("media_id").alias("keeper"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "multimodal_dedup": """
+        WITH media AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT md5(text) AS content_md5,
+               MIN(media_id) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM media
+        GROUP BY md5(text)
+        HAVING COUNT(*) > 1
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                'text' AS kind,
