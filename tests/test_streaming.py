@@ -240,3 +240,28 @@ def test_trending_topk_matches_batch(spark, sf_dir, event_dir, tmp_path):
     emitted_windows = {r[0] for r in got_rows}
     missing = {r for r in want_rows if r[0] in emitted_windows} - got_rows
     assert not missing, missing
+
+
+def test_countmin_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
+    """Incrementally-maintained CMS counters (stream → collection upserts)
+    must equal the one-shot batch counter build over the same events."""
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import sketch as SK
+
+    coll = HadroCollection(spark, str(tmp_path / "cms"), SK.CMS_SCHEMA)
+    stream = S.stream_events(spark, event_dir)
+    q = SK.countmin_stream(stream, coll, "user_id", str(tmp_path / "cms_ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in coll.scan(columns=["j", "bucket", "c"]).collect()
+    }
+    want = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in SK._delta_counts(
+            load(spark, sf_dir, "events"), "user_id"
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 4 * load(spark, sf_dir, "events").count()
