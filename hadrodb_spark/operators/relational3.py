@@ -19,6 +19,57 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionAll(urgent).select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min of per-side multiplicities) —
+    Spark compiles it to an aggregate + join, never a distinct."""
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_partkey", "l_returnflag"
+    )
+    cheap = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05).select(
+        "l_partkey", "l_returnflag"
+    )
+    return big.intersectAll(cheap)
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference: multiplicities subtract, floor 0)."""
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_partkey", "l_returnflag"
+    )
+    cheap = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05).select(
+        "l_partkey", "l_returnflag"
+    )
+    return big.exceptAll(cheap)
+
+
+_SESSION_GAP_MIN = 30
+
+
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` in BATCH mode: per-user activity
+    sessions split at >30-minute gaps. The oracle computes the same
+    sessions with the independent lag/cumsum islands algorithm — the two
+    formulations verifying each other.
+
+    Scale: one hash shuffle on user_id; session assembly is a merging
+    aggregation inside the partition (built-in, codegen'd) — the same
+    operator the streaming path uses, so batch backfill and live
+    sessionization share semantics by construction."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicates(subset)`` — keep one row per (status, priority) pair;
     made deterministic by reducing to the pure key pairs (Spark's keeper row
@@ -169,6 +220,41 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "setop_intersect_all": """
+        SELECT l_partkey, l_returnflag
+        FROM lineitem WHERE l_quantity > 40
+        INTERSECT ALL
+        SELECT l_partkey, l_returnflag
+        FROM lineitem WHERE l_discount > 0.05
+    """,
+    "setop_except_all": """
+        SELECT l_partkey, l_returnflag
+        FROM lineitem WHERE l_quantity > 40
+        EXCEPT ALL
+        SELECT l_partkey, l_returnflag
+        FROM lineitem WHERE l_discount > 0.05
+    """,
+    "session_window_batch": """
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        g AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (
+                     PARTITION BY user_id ORDER BY ts, ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM e
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
     """,
     "setop_union_all": """
         SELECT o_orderkey, o_totalprice, o_orderpriority
