@@ -232,6 +232,71 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOPK = 20
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges (train→apply on one corpus): rewrite
+    every word with the 3 learned merges in order, then report the top-20
+    resulting subword symbols by weighted frequency. Shows the vocabulary
+    actually shifting: merged symbols ('er'-style units) displace their
+    constituent characters in the symbol histogram.
+
+    Scale: training is the bounded loop documented on
+    :func:`bpe_train_merges`; the apply pass is ONE map-only rewrite over
+    the word relation followed by a symbol-count aggregation bounded by
+    the post-merge vocabulary."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        )).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("sym", F.array_join(F.split(F.col("word"), ""), " "))
+        .persist()
+    )
+    cur = words
+    merges = []
+    for _ in range(_BPE_STEPS):
+        top = (
+            cur.withColumn("syms", F.split("sym", " "))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+                )).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair = top["pair"]
+        merged = pair.replace(" ", "")
+        merges.append((pair, merged))
+        cur = cur.withColumn(
+            "sym",
+            F.expr(
+                f"trim(replace(concat(' ', sym, ' '), ' {pair} ', ' {merged} '))"
+            ),
+        )
+    out = (
+        cur.select("cnt", F.explode(F.split("sym", " ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "symbol")
+        .limit(_BPE_TOPK)
+    )
+    out = out.localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
 ORACLE: dict[str, str] = {
     "hard_negative_mining": f"""
         WITH q AS (
@@ -287,6 +352,7 @@ ORACLE: dict[str, str] = {
     """,
     "bpe_train_merges": None,  # built below (unrolled merge-step CTEs)
     "feature_hashing": None,   # built below (generated bucket columns)
+    "bpe_encode": None,        # built below (extends the merge-step CTEs)
 }
 
 
@@ -372,3 +438,57 @@ def _bpe_oracle() -> str:
 
 
 ORACLE["bpe_train_merges"] = _bpe_oracle()
+
+
+def _bpe_encode_oracle() -> str:
+    from hadrodb_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    ctes = [f"""
+        words0 AS (
+          SELECT word, COUNT(*) AS cnt,
+                 array_to_string(string_split(word, ''), ' ') AS sym
+          FROM (SELECT unnest({toks}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z]{{2,12}}$')
+          GROUP BY word
+        )"""]
+    for k in range(_BPE_STEPS):
+        ctes.append(f"""
+        p{k} AS (
+          SELECT pair, SUM(cnt) AS pair_count FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(sp) - 1),
+                          i -> sp[i] || ' ' || sp[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(sym, ' ') AS sp FROM words{k})
+            WHERE len(sp) >= 2
+          ) GROUP BY pair
+        )""")
+        ctes.append(f"""
+        m{k} AS (
+          SELECT pair, replace(pair, ' ', '') AS merged, pair_count
+          FROM p{k} ORDER BY pair_count DESC, pair LIMIT 1
+        )""")
+        ctes.append(f"""
+        words{k + 1} AS (
+          SELECT word, cnt,
+                 trim(replace(' ' || sym || ' ',
+                              ' ' || m{k}.pair || ' ',
+                              ' ' || m{k}.merged || ' ')) AS sym
+          FROM words{k}, m{k}
+        )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+        SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM (
+          SELECT cnt, unnest(string_split(sym, ' ')) AS symbol
+          FROM words{_BPE_STEPS}
+        )
+        GROUP BY symbol
+        ORDER BY freq DESC, symbol
+        LIMIT {_BPE_TOPK}
+    """
+    )
+
+
+ORACLE["bpe_encode"] = _bpe_encode_oracle()

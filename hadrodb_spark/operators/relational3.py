@@ -70,6 +70,21 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics an ordinary equi-join silently drops.
+    Keys are NULLIF-manufactured so the null group is non-empty."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "k", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    left = o.filter(F.col("o_orderkey") < 2000).select("o_orderkey", "k")
+    grp = o.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("grp_n"))
+    return (
+        left.join(grp, left["k"].eqNullSafe(grp["k"]))
+        .select("o_orderkey", left["k"].alias("k"), "grp_n")
+    )
+
+
 def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicates(subset)`` — keep one row per (status, priority) pair;
     made deterministic by reducing to the pure key pairs (Spark's keeper row
@@ -220,6 +235,17 @@ ORACLE: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "join_null_safe": """
+        WITH o AS (
+          SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k FROM orders
+        ),
+        grp AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS grp_n FROM o GROUP BY k
+        )
+        SELECT l.o_orderkey, l.k, g.grp_n
+        FROM o l JOIN grp g ON l.k IS NOT DISTINCT FROM g.k
+        WHERE l.o_orderkey < 2000
     """,
     "setop_intersect_all": """
         SELECT l_partkey, l_returnflag
