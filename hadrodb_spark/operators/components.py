@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadrodb_spark.operators import dedup
 
@@ -74,6 +75,42 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical representative per near-dup cluster: the longest member
+    (token count, doc_id tiebreak) survives; the rest map to it. The last
+    stage of the dedup pipeline — LSH pairs → components → one kept doc —
+    emitting per component its canonical id, member count, and kept size.
+
+    Scale: adds one token-count join (on the clustered docs only — a tiny
+    fraction of the corpus) and one rank window per component to the
+    component labeling run."""
+    labels = dedup_components(spark, sf_dir)
+    corpus = dedup._with_near_dups(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        )).cast("bigint").alias("n_tokens"),
+    )
+    joined = labels.join(corpus, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_id"),
+            "n_members",
+            F.col("n_tokens").alias("canonical_tokens"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     # reuse dedup_near's oracle as the edge list, then transitive closure
     "dedup_components": f"""
@@ -92,5 +129,42 @@ ORACLE: dict[str, str] = {
         )
         SELECT origin AS doc_id, MIN(node) AS component
         FROM reach GROUP BY origin
+    """,
+    "dedup_canonicalize": f"""
+        WITH RECURSIVE pairs AS ({dedup.ORACLE["dedup_near"]}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+        ),
+        undirected AS (
+          SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b AS src, a AS dst FROM edges
+        ),
+        reach(origin, node) AS (
+          SELECT src, src FROM undirected
+          UNION
+          SELECT r.origin, u.dst FROM reach r JOIN undirected u ON u.src = r.node
+        ),
+        labels AS (
+          SELECT origin AS doc_id, MIN(node) AS component
+          FROM reach GROUP BY origin
+        ),
+        corpus AS (
+          SELECT doc_id, CAST(len({dedup._TOKS}) AS BIGINT) AS n_tokens
+          FROM ({dedup._NEAR_BASE})
+        ),
+        ranked AS (
+          SELECT l.component, l.doc_id, c.n_tokens,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY l.component
+                     ORDER BY c.n_tokens DESC, l.doc_id
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.component) AS n_members
+          FROM labels l JOIN corpus c ON l.doc_id = c.doc_id
+        )
+        SELECT component,
+               doc_id AS canonical_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               n_tokens AS canonical_tokens
+        FROM ranked WHERE rn = 1
     """,
 }
