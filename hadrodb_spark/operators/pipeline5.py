@@ -297,6 +297,66 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-1-smoothed corpus bigram LM
+    — the stronger perplexity proxy (conditional, not marginal, token
+    surprisal): p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Determinism contract (the unigram_logprob pattern): each bigram's
+    −ln p is rounded to 6 decimals then summed as DECIMAL(18,6) — exact
+    under any accumulation order. All counts are exact integers; V and the
+    context counts ride the SAME lineage as the bigram tf relation
+    (windows over its partitionings), so the heavy explode is consumed
+    exactly once; V broadcasts as a 1-row relation from a separate
+    map-only scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.withColumn(
+        "toks",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"),
+    ).filter(F.size("toks") >= 2)
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS w1, "
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bg))"
+        )).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    tf = bigrams.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("tc"))
+    vocab = (
+        docs.select(F.explode(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        )).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    cnt_bg = F.sum("tc").over(Window.partitionBy("bg"))
+    cnt_w1 = F.sum("tc").over(Window.partitionBy("w1"))
+    scored = (
+        tf.withColumn("cnt_bg", cnt_bg)
+        .withColumn("cnt_w1", cnt_w1)
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "neg_logp",
+            F.round(
+                F.log(
+                    (F.col("cnt_w1") + F.col("v")).cast("double")
+                    / (F.col("cnt_bg") + 1)
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tc").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("tc") * F.col("neg_logp")).alias("sum_nlp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("sum_nlp").cast("double") / F.col("n_bigrams"), 6).alias("xent"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "hard_negative_mining": f"""
         WITH q AS (
@@ -353,7 +413,52 @@ ORACLE: dict[str, str] = {
     "bpe_train_merges": None,  # built below (unrolled merge-step CTEs)
     "feature_hashing": None,   # built below (generated bucket columns)
     "bpe_encode": None,        # built below (extends the merge-step CTEs)
+    "bigram_logprob": None,    # built below (needs sql_tokens)
 }
+
+
+def _bigram_oracle() -> str:
+    from hadrodb_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, (p).w1 AS w1, (p).bg AS bg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> {{'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]}})) AS p
+            FROM toked WHERE len(t) >= 2
+          )
+        ),
+        tf AS (
+          SELECT doc_id, w1, bg, COUNT(*) AS tc
+          FROM bigrams GROUP BY doc_id, w1, bg
+        ),
+        vocab AS (
+          SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest({toks}) AS tok FROM documents
+          )
+        ),
+        scored AS (
+          SELECT doc_id, tc,
+                 CAST(ROUND(ln(
+                     CAST(SUM(tc) OVER (PARTITION BY w1) + (SELECT v FROM vocab)
+                          AS DOUBLE)
+                     / (SUM(tc) OVER (PARTITION BY bg) + 1)
+                 ), 6) AS DECIMAL(18,6)) AS neg_logp
+          FROM tf
+        )
+        SELECT doc_id,
+               CAST(SUM(tc) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(tc * neg_logp) AS DOUBLE) / SUM(tc), 6) AS xent
+        FROM scored GROUP BY doc_id
+    """
+
+
+ORACLE["bigram_logprob"] = _bigram_oracle()
 
 
 def _feature_hashing_oracle() -> str:
