@@ -945,6 +945,37 @@ class HadroCollection:
 
         self._update_manifest(put)
 
+    def export(self, path: str, format: str = "parquet", mode: str = "error") -> None:
+        """Write the live LWW view out as plain parquet / json / csv —
+        data interchange with non-Hadro consumers. The export is the
+        merged view (no internal columns, no tombstones), written with
+        the DataFrame writer so it distributes like any Spark job."""
+        if format not in ("parquet", "json", "csv"):
+            raise HadroError(f"unsupported export format: {format}")
+        writer = self.scan().write.mode(mode)
+        if format == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, format)(path)
+
+    def import_file(self, path: str, format: str = "parquet", key_col: str | None = None) -> None:
+        """Bulk-load an external parquet / json / csv file set as one
+        commit (``append_df`` semantics: LWW against existing keys).
+        CSV reads with header + schema inference; for production loads
+        pass parquet (typed) — CSV/JSON inference is the convenience
+        path."""
+        if format not in ("parquet", "json", "csv"):
+            raise HadroError(f"unsupported import format: {format}")
+        reader = self.spark.read
+        if format == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = getattr(reader, format)(path)
+        # align to the collection schema: JSON/CSV drop all-null columns on
+        # export — reintroduce them as typed nulls instead of failing
+        for field in self.schema.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        self.append_df(df, key_col=key_col)
+
     def read_at(self, commit: int) -> DataFrame:
         """Time-travel: the live view AS OF the given commit id (inclusive)
         — the log's explicit ``_seq`` makes historical snapshots free, a

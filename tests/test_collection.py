@@ -525,3 +525,19 @@ def test_history_commit_log(spark, coll):
     hist2 = coll.history().collect()
     assert all(r["clean"] for r in hist2)
     assert sum(r["rows"] or 0 for r in hist2) == 1  # only 'b' survives
+
+
+def test_export_import_roundtrip(spark, coll, tmp_path):
+    coll.set("a", {"title": "v1", "author": "x"})
+    coll.set("b", {"title": "v2", "author": None})
+    coll.delete("a")
+    coll.flush()
+    for fmt in ("parquet", "json", "csv"):
+        out = str(tmp_path / f"exp_{fmt}")
+        coll.export(out, format=fmt)
+        back = HadroCollection(
+            spark, str(tmp_path / f"imp_{fmt}"), coll.schema
+        )
+        back.import_file(out, format=fmt, key_col="_key")
+        rows = {r["_key"]: r["title"] for r in back.scan().collect()}
+        assert rows == {"b": "v2"}, (fmt, rows)
