@@ -235,3 +235,30 @@ def test_dedup_containment_no_quadratic_join(spark, sf_dir):
 
     plan = E.formatted_plan(D.dedup_containment(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_latest_additions_plan_shapes(spark, sf_dir):
+    from hadrodb_spark.operators import pipeline4 as P4
+    from hadrodb_spark.operators import pipeline5 as P5
+    from hadrodb_spark.operators import relational3 as R3
+    from hadrodb_spark.operators import relational4 as R4
+
+    # phrase search: posting-list equi-join, never a cartesian
+    plan = E.formatted_plan(P4.phrase_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # weighted median: both windows share ONE hash Exchange on the group key
+    assert E.shuffle_count(R4.weighted_median(spark, sf_dir)) <= 1
+    # session windows: one shuffle on user_id
+    assert E.shuffle_count(R3.session_window_batch(spark, sf_dir)) <= 1
+    # higher moments: single agg pass (partial + final = 1 Exchange)
+    assert E.shuffle_count(R4.agg_higher_moments(spark, sf_dir)) <= 1
+    # bigram LM: the explode lineage is consumed once; vocab broadcasts
+    df = P5.bigram_logprob(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    # one bigram + one vocab explode; formatted plans print each node twice
+    # (tree line + detail block)
+    assert plan.count("Generate") <= 4, plan
+    # feature hashing: two agg shuffles, no join at all
+    fh = P5.feature_hashing(spark, sf_dir)
+    plan = E.formatted_plan(fh)
+    assert "Join" not in plan, plan
