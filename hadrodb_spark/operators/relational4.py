@@ -369,9 +369,96 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions — first_value / last_value / nth_value over
+    an explicit full-partition frame and a deterministic total order
+    (orderdate, orderkey): per customer, the first, latest, and 2nd order
+    values. last_value needs the UNBOUNDED FOLLOWING frame or it reads the
+    default frame's current row — the classic trap, pinned here."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    out = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value(price).over(w).cast("double").alias("first_spend"),
+        F.last_value(price).over(w).cast("double").alias("last_spend"),
+        F.nth_value(price, 2).over(w).cast("double").alias("second_spend"),
+    )
+    return out
+
+
+def regression_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares line per event type (value ~ hour-of-day) from EXACT
+    integer/decimal power sums — the regr_slope/regr_intercept family
+    computed engine-proof: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with
+    every Σ exact, one double division at the end, rounded to 6."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+    )
+    num = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    return agg.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND({num} / {den}, 6) AS slope",
+        f"ROUND((CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE)) / n, 6)"
+        " AS intercept",
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
     "agg_higher_moments": None,  # built below (shared formula text)
+    "window_value_functions": """
+        SELECT o_custkey, o_orderkey,
+               CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS first_spend,
+               CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS last_spend,
+               CAST(NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w
+                    AS DOUBLE) AS second_spend
+        FROM orders
+        WHERE o_custkey <= 300
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    "regression_line": """
+        WITH agg AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(hour(ts) AS BIGINT)) AS sx,
+                 SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sxx,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS BIGINT)) AS sxy
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM agg
+    """,
     "weighted_median": """
         WITH cum AS (
           SELECT l_returnflag,
