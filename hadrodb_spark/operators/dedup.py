@@ -325,6 +325,47 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, sig)
 
 
+ROWS_ONLY = ("dedup_ml_minhash",)
+
+
+def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via ``pyspark.ml``'s MinHashLSH (CountVectorizer
+    over 3-gram shingles → 4 hash tables → approxSimilarityJoin) — the
+    library cross-check of the hand-built LSH path in :func:`dedup_near`.
+    Seeded, so deterministic per Spark version, but the hash family is
+    engine-internal — registered rows-only; the unit suite asserts the
+    planted pairs are all recovered and the pair set stays bounded.
+
+    Scale: approxSimilarityJoin is the same band-bucket self-join shape
+    as _band_candidates (explode hash tables, join on equal buckets,
+    distance-filter candidates) — the ml wrapper simply owns the hash
+    family."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    base = _with_near_dups(spark, sf_dir)
+    sh = (
+        base.withColumn("toks", X.tokens(F.col("text")))
+        .filter(F.size("toks") >= 3)
+        .withColumn("sh", X.shingles(F.col("toks"), 3))
+    )
+    cv = CountVectorizer(inputCol="sh", outputCol="vec", binary=True).fit(sh)
+    vecs = cv.transform(sh).select("doc_id", "vec")
+    lsh = MinHashLSH(
+        inputCol="vec", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(vecs)
+    pairs = lsh.approxSimilarityJoin(
+        vecs, vecs, 1.0 - _NGRAM_JACCARD_MIN, distCol="jd"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jd"), 6).alias("jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 _DTOKS = f"list_distinct({_TOKS})"
