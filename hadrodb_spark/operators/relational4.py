@@ -420,9 +420,93 @@ def regression_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (argmax/argmin) per nation — made deterministic by
+    maximizing over a UNIQUE integer key (balance in cents ×10⁶ + custkey)
+    so ties can't exist; native max_by's tie behavior is unspecified in
+    both engines."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "ukey",
+        (F.round(F.col("c_acctbal") * 100).cast("long") * 1000000
+         + F.col("c_custkey")),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, ukey)").alias("richest"),
+        F.expr("min_by(c_name, ukey)").alias("poorest"),
+        F.max(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("max_bal"),
+    )
+
+
+def window_rolling_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sample stddev over a 5-row frame from EXACT integer power
+    sums (quantity in integral units): sqrt((Q − S²/n)/(n−1)) — one fixed
+    double sequence per row, engine-proof, where native stddev-over-window
+    would accumulate floats in engine-specific order."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    w = (
+        Window.orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    rolled = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("q").over(w).alias("s"),
+        F.sum(F.col("q") * F.col("q")).over(w).alias("qq"),
+    ).filter(F.col("n") >= 2)
+    return rolled.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(n AS BIGINT) AS n",
+        "ROUND(sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)"
+        " AS roll_std",
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
     "agg_higher_moments": None,  # built below (shared formula text)
+    "agg_argmax": """
+        WITH c AS (
+          SELECT c_nationkey, c_name, c_acctbal,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey
+                     AS ukey
+          FROM customer
+        )
+        SELECT c_nationkey,
+               max_by(c_name, ukey) AS richest,
+               min_by(c_name, ukey) AS poorest,
+               CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+        FROM c GROUP BY c_nationkey
+    """,
+    "window_rolling_stddev": """
+        WITH rolled AS (
+          SELECT l_orderkey, l_linenumber,
+                 COUNT(*) OVER w AS n,
+                 SUM(CAST(l_quantity AS BIGINT)) OVER w AS s,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                     OVER w AS qq
+          FROM lineitem
+          WHERE l_orderkey <= 2000
+          WINDOW w AS (
+              ORDER BY l_orderkey, l_linenumber
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+          )
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(n AS BIGINT) AS n,
+               ROUND(sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                          / (n - 1)), 6) AS roll_std
+        FROM rolled WHERE n >= 2
+    """,
     "window_value_functions": """
         SELECT o_custkey, o_orderkey,
                CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
