@@ -1,0 +1,130 @@
+"""Native-format (hadrolog) END-TO-END: ingest → segment log → scan → agg.
+
+The reference ships an end-to-end demo collection (``/root/reference/.tweets``)
+written through its append path (``/root/reference/hadro/engine.py:123-132``)
+and read back by its scan loop (``hadro/engine.py:139-177``). This module is
+the driver-checkable analog: ``hadrolog_scan_decode`` writes the ``events``
+table into a multi-segment native-format collection — each record framed
+``[1B flags][4B BE uint32 size][orso-msgpack payload]`` exactly as the
+reference's ``_write`` (``hadro/engine.py:147-148,131-132``), with real
+tombstones (``DELETED_FLAG``, ``hadro/engine.py:26``) — then reads it back
+through the :mod:`hadrodb_spark.sources.hadrolog` DataSource in typed mode
+(msgpack payload decode) and aggregates the survivors.
+
+The DuckDB oracle aggregates the same rows straight from parquet, so a hash
+match externally verifies BOTH the byte-level framing/codec round-trip (S4)
+and tombstone skip-at-scan (S5) — behaviors previously covered only by unit
+tests.
+
+Scale: the write is one map-side pass — each input partition streams its rows
+into its own segment file with no shuffle and no driver involvement, exactly
+how a 1000-executor ingest would lay down a 1000-segment collection on shared
+storage. The read fans out one Spark task per segment (the hadrolog source's
+partitioning), and the aggregate is an ordinary codegen'd hash aggregation.
+Monetary values are carried as integer cents so the cross-engine sum is
+exact, not float-order-dependent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.sources import hadrolog
+
+_N_SEGMENTS = 4
+_FIXTURE_VERSION = "v1"
+
+
+def _native_events_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), f"hadrolog_events_{_FIXTURE_VERSION}_{tag}"
+    )
+
+
+def _build_native_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Write events as a native-format collection: one segment per input
+    partition, written map-side (no shuffle, no collect). 'error' events are
+    framed as tombstones so the scan's skip path is exercised for real."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_type") == "error").alias("deleted"),
+        )
+        .repartition(_N_SEGMENTS, "event_id")
+    )
+
+    staging = tempfile.mkdtemp(prefix="hadrolog_build_")
+
+    def write_segment(idx, rows):
+        # executor-side: stream this partition into its own segment file,
+        # framing each record like the reference's append path
+        from hadrodb_spark.sources.hadrolog import encode_row_record
+
+        path = os.path.join(staging, f"{idx:08d}.data")
+        with open(path, "wb") as f:
+            for r in rows:
+                f.write(
+                    encode_row_record(
+                        (r.event_id, r.user_id, r.event_type, r.cents),
+                        deleted=r.deleted,
+                    )
+                )
+        yield idx
+
+    ev.rdd.mapPartitionsWithIndex(write_segment).count()
+    try:
+        os.rename(staging, dest)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+
+
+def hadrolog_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events table through the reference's on-disk format
+    and aggregate what a native scan sees: per event type, how many live
+    records and their exact total value in cents. Tombstoned ('error')
+    records are physically present in the segments but skipped at scan
+    (``hadro/engine.py:169-170`` semantics)."""
+    hadrolog.register(spark)
+    dest = _native_events_dir(sf_dir)
+    if not os.path.isdir(dest):
+        _build_native_collection(spark, sf_dir, dest)
+    scanned = (
+        spark.read.format("hadrolog")
+        .option("path", dest)
+        .option("ddl", "event_id bigint, user_id bigint, event_type string, cents bigint")
+        .load()
+    )
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "hadrolog_scan_decode": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+}

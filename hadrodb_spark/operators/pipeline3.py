@@ -310,26 +310,41 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via ``approx_percentile`` (Greenwald-Khanna,
     bounded memory per group) — the 100 TB path where exact quantiles'
-    full sort is off the table. No SQL oracle (sketch internals are
-    engine-specific); the unit suite bounds its error against the exact
-    ``profile_quantiles`` instead."""
+    full sort is off the table. Sketch internals are engine-specific, so
+    the oracle checks the *guarantee* instead of the estimate: GK with
+    accuracy=10000 returns an element whose rank is within n/10000 of the
+    target, so the returned value must lie between the exact interpolated
+    quantiles at p ∓ 0.002 (20× the rank guarantee — monotonicity of the
+    sorted sequence makes the bracket sound). The exact quartiles are
+    cross-checked value-for-value; the ``*_ok`` booleans are TRUE in the
+    oracle, so a hash match proves the sketch honours its error bound."""
     li = load(spark, sf_dir, "lineitem")
-    pct = F.expr(
-        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+    approx = F.expr(
+        "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)"
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            pct.alias("pct"),
-        )
-        .select(
-            "l_returnflag",
-            "n_rows",
-            F.col("pct")[0].cast("double").alias("q1"),
-            F.col("pct")[1].cast("double").alias("median"),
-            F.col("pct")[2].cast("double").alias("q3"),
-        )
+    exact = F.expr(
+        "percentile(l_quantity, array(0.248D, 0.25D, 0.252D,"
+        " 0.498D, 0.5D, 0.502D, 0.748D, 0.75D, 0.752D))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        approx.alias("a"),
+        exact.alias("e"),
+    )
+
+    def ok(i: int) -> F.Column:
+        a = F.col("a")[i].cast("double")
+        return (F.col("e")[3 * i] <= a) & (a <= F.col("e")[3 * i + 2])
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("e")[1], 6).alias("q1_exact"),
+        F.round(F.col("e")[4], 6).alias("median_exact"),
+        F.round(F.col("e")[7], 6).alias("q3_exact"),
+        ok(0).alias("q1_ok"),
+        ok(1).alias("median_ok"),
+        ok(2).alias("q3_ok"),
     )
 
 
@@ -362,7 +377,7 @@ def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ oracles
 _TOKS = X.sql_tokens("text")
 
-ROWS_ONLY = ("profile_quantiles_approx",)
+ROWS_ONLY: tuple[str, ...] = ()
 
 def _corr_matrix_oracle() -> str:
     moment_cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
@@ -390,6 +405,15 @@ def _corr_matrix_oracle() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "profile_quantiles_approx": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q1_exact,
+               ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_exact,
+               ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q3_exact,
+               TRUE AS q1_ok, TRUE AS median_ok, TRUE AS q3_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "time_gapfill": f"""
         WITH ev AS (
           SELECT user_id, date_trunc('hour', ts) AS h,

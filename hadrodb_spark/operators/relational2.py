@@ -151,15 +151,25 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL). Sketch implementations differ across
-    engines → rows-only check; the unit test bounds the error vs exact."""
-    return (
+    """approx_count_distinct (HLL, rsd=0.02). Sketch internals differ across
+    engines, so the oracle checks the *bound*, not the estimate: the exact
+    distinct count is cross-checked value-for-value, and ``within_bound``
+    asserts |approx − exact| ≤ 5·rsd·exact. HLL is deterministic for a given
+    input, so the boolean is stable; the oracle emits literal TRUE — a hash
+    match means the estimate verifiably honours its published error."""
+    agg = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
         )
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts"))
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (err <= 5 * 0.02 * F.col("exact_parts")).alias("within_bound"),
     )
 
 
@@ -428,9 +438,15 @@ def grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ROWS_ONLY = ("agg_approx_distinct",)
+ROWS_ONLY: tuple[str, ...] = ()
 
 ORACLE: dict[str, str] = {
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "join_right": """
         SELECT c_custkey, c_name, o_orderkey, o_totalprice
         FROM (SELECT * FROM orders WHERE o_totalprice > 180000) o

@@ -263,7 +263,7 @@ ORACLE: dict[str, str] = {
     """,
     "session_window_batch": """
         WITH e AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN ts - LAG(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                       ) >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
@@ -272,7 +272,7 @@ ORACLE: dict[str, str] = {
         g AS (
           SELECT user_id, ts,
                  SUM(brk) OVER (
-                     PARTITION BY user_id ORDER BY ts, ts
+                     PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS sid
           FROM e

