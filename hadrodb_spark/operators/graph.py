@@ -163,13 +163,26 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Depth is 2 because UNION ALL recursion carries the full path multiset
     (Spark rejects UNION DISTINCT in recursion): on a dense co-purchase
-    graph the depth-d frontier is O(deg^d) rows, and Spark additionally
-    enforces a recursion row limit (raised here as belt-and-braces).
+    graph the depth-d frontier is O(deg^d) rows; the _PART_CAP edge bound
+    plus depth 2 keep the frontier far below Spark's recursion row limit,
+    so the default limit suffices — a caller pushing depth/cap higher
+    raises ``spark.sql.cteRecursionRowLimit`` in their own session.
     Production BFS at 100 TB dedups the frontier per level — that is the
     iterative DataFrame loop in operators/components.py."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(_REACH_SQL.format(p="v_"))
+    # raise the recursion row limit only while BUILDING the plan, then
+    # restore — a session-wide override leaking out of an operator would
+    # silently change every later recursive query's safety limit
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(50_000_000))
+    try:
+        load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        return spark.sql(_REACH_SQL.format(p="v_"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 _EDGE_CTE = f"""

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadrodb_spark.functions import vectors as V
+from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.relational import load
 
 _HN_QUERY_IDS = (0, 1, 2)   # labeled query vectors
@@ -171,6 +172,75 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_STEPS = 3
 
+# learned model memo: (applicationId, sf_dir) → (merges, rewritten-word plan).
+# The merges ARE the model (driver-side rows by design); memoizing means
+# train and encode share one training pass instead of each re-learning.
+_BPE_MODEL: dict[tuple, tuple[list, DataFrame]] = {}
+
+
+def _bpe_word_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (word, cnt, sym) vocabulary relation, shared via the
+    session-scoped registry — every training step aggregates over it."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("text")
+        return (
+            docs.select(F.explode(F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            )).alias("word"))
+            .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("sym", F.array_join(F.split(F.col("word"), ""), " "))
+        )
+
+    key = ("bpe_words", spark.sparkContext.applicationId, sf_dir)
+    return shared.shared_persist(key, build)
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """Run (or reuse) the 3-step merge-learning loop. Returns the learned
+    ``(step, pair, merged, pair_count)`` rows and the word relation with
+    all merges applied. Stops early on a corpus with no multi-symbol
+    words (the empty-argmax guard)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MODEL.get(key)
+    if hit is not None:
+        return hit
+    cur = _bpe_word_relation(spark, sf_dir)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(_BPE_STEPS):
+        rows = (
+            cur.withColumn("syms", F.split("sym", " "))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+                )).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break  # nothing left to merge
+        pair, pcount = rows[0]["pair"], int(rows[0]["pair_count"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, pcount))
+        # pair is [a-z ]-only by construction — safe to inline in the expr
+        cur = cur.withColumn(
+            "sym",
+            F.expr(
+                f"trim(replace(concat(' ', sym, ' '), ' {pair} ', ' {merged} '))"
+            ),
+        )
+    _BPE_MODEL[key] = (merges, cur)
+    return merges, cur
+
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding vocabulary training, 3 merge steps: start from
@@ -186,47 +256,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the persisted |vocab|-row word relation (at 100 TB
     the word relation is the aggregation exact dedup already pays; the
     pair vocabulary bounds every later shuffle)."""
-    docs = load(spark, sf_dir, "documents").select("text")
-    words = (
-        docs.select(F.explode(F.expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-        )).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("sym", F.array_join(F.split(F.col("word"), ""), " "))
-        .persist()
-    )
-    merges: list[tuple[int, str, str, int]] = []
-    cur = words
-    for step in range(_BPE_STEPS):
-        top = (
-            cur.withColumn("syms", F.split("sym", " "))
-            .filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(F.expr(
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-                )).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        pair, pcount = top["pair"], int(top["pair_count"])
-        merged = pair.replace(" ", "")
-        merges.append((step, pair, merged, pcount))
-        # pair is [a-z ]-only by construction — safe to inline in the expr
-        cur = cur.withColumn(
-            "sym",
-            F.expr(
-                f"trim(replace(concat(' ', sym, ' '), ' {pair} ', ' {merged} '))"
-            ),
-        )
-    words.unpersist()
+    merges, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count bigint"
     )
@@ -242,59 +272,18 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually shifting: merged symbols ('er'-style units) displace their
     constituent characters in the symbol histogram.
 
-    Scale: training is the bounded loop documented on
-    :func:`bpe_train_merges`; the apply pass is ONE map-only rewrite over
-    the word relation followed by a symbol-count aggregation bounded by
-    the post-merge vocabulary."""
-    docs = load(spark, sf_dir, "documents").select("text")
-    words = (
-        docs.select(F.explode(F.expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-        )).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("sym", F.array_join(F.split(F.col("word"), ""), " "))
-        .persist()
-    )
-    cur = words
-    merges = []
-    for _ in range(_BPE_STEPS):
-        top = (
-            cur.withColumn("syms", F.split("sym", " "))
-            .filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(F.expr(
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-                )).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        pair = top["pair"]
-        merged = pair.replace(" ", "")
-        merges.append((pair, merged))
-        cur = cur.withColumn(
-            "sym",
-            F.expr(
-                f"trim(replace(concat(' ', sym, ' '), ' {pair} ', ' {merged} '))"
-            ),
-        )
-    out = (
+    Scale: shares :func:`_bpe_learn`'s training pass (memoized per
+    session+corpus, so train and encode pay it once between them); the
+    apply pass is ONE map-only rewrite over the word relation followed by
+    a symbol-count aggregation bounded by the post-merge vocabulary."""
+    _, cur = _bpe_learn(spark, sf_dir)
+    return (
         cur.select("cnt", F.explode(F.split("sym", " ")).alias("symbol"))
         .groupBy("symbol")
         .agg(F.sum("cnt").cast("bigint").alias("freq"))
         .orderBy(F.desc("freq"), "symbol")
         .limit(_BPE_TOPK)
     )
-    out = out.localCheckpoint(eager=True)
-    words.unpersist()
-    return out
 
 
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.relational import load
 
 _LATERAL_K = 2
@@ -231,19 +232,25 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = n_ab * n_orders * 1e6 DIV (n_a * n_b) — so the driver hash
     pins every digit. Top-15 pairs by lift (min pair support 3).
 
-    Scale: the pair self-join on l_orderkey is the one real shuffle (the
-    same co-occurrence join graph_triangles pays); item counts broadcast
-    back; at 100 TB frequent-itemset pruning (min-support filter BEFORE
-    the pair join) bounds the fan-out — applied here via _PART_CAP-free
-    min-support on both sides."""
+    Scale: a-priori pruning makes the quadratic step safe — per-basket
+    pair fan-out is quadratic in basket size, so baskets are first
+    filtered to FREQUENT items (n_item >= 3). The prune provably cannot
+    change the answer: any pair with n_ab >= 3 has both members in >= 3
+    baskets. TPC-H baskets are short (<= 7 items); for long-basket data
+    (carts, sessions) the prune is what bounds the explode. Item counts
+    and the order total broadcast back; the pair groupBy is the one
+    post-prune shuffle."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # ONE shuffle builds the basket relation; order total, item counts,
-    # and pair counts all derive from it (persisted across the 3 consumers
-    # — Catalyst would otherwise recompute the agg per consumer)
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
+    # pruned baskets, and pair counts all derive from it (persisted via the
+    # shared registry across its 3 consumers — Catalyst would otherwise
+    # recompute the agg per consumer)
+    key = ("basket_lift_baskets", spark.sparkContext.applicationId, sf_dir)
+    baskets = shared.shared_persist(
+        key,
+        lambda: li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        ),
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     item = (
@@ -251,10 +258,19 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
+    # a-priori prune BEFORE pair expansion: keep only frequent items, then
+    # rebuild each basket's sorted array
+    frequent = item.filter(F.col("n_item") >= 3).select("l_partkey")
+    pruned = (
+        baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+        .join(frequent, "l_partkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
     # map-side pair expansion: sorted parts array → (x, y) with x < y by
     # index order, no self-join shuffle at all
     pairs = (
-        baskets.select(
+        pruned.select(
             F.explode(
                 F.expr(
                     "flatten(transform(parts, (x, i) -> "
@@ -285,8 +301,6 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_fp"), "part_a", "part_b")
         .limit(15)
     )
-    out = out.localCheckpoint(eager=True)
-    baskets.unpersist()
     return out
 
 
@@ -422,12 +436,16 @@ def regression_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_BY / MIN_BY (argmax/argmin) per nation — made deterministic by
-    maximizing over a UNIQUE integer key (balance in cents ×10⁶ + custkey)
-    so ties can't exist; native max_by's tie behavior is unspecified in
-    both engines."""
+    maximizing over a UNIQUE integer key (balance in cents ×10¹⁰ +
+    custkey) so ties can't exist; native max_by's tie behavior is
+    unspecified in both engines. The 10¹⁰ multiplier exceeds any custkey
+    domain (TPC-H SF ≤ 6×10⁴ customers per SF unit ⇒ custkey < 10¹⁰ even
+    at SF 100k), so the key stays monotonic in balance — a ×10⁶
+    multiplier would let large custkeys bleed into the cents component
+    and mis-rank; fits in int64: |cents| ≤ ~10⁶ ⇒ |ukey| < 10¹⁷."""
     c = load(spark, sf_dir, "customer").withColumn(
         "ukey",
-        (F.round(F.col("c_acctbal") * 100).cast("long") * 1000000
+        (F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000_000
          + F.col("c_custkey")),
     )
     return c.groupBy("c_nationkey").agg(
@@ -477,7 +495,7 @@ ORACLE: dict[str, str] = {
     "agg_argmax": """
         WITH c AS (
           SELECT c_nationkey, c_name, c_acctbal,
-                 CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey
                      AS ukey
           FROM customer
         )

