@@ -107,10 +107,11 @@ def main() -> None:
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
-    # BENCH_r01 covered only the first 15 queries; emit that subset's warm
-    # total so cross-round comparisons don't misread list growth as a
-    # regression.
+    # BENCH_r01 covered only the first 15 queries, BENCH_r02 the first 27;
+    # emit those subsets' warm totals (permanent fields) so cross-round
+    # comparisons stay one-line computable as the list grows append-only.
     r01_subset = round(sum(warm[n] for n in HEADLINE[:15]), 3)
+    r02_subset = round(sum(warm[n] for n in HEADLINE[:27]), 3)
     print(
         json.dumps(
             {
@@ -121,6 +122,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "total_cold": total_cold,
                 "r01_comparable_warm_total": r01_subset,
+                "r02_comparable_warm_total": r02_subset,
                 "steal_pct": steal_pct,
                 "sf": sf,
             }

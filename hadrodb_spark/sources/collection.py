@@ -1146,6 +1146,17 @@ class HadroCollection:
         buffered writes, one atomic commit on exit."""
         return _Transaction(self)
 
+    @property
+    def indexes(self) -> "_Indexes":
+        """``hadro.indexes.list/add/remove/rebuild`` — the declared-but-
+        unimplemented index API (``/root/reference/INTERFACE.md:32-38``),
+        mapped onto this engine's actual data-skipping machinery: ``add``
+        records the definition and clusters the data via :meth:`optimize`
+        (sorted/z-ordered rewrite → parquet min/max row-group pruning),
+        which is how columnar stores get the b+tree's point/range-lookup
+        benefit without a secondary structure to keep coherent."""
+        return _Indexes(self)
+
     def close(self) -> None:
         """Flush + seal (``hadro/engine.py:191-197``)."""
         self.flush()
@@ -1171,3 +1182,72 @@ class _Transaction:
             self._coll.flush()
         else:
             del self._coll._pending[self._base:]
+
+
+class _Indexes:
+    """The ``coll.indexes`` facade (``/root/reference/INTERFACE.md:32-38``).
+
+    Definitions persist in ``_hadro_indexes.json`` inside the collection
+    directory; the "index" itself is the physical clustering ``optimize()``
+    produces (plus the always-on per-commit segment stats and key blooms),
+    so ``rebuild`` after heavy appends = re-cluster. ``type`` accepts the
+    interface's ``"b+tree"`` and this engine's ``"clustered"`` /
+    ``"zorder"``; b+tree maps to a clustered rewrite — the columnar
+    equivalent of the lookup structure the reference intended.
+    """
+
+    _FILE = "_hadro_indexes.json"
+
+    def __init__(self, coll: HadroCollection) -> None:
+        self._coll = coll
+
+    def _path(self) -> str:
+        return os.path.join(self._coll.path, self._FILE)
+
+    def _load(self) -> dict[str, dict]:
+        if not os.path.exists(self._path()):
+            return {}
+        with open(self._path()) as f:
+            return json.load(f)
+
+    def _save(self, defs: dict[str, dict]) -> None:
+        tmp = self._path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(defs, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._path())
+
+    def list(self) -> list[dict]:
+        """All index definitions, name-sorted."""
+        return [dict(name=k, **v) for k, v in sorted(self._load().items())]
+
+    def add(self, index_name: str, fields: Sequence[str], type: str = "b+tree") -> None:
+        """Declare an index on ``fields`` and cluster the data for it."""
+        if type not in ("b+tree", "clustered", "zorder"):
+            raise HadroError(f"unsupported index type: {type!r}")
+        known = {f.name for f in self._coll.schema.fields}
+        missing = set(fields) - known
+        if missing:
+            raise HadroError(f"index fields not in schema: {sorted(missing)}")
+        defs = self._load()
+        if index_name in defs:
+            raise HadroError(f"index already exists: {index_name}")
+        defs[index_name] = {"fields": list(fields), "type": type}
+        self._save(defs)
+        self.rebuild(index_name)
+
+    def remove(self, index_name: str) -> None:
+        """Drop the definition. The data stays clustered (harmless) until
+        another index's rebuild re-clusters it."""
+        defs = self._load()
+        if index_name not in defs:
+            raise HadroError(f"no such index: {index_name}")
+        del defs[index_name]
+        self._save(defs)
+
+    def rebuild(self, index_name: str) -> None:
+        """Re-cluster live rows by the index's fields (post-append refresh)."""
+        defs = self._load()
+        if index_name not in defs:
+            raise HadroError(f"no such index: {index_name}")
+        d = defs[index_name]
+        self._coll.optimize(d["fields"], zorder=(d["type"] == "zorder"))

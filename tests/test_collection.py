@@ -541,3 +541,49 @@ def test_export_import_roundtrip(spark, coll, tmp_path):
         back.import_file(out, format=fmt, key_col="_key")
         rows = {r["_key"]: r["title"] for r in back.scan().collect()}
         assert rows == {"b": "v2"}, (fmt, rows)
+
+
+def test_indexes_facade(spark, tmp_path):
+    """INTERFACE.md:32-38 parity: list/add/remove/rebuild over the
+    clustering machinery (optimize + segment stats)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("x", T.IntegerType(), False),
+        T.StructField("y", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+    c = HadroCollection(spark, str(tmp_path / "ixcoll"), schema)
+    for i in range(20):
+        c.set(f"k{i}", {"x": i, "y": 20 - i, "name": f"n{i}"})
+    c.flush()
+
+    assert c.indexes.list() == []
+    c.indexes.add("by_x", ["x"])  # default type maps to clustered rewrite
+    assert c.indexes.list() == [
+        {"name": "by_x", "fields": ["x"], "type": "b+tree"}
+    ]
+    c.indexes.add("xy_z", ["x", "y"], type="zorder")
+    assert [i["name"] for i in c.indexes.list()] == ["by_x", "xy_z"]
+
+    # definitions survive reopen (persisted beside schema/manifest)
+    c2 = HadroCollection(spark, str(tmp_path / "ixcoll"))
+    assert [i["name"] for i in c2.indexes.list()] == ["by_x", "xy_z"]
+
+    # rebuild re-clusters without changing the logical contents
+    c.indexes.rebuild("by_x")
+    assert c.get("k3") == {"x": 3, "y": 17, "name": "n3"}
+    assert len(c) == 20
+
+    c.indexes.remove("xy_z")
+    assert [i["name"] for i in c.indexes.list()] == ["by_x"]
+
+    with pytest.raises(HadroError):
+        c.indexes.add("bad", ["not_a_field"])
+    with pytest.raises(HadroError):
+        c.indexes.add("by_x", ["x"])  # duplicate name
+    with pytest.raises(HadroError):
+        c.indexes.rebuild("missing")
+    with pytest.raises(HadroError):
+        c.indexes.remove("missing")
