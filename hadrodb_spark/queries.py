@@ -118,9 +118,9 @@ _register(sessionize)  # funnel_conversion remainder
 _register(skew)
 _register(relational2, only=["profile_columns"])
 _register(pipeline2)  # profile_quantiles / stratified_sample / length_buckets remainder
-_register(relational3)  # setop_*_all / null_semantics / join_* remainder
 _register(dedup)  # dedup_ml_minhash (rows-only by design)
 _register(similarity)  # vector_topk_kmeans_ivf (rows-only by design)
+_register(relational3)  # setop_*_all / null_semantics / join_* remainder
 # --- driver-verified tiers (r1: relational/relational2; r2: pipeline3/
 # sqlsuite/pipeline4/relational4 remainder) ---
 _register(pipeline3)
