@@ -262,3 +262,16 @@ def test_latest_additions_plan_shapes(spark, sf_dir):
     fh = P5.feature_hashing(spark, sf_dir)
     plan = E.formatted_plan(fh)
     assert "Join" not in plan, plan
+
+
+def test_basket_lift_prunes_and_broadcasts(spark, sf_dir):
+    from hadrodb_spark.operators import relational4 as R4
+
+    df = R4.basket_lift(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    # the a-priori frequent-item prune must be a semi-join ahead of the
+    # pair explode, and nothing in the graph may degrade to a cartesian
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # item counts and the order total come back via broadcast
+    assert E.has_broadcast_join(df), plan
