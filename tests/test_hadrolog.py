@@ -172,3 +172,44 @@ def test_datasource_typed_read(spark, tmp_path):
         ("Othello", "shakespeare", 1603),
     ]
     assert df.schema.fieldNames() == ["title", "author", "year"]
+
+
+def test_mpack_roundtrip_property():
+    """Property: unpackb(packb(x)) == x for arbitrary nested msgpack-able
+    values (hypothesis-generated), including boundary-width integers and
+    microsecond-precision datetimes."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hadrodb_spark.sources import mpack as M
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False, width=64),
+        st.text(max_size=80),
+        st.binary(max_size=80),
+        st.datetimes(
+            min_value=datetime.datetime(1800, 1, 1),
+            max_value=datetime.datetime(2200, 1, 1),
+        ),
+    )
+    values = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=8),
+            st.dictionaries(st.text(max_size=16), inner, max_size=8),
+        ),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(values)
+    def check(v):
+        assert M.unpackb(M.packb(v)) == v
+
+    check()
