@@ -253,10 +253,14 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    item = (
-        baskets.select(F.explode("parts").alias("l_partkey"))
+    # item counts are consumed 3× (frequent-item filter + both broadcast
+    # sides) — share the persisted relation or Catalyst re-aggregates the
+    # basket explode per consumer
+    item = shared.shared_persist(
+        ("basket_lift_items", spark.sparkContext.applicationId, sf_dir),
+        lambda: baskets.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_item"))
+        .agg(F.count(F.lit(1)).alias("n_item")),
     )
     # a-priori prune BEFORE pair expansion: keep only frequent items, then
     # rebuild each basket's sorted array
