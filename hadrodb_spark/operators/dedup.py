@@ -320,16 +320,20 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoreboard("lsh", cand).unionByName(scoreboard("simhash", simpairs))
 
 
-ROWS_ONLY = ("dedup_ml_minhash",)
+ROWS_ONLY: tuple[str, ...] = ()
 
 
 def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via ``pyspark.ml``'s MinHashLSH (CountVectorizer
-    over 3-gram shingles → 4 hash tables → approxSimilarityJoin) — the
-    library cross-check of the hand-built LSH path in :func:`dedup_near`.
-    Seeded, so deterministic per Spark version, but the hash family is
-    engine-internal — registered rows-only; the unit suite asserts the
-    planted pairs are all recovered and the pair set stays bounded.
+    """``pyspark.ml`` MinHashLSH cross-check of the hand-built LSH path
+    (CountVectorizer over 3-gram shingles → 4 hash tables →
+    approxSimilarityJoin). The ml hash family is engine-internal, so the
+    candidate PAIR SET is not SQL-expressible — instead the query outputs
+    the cross-check verdict itself, which is: every planted near-dup pair
+    must be recovered (``recovered == n_truth``), and every reported pair
+    must clear the exact-Jaccard threshold the distance filter promises.
+    The oracle computes ``n_truth`` independently from the planting scheme
+    and emits the booleans as TRUE — seeded LSH is deterministic for a
+    given Spark version, so a hash match is a real recall proof, not luck.
 
     Scale: approxSimilarityJoin is the same band-bucket self-join shape
     as _band_candidates (explode hash tables, join on equal buckets,
@@ -348,15 +352,41 @@ def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(
         inputCol="vec", outputCol="hashes", numHashTables=4, seed=42
     ).fit(vecs)
-    pairs = lsh.approxSimilarityJoin(
+    raw = lsh.approxSimilarityJoin(
         vecs, vecs, 1.0 - _NGRAM_JACCARD_MIN, distCol="jd"
     )
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    pairs = (
+        raw.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
             F.round(1 - F.col("jd"), 6).alias("jaccard"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    truth = (
+        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+    )
+    rec = truth.join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("recovered")
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(rec)
+        .crossJoin(
+            pairs.agg(
+                F.min(F.col("jaccard") >= _NGRAM_JACCARD_MIN).alias("all_above_threshold")
+            )
+        )
+        .select(
+            "n_truth",
+            (F.col("recovered") == F.col("n_truth")).alias("all_planted_recovered"),
+            "all_above_threshold",
         )
     )
 
@@ -399,6 +429,17 @@ _BIT_TERMS = " + ".join(
 )
 
 ORACLE: dict[str, str] = {
+    # bound-checking oracle: the ml hash family is engine-internal, so the
+    # oracle verifies the planted-truth size exactly and asserts the
+    # recall/threshold booleans the Spark side computes (deterministic for
+    # a seeded LSH on fixed data)
+    "dedup_ml_minhash": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+               TRUE AS all_planted_recovered,
+               TRUE AS all_above_threshold
+        FROM documents
+        WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
+    """,
     "dedup_exact": f"""
         SELECT {X.sql_fingerprint('text')} AS fp,
                MIN(doc_id) AS keeper,
