@@ -519,8 +519,9 @@ ORACLE: dict[str, str] = {
     # recall@k over the ≥5 gate (measured 8-10/10, deterministic per run)
     "vector_topk_kmeans_ivf": """
         SELECT CAST(10 AS BIGINT) AS k,
-               CAST(10 AS BIGINT) AS n_results,
+               CAST(LEAST(10, COUNT(*) - 1) AS BIGINT) AS n_results,
                TRUE AS recall_ok
+        FROM embeddings
     """,
     "vector_topk_ivf": f"""
         WITH exploded AS (
