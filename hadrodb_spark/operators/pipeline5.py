@@ -339,10 +339,16 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tc").cast("bigint").alias("n_bigrams"),
         F.sum(F.col("tc") * F.col("neg_logp")).alias("sum_nlp"),
     )
+    # report cross-entropy in exact micro-nats: the decimal sum is integer
+    # at scale 6, so fixed-point integer division is bit-identical across
+    # engines — a final ROUND(double_div, 6) sits on representation
+    # boundaries (Java shortest-repr vs C printf) and flipped at sf0.1
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(F.col("sum_nlp").cast("double") / F.col("n_bigrams"), 6).alias("xent"),
+        F.expr(
+            "CAST(sum_nlp * 1000000 AS BIGINT) DIV n_bigrams"
+        ).alias("xent_unats"),
     )
 
 
@@ -442,7 +448,8 @@ def _bigram_oracle() -> str:
         )
         SELECT doc_id,
                CAST(SUM(tc) AS BIGINT) AS n_bigrams,
-               ROUND(CAST(SUM(tc * neg_logp) AS DOUBLE) / SUM(tc), 6) AS xent
+               CAST(SUM(tc * neg_logp) * 1000000 AS BIGINT) // CAST(SUM(tc) AS BIGINT)
+                   AS xent_unats
         FROM scored GROUP BY doc_id
     """
 
