@@ -45,13 +45,16 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # Hash-stable output discipline (r3 driver red-row fix): epochs as
+    # bigint seconds, money as exact bigint cents — no doubles, no
+    # formatted timestamps, so no renderer/float sensitivity cross-engine.
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.sum(dec("value")).cast("double").alias("session_value"),
+            F.min("ets").alias("session_start_epoch"),
+            F.max("ets").alias("session_end_epoch"),
+            (F.sum(dec("value")) * 100).cast("bigint").alias("session_value_cents"),
         )
     )
 
@@ -98,9 +101,10 @@ ORACLE: dict[str, str] = {
         )
         SELECT user_id, session_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+               MIN(ets) AS session_start_epoch,
+               MAX(ets) AS session_end_epoch,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS session_value_cents
         FROM sess GROUP BY user_id, session_id
     """,
     "funnel_conversion": """

@@ -58,71 +58,73 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1/r2 CORRECTNESS key sets).  Round 1 verified positions 137-186 of the
-# then-order (relational/relational2); round 2 verified positions 0-49
-# (pipeline3/sqlsuite/TPC-H tier).
+# r1/r2/r3 CORRECTNESS key sets).  Cumulative driver coverage after three
+# disjoint windows: 150/188 (r1 relational/relational2 tier; r2 pipeline3/
+# sqlsuite/pipeline4 tier; r3 dedup/vector/KV/text/multimodal tier).
 #
-# ROUND-3 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Exactly the 50 highest-value entries with no driver CORRECTNESS row in
-# r01/r02: the dedup family, vector/ANN, the KV tier, text analysis,
-# curation, multimodal, sketches, sessionization, the UDF surface, graph,
-# and the native-format scan-decode round-trip.  DO NOT REORDER ANYTHING
-# ABOVE THE "round-4 queue" MARKER FOR THE REST OF THIS ROUND.
-_register(dedup, only=[
-    "dedup_exact", "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_containment", "dedup_method_eval",
-])
-_register(components, only=["dedup_components", "dedup_canonicalize"])
-_register(similarity, only=[
-    "dedup_embedding", "vector_topk", "vector_topk_ivf", "vector_topk_sq",
-    "vector_topk_pq", "vector_norms",
-])
-_register(pipeline5, only=["hard_negative_mining"])
-_register(kv, only=[
-    "kv_get_latest", "kv_delete_tombstone", "kv_ids", "kv_count",
-    "where_filter", "scan_skips_deleted", "compact_equivalence",
-])
-_register(textops, only=[
-    "text_stats", "token_count", "lang_id", "quality_score", "corpus_stats",
-    "ngram_freq", "tokenize_categories", "doc_fingerprint",
-])
-_register(pipeline2, only=[
-    "tfidf_top_terms", "contamination_ngram", "pii_redact", "curation_pipeline",
-])
-_register(multimodal_ops, only=[
-    "multimodal_dedup", "multimodal_features", "multimodal_resize",
-    "multimodal_frames",
-])
-_register(sketch, only=["sketch_countmin", "sketch_bloom"])
-_register(relational2, only=["agg_approx_distinct"])
+# ROUND-4 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (per VERDICT.md r3 "Next round" item 1):
+#   [0]     sessionize        — the one r3 red row, outputs hardened to
+#                               bigint epochs + bigint cents this round
+#   [1]     profile_quantiles_approx — r2 row was err:no_oracle; the
+#                               bound-checking oracle has never driver-run
+#   [2-39]  the 38 entries with NO driver CORRECTNESS row in r1/r2/r3
+#   [40-49] highest-churn re-checks: queries whose code, oracle, or shared
+#           intermediates this round touches (shared registry, basket_lift
+#           de-broadcast, nativefmt fixture keying, graph conf fix,
+#           kmeans-IVF oracle robustness, curation profiling)
+# DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
+# OF THIS ROUND.  After r4 every registered query has a driver row.
 _register(sessionize, only=["sessionize"])
-_register(relational3, only=["session_window_batch"])
-_register(relational2, only=["udf_scalar", "udf_pandas"])
-_register(relational4, only=["udf_cogrouped"])
-_register(graph, only=["graph_triangles", "graph_pagerank", "graph_reachability"])
-_register(nativefmt, only=["hadrolog_scan_decode"])
-# --- round-4 queue (positions 50+): the remaining driver-unverified
-# entries, in the order round 4 should verify them ---
-_register(pipeline3, only=["profile_quantiles_approx"])  # r2 row was err:no_oracle — bound oracle added, flip to green
+_register(pipeline3, only=["profile_quantiles_approx"])
 _register(relational4, only=[
     "basket_lift", "lateral_topk", "agg_map_counts", "date_arithmetic",
     "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
 ])
-_register(asof)
+_register(asof)  # asof_orders_events / asof_events_forward / asof_events_nearest
 _register(pipeline5, only=[
     "bpe_train_merges", "bpe_encode", "embedding_quantize_int8",
     "feature_hashing", "bigram_logprob",
 ])
-_register(analytics)
+_register(analytics)  # cumulative_users/retention/event_paths/mode/rfm
 _register(sessionize)  # funnel_conversion remainder
-_register(skew)
+_register(skew)  # join_salted / join_interval_bucketed
 _register(relational2, only=["profile_columns"])
-_register(pipeline2)  # profile_quantiles / stratified_sample / length_buckets remainder
-_register(dedup)  # dedup_ml_minhash (rows-only by design)
-_register(similarity)  # vector_topk_kmeans_ivf (rows-only by design)
-_register(relational3)  # setop_*_all / null_semantics / join_* remainder
-# --- driver-verified tiers (r1: relational/relational2; r2: pipeline3/
-# sqlsuite/pipeline4/relational4 remainder) ---
+_register(pipeline2, only=[
+    "profile_quantiles", "stratified_sample", "length_buckets",
+])
+_register(dedup, only=["dedup_ml_minhash"])
+_register(similarity, only=["vector_topk_kmeans_ivf"])
+_register(relational3, only=[
+    "events_hourly_windows", "join_null_safe", "setop_intersect_all",
+    "setop_except_all", "setop_union_all", "dedup_drop_duplicates",
+    "scalar_array2", "null_semantics", "join_cross",
+])
+# positions 40-49: high-churn re-checks (all green in r1-r3; re-verify
+# because this round's changes touch their code or shared lineage)
+_register(dedup, only=["dedup_near"])
+_register(pipeline2, only=["curation_pipeline", "tfidf_top_terms"])
+_register(graph, only=["graph_reachability"])
+_register(nativefmt, only=["hadrolog_scan_decode"])
+_register(relational3, only=["session_window_batch"])
+_register(similarity, only=["vector_topk_sq"])
+_register(pipeline4, only=["rag_context_pack"])
+_register(sketch, only=["sketch_countmin"])
+_register(sqlsuite, only=["sql_tpch_q9_like"])
+# --- verified tiers (positions 50+; every entry below has a green row in
+# CORRECTNESS_r1/r2/r3) ---
+_register(dedup)
+_register(components)
+_register(similarity)
+_register(pipeline5)
+_register(kv)
+_register(textops)
+_register(pipeline2)
+_register(multimodal_ops)
+_register(sketch)
+_register(relational3)
+_register(graph)
+_register(nativefmt)
 _register(pipeline3)
 _register(sqlsuite)
 _register(pipeline4)
