@@ -38,11 +38,23 @@ from hadrodb_spark.operators.relational import load
 from hadrodb_spark.sources import hadrolog
 
 _N_SEGMENTS = 4
-_FIXTURE_VERSION = "v1"
+_FIXTURE_VERSION = "v2"
 
 
 def _native_events_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    """Cache key = fixture version + a content fingerprint of the source
+    events table (absolute path, size, mtime).  Two datasets sharing a
+    directory basename, or a regenerated dataset at the same path, get
+    distinct fixture dirs instead of silently reusing stale segments."""
+    import hashlib
+
+    src = os.path.join(os.path.realpath(sf_dir), "events.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = src
+    tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), f"hadrolog_events_{_FIXTURE_VERSION}_{tag}"
     )
@@ -51,7 +63,14 @@ def _native_events_dir(sf_dir: str) -> str:
 def _build_native_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
     """Write events as a native-format collection: one segment per input
     partition, written map-side (no shuffle, no collect). 'error' events are
-    framed as tombstones so the scan's skip path is exercised for real."""
+    framed as tombstones so the scan's skip path is exercised for real.
+
+    LOCAL-MODE ASSUMPTION: ``write_segment`` runs executor-side but writes
+    into a driver-created local tempdir, which only works when executors
+    share the driver's filesystem (local[N] — this repo's test/bench rig).
+    A multi-host deploy writes each segment to shared storage instead and
+    publishes via the manifest's conditional swap (see SCALE.md); the
+    framing/encode path is identical either way."""
     ev = (
         load(spark, sf_dir, "events")
         .select(

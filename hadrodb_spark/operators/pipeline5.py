@@ -175,7 +175,9 @@ _BPE_STEPS = 3
 # learned model memo: (applicationId, sf_dir) → (merges, rewritten-word plan).
 # The merges ARE the model (driver-side rows by design); memoizing means
 # train and encode share one training pass instead of each re-learning.
+# Lifecycle rides the shared-relation registry: release_shared() clears it.
 _BPE_MODEL: dict[tuple, tuple[list, DataFrame]] = {}
+shared.register_memo_clearer(_BPE_MODEL.clear)
 
 
 def _bpe_word_relation(spark: SparkSession, sf_dir: str) -> DataFrame:

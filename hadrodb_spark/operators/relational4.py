@@ -288,11 +288,15 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
+    # plain equi-joins for the item counts: |distinct items| ≈ 20M rows at
+    # TPC-H sf100 — past safe broadcast size, and pairs is post-prune tiny,
+    # so a shuffle join is the scale-safe side; only the 1-row total stays
+    # a broadcast
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     out = (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "part_a",

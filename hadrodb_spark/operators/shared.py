@@ -22,6 +22,7 @@ which is the honest steady-state shape of a production dedup pipeline.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -30,6 +31,20 @@ from pyspark.sql import DataFrame
 _MAX_SHARED = 8
 
 _REGISTRY: OrderedDict[tuple, DataFrame] = OrderedDict()
+_LOCK = threading.RLock()
+
+# Driver-side model memos (e.g. the BPE merge table) registered by their
+# owning modules so release_shared() clears EVERY shared-state cache, not
+# just persisted DataFrames.  Each entry is a zero-arg callable that drops
+# its module's memo.
+_MEMO_CLEARERS: list[Callable[[], None]] = []
+
+
+def register_memo_clearer(fn: Callable[[], None]) -> None:
+    """Hook a module-level memo into the release_shared() lifecycle."""
+    with _LOCK:
+        if fn not in _MEMO_CLEARERS:
+            _MEMO_CLEARERS.append(fn)
 
 
 def shared_persist(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
@@ -41,18 +56,28 @@ def shared_persist(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     footprint is bounded no matter how many (sf_dir, variant) combinations
     a session touches.
     """
-    df = _REGISTRY.get(key)
-    if df is not None:
-        _REGISTRY.move_to_end(key)
-        return df
-    df = build().persist()
-    _REGISTRY[key] = df
-    while len(_REGISTRY) > _MAX_SHARED:
-        _, old = _REGISTRY.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # owning session already stopped
+    # double-checked under a lock: two racing threads must not both
+    # build+persist (the loser's registry insert would orphan the winner's
+    # cached storage until session end)
+    with _LOCK:
+        df = _REGISTRY.get(key)
+        if df is not None:
+            _REGISTRY.move_to_end(key)
+            return df
+    built = build()
+    with _LOCK:
+        df = _REGISTRY.get(key)
+        if df is not None:  # lost the build race — discard ours unpersisted
+            _REGISTRY.move_to_end(key)
+            return df
+        df = built.persist()
+        _REGISTRY[key] = df
+        while len(_REGISTRY) > _MAX_SHARED:
+            _, old = _REGISTRY.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # owning session already stopped
     return df
 
 
@@ -60,11 +85,14 @@ def release_shared() -> int:
     """Unpersist and drop every shared relation; returns how many were
     released. Tests call this to prove the registry's lifecycle is fully
     explicit; long-lived services call it between tenants/jobs."""
-    n = len(_REGISTRY)
-    for df in _REGISTRY.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _REGISTRY.clear()
+    with _LOCK:
+        n = len(_REGISTRY)
+        for df in _REGISTRY.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _REGISTRY.clear()
+        for clear in _MEMO_CLEARERS:
+            clear()
     return n

@@ -47,6 +47,17 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
 
 
+def explicit_broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan —
+    distinguishes hand-placed ``F.broadcast`` (a hard commitment that
+    breaks when the side outgrows memory) from AQE's runtime size-based
+    broadcast decision (which degrades gracefully to shuffle)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint .*broadcast", plan, re.I))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen spans in the FINAL (post-AQE) plan — requires
     executing the query, since AQE only finalizes codegen at runtime."""

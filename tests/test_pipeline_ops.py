@@ -76,7 +76,7 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
 def test_kmeans_ivf_recall(spark, sf_dir):
     [row] = similarity.vector_topk_kmeans_ivf(spark, sf_dir).collect()
-    assert row["k"] == 10 and row["n_results"] == 10
+    assert row["k"] == 10 and row["count_ok"] is True
     # 3/8 cells probed; measured recall 8-10 of 10, asserted in-query
     assert row["recall_ok"] is True
 

@@ -273,5 +273,10 @@ def test_basket_lift_prunes_and_broadcasts(spark, sf_dir):
     # pair explode, and nothing in the graph may degrade to a cartesian
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # item counts and the order total come back via broadcast
+    # the 1-row order total comes back via broadcast
     assert E.has_broadcast_join(df), plan
+    # but the item-count relation (~20M rows at sf100) must NOT be an
+    # explicit broadcast commitment — only the 1-row `tot` hint is allowed;
+    # AQE may still broadcast the small side at runtime, which is the
+    # gracefully-degrading shape we want
+    assert E.explicit_broadcast_hint_count(df) == 1, plan
