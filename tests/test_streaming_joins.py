@@ -58,6 +58,117 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_dir):
     assert got.count() > 0
 
 
+def _write_ooo_batches(spark, d, chunks):
+    """Write each chunk as one parquet file with PINNED mtimes so the file
+    source forms micro-batches in exactly this (adversarial) order."""
+    import os
+
+    from hadrodb_spark.streaming.events import EVENT_SCHEMA
+
+    seen: set[str] = set()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        new = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
+        seen |= new
+        for f in new:
+            os.utime(os.path.join(d, f), (1_700_000_000 + i * 100,) * 2)
+
+
+def test_left_outer_exact_under_out_of_order_arrival(spark, tmp_path):
+    """Adversarial fixture for the stream-stream LEFT OUTER join: purchases
+    arrive in a micro-batch BEFORE their signups (event-time order inverted
+    across batches).  Exact expected output:
+
+    - u1: purchase 1h after signup, inside the 2h window → matched, even
+      though the purchase was buffered before its signup existed;
+    - u2: purchase 4h after signup → outside the window: signup emits
+      null-extended, the orphan purchase emits nothing;
+    - u3: no purchase at all → null-extended;
+    - sentinel signup/purchase (u999, +24h/+30h) advance BOTH side
+      watermarks so the outer state provably finalizes; the sentinel signup
+      itself stays within the final watermark horizon and must NOT emit.
+    """
+    from datetime import datetime, timedelta
+
+    from hadrodb_spark.streaming.events import EVENT_SCHEMA
+    from hadrodb_spark.streaming.joins import left_outer_purchases
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, hours, uid, etype):
+        return (eid, base + timedelta(hours=hours), uid, etype, 1.0, "{}")
+
+    chunks = [
+        # batch 1: purchases FIRST (their signups don't exist yet)
+        [ev(201, 1, 1, "purchase"), ev(202, 4, 2, "purchase")],
+        # batch 2: the signups
+        [ev(101, 0, 1, "signup"), ev(102, 0, 2, "signup"), ev(103, 0, 3, "signup")],
+        # batches 3-4: sentinels push s/p watermarks past the outer horizon
+        [ev(901, 24, 999, "signup")],
+        [ev(902, 30, 999, "purchase")],
+    ]
+    d = str(tmp_path / "ooo_join")
+    _write_ooo_batches(spark, d, chunks)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    sig = stream.filter(F.col("event_type") == "signup")
+    pur = stream.filter(F.col("event_type") == "purchase")
+    out = left_outer_purchases(sig, pur, "2 hours")
+    S.run_to_memory(out, "t_ooo_left", "append")
+    got = {
+        (r["signup_id"], r["purchase_id"])
+        for r in spark.table("t_ooo_left").collect()
+    }
+    assert got == {(101, 201), (102, None), (103, None)}
+
+
+def test_running_totals_exact_under_out_of_order_arrival(spark, tmp_path):
+    """Adversarial fixture for the applyInPandasWithState accumulator: one
+    user's events split across batches in inverted event-time order, a
+    second user interleaved.  Update-mode emissions must be the exact
+    per-batch prefix sums of ARRIVAL order (the operator's contract — state
+    folds arrival order, values here are 2-decimal exact), and the final
+    row must equal the exact batch aggregate regardless of order."""
+    from datetime import datetime, timedelta
+
+    from hadrodb_spark.streaming.ingest import running_user_totals
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, val):
+        return (eid, base + timedelta(minutes=minutes), uid, "t", val, "{}")
+
+    chunks = [
+        # u1's LATE events arrive first; u2 interleaved across batches
+        [ev(3, 30, 1, 3.25), ev(4, 40, 1, 4.25), ev(13, 30, 2, 10.0)],
+        [ev(1, 10, 1, 1.25), ev(14, 40, 2, 20.5)],
+        [ev(2, 20, 1, 2.25)],
+    ]
+    d = str(tmp_path / "ooo_totals")
+    _write_ooo_batches(spark, d, chunks)
+
+    from hadrodb_spark.streaming.events import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    S.run_to_memory(running_user_totals(stream), "t_ooo_totals", "update")
+    rows = spark.table("t_ooo_totals").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["total_value"])
+        )
+    # emissions are cumulative per batch in arrival order (sorted by
+    # n_events to be robust to update-mode emission interleave)
+    assert sorted(per_user[1]) == [(2, 7.5), (3, 8.75), (4, 11.0)]
+    assert sorted(per_user[2]) == [(1, 10.0), (2, 30.5)]
+
+
 def test_stream_stream_left_outer(spark, sf_dir, event_dir):
     from hadrodb_spark.streaming.joins import left_outer_purchases
 
