@@ -268,7 +268,49 @@ def asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_S = 7 * 86400  # 7-day lookback bound
+
+
+def asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a lookback TOLERANCE (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): the customer's most recent event at or
+    before the order date, but only if it is within 7 days — otherwise
+    null. Implemented as the same one-shuffle union+window pass carrying
+    the matched event time, then a map-only null-out of matches beyond the
+    bound — tolerance costs nothing over the unbounded as-of."""
+    orders, events = _orders_events(spark, sf_dir)
+    out = asof_join(
+        orders, events,
+        key="key", left_t="o_ets", right_t="e_ets",
+        right_vals=["event_id", "event_type", "e_ets"], tiebreak="event_id",
+    )
+    within = (F.col("o_ets") - F.col("asof_e_ets")) <= _ASOF_TOL_S
+    return out.select(
+        "o_orderkey",
+        F.col("key").alias("o_custkey"),
+        F.when(within, F.col("asof_event_id")).alias("recent_event_id"),
+        F.when(within, F.col("asof_event_type")).alias("recent_event_type"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "asof_events_tolerance": f"""
+        SELECT o.o_orderkey, o.o_custkey,
+               e.event_id AS recent_event_id,
+               e.event_type AS recent_event_type
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_ets
+              FROM orders WHERE o_custkey <= 200) o
+        LEFT JOIN LATERAL (
+          SELECT event_id, event_type
+          FROM (SELECT user_id, event_id, event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets FROM events) ev
+          WHERE ev.user_id = o.o_custkey AND ev.e_ets <= o.o_ets
+            AND o.o_ets - ev.e_ets <= {_ASOF_TOL_S}
+          ORDER BY ev.e_ets DESC, ev.event_id DESC
+          LIMIT 1
+        ) e ON TRUE
+    """,
     "asof_orders_events": """
         SELECT o.o_orderkey, o.o_custkey,
                e.event_id AS last_event_id,

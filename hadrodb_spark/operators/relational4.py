@@ -414,6 +414,37 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS value functions — the cross-engine window subtlety the
+    plain value functions don't exercise: per customer (deterministic total
+    order: orderdate, orderkey), the first / latest / 2nd NON-NULL spend
+    where fulfilled orders ('F') are treated as the only priced ones.
+    Same one-shuffle window plan as ``window_value_functions``; the null
+    skipping happens inside the running frame, no extra pass."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    priced = F.when(
+        F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(priced, ignorenulls=True).over(w).cast("double").alias(
+            "first_fulfilled"
+        ),
+        F.last(priced, ignorenulls=True).over(w).cast("double").alias(
+            "last_fulfilled"
+        ),
+        F.nth_value(priced, 2, ignoreNulls=True).over(w).cast("double").alias(
+            "second_fulfilled"
+        ),
+    )
+
+
 def regression_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares line per event type (value ~ hour-of-day) from EXACT
     integer/decimal power sums — the regr_slope/regr_intercept family
@@ -543,6 +574,25 @@ ORACLE: dict[str, str] = {
                     AS DOUBLE) AS second_spend
         FROM orders
         WHERE o_custkey <= 300
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    "window_first_last_ignore_nulls": """
+        SELECT o_custkey, o_orderkey,
+               CAST(FIRST_VALUE(priced IGNORE NULLS) OVER w AS DOUBLE)
+                 AS first_fulfilled,
+               CAST(LAST_VALUE(priced IGNORE NULLS) OVER w AS DOUBLE)
+                 AS last_fulfilled,
+               CAST(NTH_VALUE(priced, 2 IGNORE NULLS) OVER w AS DOUBLE)
+                 AS second_fulfilled
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS priced
+          FROM orders WHERE o_custkey <= 300
+        )
         WINDOW w AS (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING

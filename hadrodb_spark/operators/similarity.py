@@ -535,6 +535,7 @@ ORACLE: dict[str, str] = {
         SELECT CAST(10 AS BIGINT) AS k,
                TRUE AS count_ok,
                TRUE AS recall_ok
+        FROM (SELECT COUNT(*) AS n FROM embeddings)
     """,
     "vector_topk_ivf": f"""
         WITH exploded AS (

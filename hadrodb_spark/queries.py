@@ -81,7 +81,9 @@ _register(relational4, only=[
     "basket_lift", "lateral_topk", "agg_map_counts", "date_arithmetic",
     "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
 ])
-_register(asof)  # asof_orders_events / asof_events_forward / asof_events_nearest
+_register(asof, only=[
+    "asof_orders_events", "asof_events_forward", "asof_events_nearest",
+])
 _register(pipeline5, only=[
     "bpe_train_merges", "bpe_encode", "embedding_quantize_int8",
     "feature_hashing", "bigram_logprob",
@@ -111,7 +113,11 @@ _register(similarity, only=["vector_topk_sq"])
 _register(pipeline4, only=["rag_context_pack"])
 _register(sketch, only=["sketch_countmin"])
 _register(sqlsuite, only=["sql_tpch_q9_like"])
-# --- verified tiers (positions 50+; every entry below has a green row in
+# --- round-5 queue (positions 50-51): entries ADDED this round — they have
+# no driver row yet by construction; r5's window must lead with them ---
+_register(asof, only=["asof_events_tolerance"])
+_register(relational4, only=["window_first_last_ignore_nulls"])
+# --- verified tiers (positions 52+; every entry below has a green row in
 # CORRECTNESS_r1/r2/r3) ---
 _register(dedup)
 _register(components)
