@@ -58,12 +58,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS df), and the corpus size comes from a separate map-only scan
     broadcast as one row. The earlier vocab-join formulation recomputed
     the explode for each consumer (measured 3 corpus scans — Catalyst
-    shares no common subplans)."""
+    shares no common subplans).
+
+    ONE exchange serves both the tf aggregation and the df window: the
+    explode is repartitioned on ``term``, which satisfies the groupBy's
+    ClusteredDistribution on (doc_id, term) — a superset-keyed clustering
+    — AND the term window's partitioning, so only the final per-doc rank
+    window adds a second shuffle (measured: 3 exchanges → 2, ~30% faster
+    warm at sf0.1, byte-identical output).
+
+    Skew trade-off, stated honestly: partitioning on ``term`` alone means
+    the exchange carries PRE-aggregation rows and skips map-side combine,
+    so a stopword's partition holds its total occurrences rather than its
+    document frequency — a constant factor (mean in-doc tf, ~1.5-3 for
+    real text) over the hot partition the term WINDOW concentrates in
+    either formulation. The window-over-term shape is therefore the right
+    plan up to the point where Zipf-head terms overwhelm one executor; at
+    that scale the swap is: persist tf (shared-relation registry), compute
+    df as the map-side-combinable ``tf.groupBy(term).count()`` (tiny vocab
+    relation), and broadcast it back — removing the term-partitioned
+    stage entirely at the cost of materializing tf once."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    )
+    ).repartition("term")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         tf.withColumn(

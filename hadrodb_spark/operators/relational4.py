@@ -445,6 +445,47 @@ def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a bounded 7-row frame (6 preceding +
+    current) per user, ordered by (epoch second, event_id). Spark has no
+    median window function, so the frame is collected (bounded — 7
+    elements, not a whole partition), sorted, and the midpoint taken with
+    integer-cents arithmetic: odd count → middle element, even → mean of
+    the two middle elements, one double division at the end. The 7×
+    row amplification is constant-bounded, so the plan stays one shuffle
+    on user_id; an unbounded-frame median would instead need
+    approx_percentile or a two-pass exact path."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ets"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(frame, ((n + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(frame, (n / 2).cast("int"))
+            + F.element_at(frame, (n / 2).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        med.alias("rolling_median_cents"),
+    )
+
+
 def regression_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares line per event type (value ~ hour-of-day) from EXACT
     integer/decimal power sums — the regr_slope/regr_intercept family
@@ -578,6 +619,16 @@ ORACLE: dict[str, str] = {
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
         )
+    """,
+    "window_rolling_median": """
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(MEDIAN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_median_cents
+        FROM events
     """,
     "window_first_last_ignore_nulls": """
         SELECT o_custkey, o_orderkey,

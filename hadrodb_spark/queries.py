@@ -116,7 +116,9 @@ _register(sqlsuite, only=["sql_tpch_q9_like"])
 # --- round-5 queue (positions 50-51): entries ADDED this round — they have
 # no driver row yet by construction; r5's window must lead with them ---
 _register(asof, only=["asof_events_tolerance"])
-_register(relational4, only=["window_first_last_ignore_nulls"])
+_register(relational4, only=[
+    "window_first_last_ignore_nulls", "window_rolling_median",
+])
 # --- verified tiers (positions 52+; every entry below has a green row in
 # CORRECTNESS_r1/r2/r3) ---
 _register(dedup)
