@@ -55,6 +55,11 @@ HEADLINE = [
     "rag_context_pack",
     "basket_lift",
     "sql_tpch_q9_like",
+    # round 4 additions — subtract for cross-round total comparisons
+    # (r01/r02/r03 subtotal fields below stay prefix-based and comparable)
+    "asof_orders_events",
+    "asof_events_tolerance",
+    "window_rolling_median",
 ]
 
 
