@@ -508,6 +508,32 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.25  # ≈ top-2% of this fixture's cosine distribution
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity query — ALL vectors with cosine ≥ τ of the query
+    vector, the retrieval dual of top-k (RAG recall filters, dedup
+    thresholds). Query broadcast, corpus scanned once, no sort at all —
+    cheaper than top-k at scale since nothing orders globally. The filter
+    applies to the 6-decimal ROUNDED similarity so a sub-ulp cross-engine
+    difference cannot flip a boundary row in or out of the result."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+    )
+
+
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding preprocessing check: dimension, L2 norm, unit-norm flag —
     the map-only hygiene pass before any similarity work."""
@@ -536,6 +562,18 @@ ORACLE: dict[str, str] = {
                TRUE AS count_ok,
                TRUE AS recall_ok
         FROM (SELECT COUNT(*) AS n FROM embeddings)
+    """,
+    "ann_range_search": f"""
+        SELECT vec_id, label, cos_sim
+        FROM (
+          SELECT vec_id, label,
+                 ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+          FROM embeddings,
+               (SELECT embedding AS q_emb FROM embeddings
+                WHERE vec_id = {_QUERY_ID}) q
+          WHERE vec_id <> {_QUERY_ID}
+        )
+        WHERE cos_sim >= {_RANGE_TAU}
     """,
     "vector_topk_ivf": f"""
         WITH exploded AS (

@@ -146,9 +146,72 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.orderBy(F.col("n_docs").desc(), F.col("bigram")).limit(20)
 
 
+_VOCAB_K = 500
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage — the standard sizing metric when
+    fixing a vocab before training: what fraction of all corpus token
+    OCCURRENCES the top-K most frequent terms cover, plus OOV mass and
+    full vocab size. One explode + one term aggregation; the rank is a
+    window over the POST-aggregation vocab relation (tiny — |vocab|, not
+    |tokens|), and the coverage division happens once on two exact bigint
+    sums. The single-partition rank window is fine at any corpus size
+    because vocabulary grows sub-linearly (Heaps' law); if it ever isn't,
+    the swap is a TakeOrdered top-K + broadcast anti-join."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    tc = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = tc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("term")))
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("rk") <= _VOCAB_K, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    return agg.select(
+        "total_tokens",
+        "covered_tokens",
+        "vocab_size",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("coverage_rate"),
+    )
+
+
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "vocab_coverage": f"""
+        WITH tc AS (
+          SELECT term, COUNT(*) AS cnt
+          FROM (SELECT UNNEST({_TOKS}) AS term FROM documents)
+          GROUP BY term
+        ),
+        ranked AS (
+          SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+          FROM tc
+        ),
+        agg AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN rk <= {_VOCAB_K} THEN cnt ELSE 0 END)
+                   AS BIGINT) AS covered_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size
+          FROM ranked
+        )
+        SELECT total_tokens, covered_tokens, vocab_size,
+               ROUND(CAST(covered_tokens AS DOUBLE) / total_tokens, 6)
+                 AS coverage_rate
+        FROM agg
+    """,
     "tokenize_categories": """
         SELECT doc_id,
                CAST(len(tk) AS BIGINT) AS n_pretokens,

@@ -119,6 +119,8 @@ _register(asof, only=["asof_events_tolerance"])
 _register(relational4, only=[
     "window_first_last_ignore_nulls", "window_rolling_median",
 ])
+_register(similarity, only=["ann_range_search"])
+_register(textops, only=["vocab_coverage"])
 # --- verified tiers (positions 52+; every entry below has a green row in
 # CORRECTNESS_r1/r2/r3) ---
 _register(dedup)
