@@ -122,6 +122,33 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_gate_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length gate — drop outlier-length documents (the standard
+    curation step against fragments and concatenation junk): keep docs whose
+    token count lies within the [p5, p95] DISCRETE percentiles. percentile_disc
+    is a pure order statistic (smallest value with cumulative fraction ≥ p —
+    verified identical in Spark and DuckDB, including the sub-1/n edge), so
+    unlike interpolated percentiles at non-binary fractions it is engine-exact
+    on integer inputs. Thresholds are a 1-row aggregate broadcast onto the
+    corpus; the gate itself is map-only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    th = d.agg(
+        F.expr(
+            "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)"
+        ).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter(F.col("n_tokens").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_tokens", "lo", "hi")
+    )
+
+
 def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length histogram for batch packing: bucket docs by token
     count (width 16, clamped to 8 buckets), report per-bucket counts and the
@@ -368,6 +395,20 @@ ORACLE: dict[str, str] = {
                substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket_hex
         FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SAMPLE_HEX}'
+    """,
+    "length_gate_disc": f"""
+        WITH d AS (
+          SELECT doc_id, CAST(len({X.sql_tokens('text')}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        th AS (
+          SELECT CAST(quantile_disc(n_tokens, 0.05) AS BIGINT) AS lo,
+                 CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS hi
+          FROM d
+        )
+        SELECT doc_id, n_tokens, lo, hi
+        FROM d, th
+        WHERE n_tokens BETWEEN lo AND hi
     """,
     "length_buckets": f"""
         SELECT CAST(LEAST(FLOOR(len({_TOKS}) / {_BUCKET_WIDTH}), {_BUCKET_MAX})
