@@ -280,3 +280,34 @@ def test_basket_lift_prunes_and_broadcasts(spark, sf_dir):
     # AQE may still broadcast the small side at runtime, which is the
     # gracefully-degrading shape we want
     assert E.explicit_broadcast_hint_count(df) == 1, plan
+
+
+def test_round4_additions_plan_shapes(spark, sf_dir):
+    """New r4 operators keep scale-safe shapes: range search is scan-only
+    (broadcast query, no shuffle, no sort), the length gate is map-only
+    after a broadcast 1-row threshold, the new windows/as-of stay at one
+    shuffle on their partition key."""
+    from hadrodb_spark.operators import asof as A
+    from hadrodb_spark.operators import pipeline2 as P2
+    from hadrodb_spark.operators import relational4 as R4
+    from hadrodb_spark.operators import similarity as S
+    from hadrodb_spark.operators import textops as T
+
+    rs = S.ann_range_search(spark, sf_dir)
+    plan = E.formatted_plan(rs)
+    assert E.shuffle_count(rs) == 0, plan
+    assert "Sort" not in plan and "TakeOrdered" not in plan, plan
+    assert E.has_broadcast_join(rs), plan
+
+    lg = P2.length_gate_disc(spark, sf_dir)
+    plan = E.formatted_plan(lg)
+    assert E.has_broadcast_join(lg), plan
+    # threshold aggregate: partial + single-partition collapse only
+    assert E.shuffle_count(lg) <= 2, plan
+
+    assert E.shuffle_count(R4.window_rolling_median(spark, sf_dir)) <= 1
+    assert E.shuffle_count(R4.window_first_last_ignore_nulls(spark, sf_dir)) <= 1
+    assert E.shuffle_count(A.asof_events_tolerance(spark, sf_dir)) <= 1
+    # vocab_coverage: explode->term agg (1) + rank-window single partition
+    # (1) + final agg collapse — bounded
+    assert E.shuffle_count(T.vocab_coverage(spark, sf_dir)) <= 4
