@@ -375,6 +375,64 @@ def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ oracles
+# Jensen-Shannon divergence — group split and the per-term contribution,
+# ONE shared SQL text used verbatim by both engines so the double op
+# sequence (divides, ln, multiplies) is textually identical; the
+# transcendental result is rounded then summed as exact DECIMAL (the
+# unigram_logprob discipline), so accumulation order can't differ.
+_JS_GRP = "CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END"
+_JS_PA = "(CAST(na AS DOUBLE) / tot_a)"
+_JS_PB = "(CAST(nb AS DOUBLE) / tot_b)"
+_JS_M = f"(({_JS_PA} + {_JS_PB}) / 2)"
+_JS_CONTRIB = (
+    f"CAST(ROUND("
+    f"(CASE WHEN na > 0 THEN 0.5 * {_JS_PA} * ln({_JS_PA} / {_JS_M}) ELSE 0.0 END)"
+    f" + "
+    f"(CASE WHEN nb > 0 THEN 0.5 * {_JS_PB} * ln({_JS_PB} / {_JS_M}) ELSE 0.0 END)"
+    f", 12) AS DECIMAL(28,14))"
+)
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of two
+    source halves (src0-9 vs src10-19) — the distribution-shift metric
+    used when planning mixture weights or detecting source drift.
+
+    Plan: one explode → one term aggregation with per-group conditional
+    counts (a SINGLE shuffle carries both distributions); group token
+    totals come from a separate map-only scan broadcast as one row; the
+    per-term JS contribution is a fixed double op sequence rounded to 12
+    decimals and summed as exact DECIMAL. Scales: the vocab relation is
+    post-aggregation (|vocab| rows), and nothing else leaves the map
+    side."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(_JS_GRP).alias("g"), "text"
+    )
+    counts = (
+        docs.select("g", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("g") == "a", 1)).alias("na"),
+            F.count(F.when(F.col("g") == "b", 1)).alias("nb"),
+        )
+    )
+    totals = docs.agg(
+        F.sum(F.when(F.col("g") == "a", X.token_count(F.col("text")))).alias("tot_a"),
+        F.sum(F.when(F.col("g") == "b", X.token_count(F.col("text")))).alias("tot_b"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "contrib", F.expr(_JS_CONTRIB)
+    )
+    return scored.agg(
+        F.round(F.sum("contrib").cast("double"), 9).alias("js_nats"),
+        F.count(F.when(F.col("na") > 0, 1)).cast("bigint").alias("n_terms_a"),
+        F.count(F.when(F.col("nb") > 0, 1)).cast("bigint").alias("n_terms_b"),
+        F.count(F.when((F.col("na") > 0) & (F.col("nb") > 0), 1))
+        .cast("bigint")
+        .alias("n_shared_terms"),
+    )
+
+
 _TOKS = X.sql_tokens("text")
 
 ROWS_ONLY: tuple[str, ...] = ()
@@ -470,6 +528,35 @@ ORACLE: dict[str, str] = {
           AND ABS(ROUND((value - pre_s / pre_n)
                         / sqrt((pre_ss - pre_s * pre_s / pre_n) / pre_n), 6))
               > {_ANOM_SIGMA}
+    """,
+    "source_js_divergence": f"""
+        WITH docs AS (
+          SELECT {_JS_GRP} AS g, text FROM documents
+        ),
+        counts AS (
+          SELECT term,
+                 COUNT(CASE WHEN g = 'a' THEN 1 END) AS na,
+                 COUNT(CASE WHEN g = 'b' THEN 1 END) AS nb
+          FROM (SELECT g, UNNEST({_TOKS}) AS term FROM docs)
+          GROUP BY term
+        ),
+        totals AS (
+          SELECT SUM(CASE WHEN g = 'a'
+                     THEN CAST(len({_TOKS}) AS BIGINT) END) AS tot_a,
+                 SUM(CASE WHEN g = 'b'
+                     THEN CAST(len({_TOKS}) AS BIGINT) END) AS tot_b
+          FROM docs
+        ),
+        scored AS (
+          SELECT {_JS_CONTRIB} AS contrib, na, nb
+          FROM counts CROSS JOIN totals
+        )
+        SELECT ROUND(CAST(SUM(contrib) AS DOUBLE), 9) AS js_nats,
+               CAST(COUNT(CASE WHEN na > 0 THEN 1 END) AS BIGINT) AS n_terms_a,
+               CAST(COUNT(CASE WHEN nb > 0 THEN 1 END) AS BIGINT) AS n_terms_b,
+               CAST(COUNT(CASE WHEN na > 0 AND nb > 0 THEN 1 END) AS BIGINT)
+                 AS n_shared_terms
+        FROM scored
     """,
     "unigram_logprob": f"""
         WITH terms AS (

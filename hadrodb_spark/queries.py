@@ -122,6 +122,7 @@ _register(relational4, only=[
 _register(similarity, only=["ann_range_search"])
 _register(textops, only=["vocab_coverage"])
 _register(pipeline2, only=["length_gate_disc"])
+_register(pipeline3, only=["source_js_divergence"])
 # --- verified tiers (positions 52+; every entry below has a green row in
 # CORRECTNESS_r1/r2/r3) ---
 _register(dedup)
