@@ -90,6 +90,41 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: deterministically downsample
+    each language to ``mixture_weights``'s target count by keeping the
+    ``target`` lowest-md5 docs (rank-based, so the kept set hits the
+    target EXACTLY and is identical on any cluster/run — seeded RNG
+    sampling is neither). One shuffle on lang for the rank window plus the
+    tiny weights broadcast. The per-lang partitions are coarse (|langs|
+    ≈ 5); at 100 TB the swap is hash-THRESHOLD preselection (map-only,
+    slightly over target) followed by a rank top-off on the small
+    overshoot — same keep-set, no coarse-key window over the full corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # budget = half the corpus, so the targets bind at every SF; a lang
+    # whose upweighted target exceeds its supply keeps everything (the
+    # sampling-without-replacement cap)
+    ntot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    targets = (
+        mixture_weights(spark, sf_dir)
+        .select("lang", "weight")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "lang",
+            F.expr("CAST(FLOOR((weight * n_total) / 2) AS BIGINT)").alias("target"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rn") <= F.col("target"))
+        .select("lang", "doc_id")
+    )
+
+
 def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: concatenate each language's docs in doc_id
     order and split at 512-token boundaries (the concat-then-chunk packing
@@ -607,6 +642,34 @@ ORACLE: dict[str, str] = {
                ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 6) <= {_DUP_FRAC_MAX}
                  AS passes
         FROM per
+    """,
+    "mixture_apply": f"""
+        WITH counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+        ),
+        powed AS (
+          SELECT lang, pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) AS p
+          FROM counts
+        ),
+        tot AS (SELECT SUM(p) AS p_tot FROM powed),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+        targets AS (
+          SELECT lang,
+                 CAST(FLOOR((ROUND(p / p_tot, 6) * n_total) / 2) AS BIGINT)
+                   AS target
+          FROM powed CROSS JOIN tot CROSS JOIN ntot
+        ),
+        ranked AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT lang, doc_id
+        FROM ranked JOIN targets USING (lang)
+        WHERE rn <= target
     """,
     "mixture_weights": f"""
         WITH counts AS (

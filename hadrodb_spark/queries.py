@@ -113,7 +113,7 @@ _register(similarity, only=["vector_topk_sq"])
 _register(pipeline4, only=["rag_context_pack"])
 _register(sketch, only=["sketch_countmin"])
 _register(sqlsuite, only=["sql_tpch_q9_like"])
-# --- round-5 queue (positions 50-51): entries ADDED this round — they have
+# --- round-5 queue (positions 50+): entries ADDED this round — they have
 # no driver row yet by construction; r5's window must lead with them ---
 _register(asof, only=["asof_events_tolerance"])
 _register(relational4, only=[
@@ -122,9 +122,9 @@ _register(relational4, only=[
 _register(similarity, only=["ann_range_search"])
 _register(textops, only=["vocab_coverage"])
 _register(pipeline2, only=["length_gate_disc"])
-_register(pipeline3, only=["source_js_divergence"])
-# --- verified tiers (positions 52+; every entry below has a green row in
-# CORRECTNESS_r1/r2/r3) ---
+_register(pipeline3, only=["source_js_divergence", "mixture_apply"])
+# --- verified tiers (after the round-5 queue; every entry below has a
+# green row in CORRECTNESS_r1/r2/r3) ---
 _register(dedup)
 _register(components)
 _register(similarity)
