@@ -268,6 +268,37 @@ def asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join — each event joined to the dimension
+    VERSION valid at its timestamp (orders as the type-2 dimension:
+    version n is valid from its order date until the customer's next
+    order, the ``scd2_intervals`` derivation).
+
+    The load-bearing identity: a point-in-time join against half-open
+    [valid_from, valid_to) intervals IS a backward as-of on valid_from —
+    the latest version with valid_from ≤ t automatically satisfies
+    t < valid_to because valid_to is the NEXT version's valid_from. So no
+    interval table is materialized and no range join runs: one
+    union+window pass, one shuffle on the customer key, null dimension
+    columns for events before the first version — the scalable shape for
+    snapshotting mutable dimensions under a 100 TB fact stream."""
+    orders, events = _orders_events(spark, sf_dir)
+    fact = events.filter(F.col("key") <= 200).select(
+        "key", "event_id", "e_ets"
+    )
+    dim = orders.select("key", "o_orderkey", "o_ets")
+    out = asof_join(
+        fact, dim,
+        key="key", left_t="e_ets", right_t="o_ets",
+        right_vals=["o_orderkey"], tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.col("asof_o_orderkey").alias("dim_orderkey"),
+    )
+
+
 _ASOF_TOL_S = 7 * 86400  # 7-day lookback bound
 
 
@@ -294,6 +325,21 @@ def asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "join_scd2_temporal": """
+        SELECT e.event_id, e.user_id, o.o_orderkey AS dim_orderkey
+        FROM (SELECT user_id, event_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_ets
+              FROM events WHERE user_id <= 200) e
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey
+          FROM (SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_ets
+                FROM orders) o
+          WHERE o.o_custkey = e.user_id AND o.o_ets <= e.e_ets
+          ORDER BY o.o_ets DESC, o.o_orderkey DESC
+          LIMIT 1
+        ) o ON TRUE
+    """,
     "asof_events_tolerance": f"""
         SELECT o.o_orderkey, o.o_custkey,
                e.event_id AS recent_event_id,

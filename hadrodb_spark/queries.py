@@ -115,7 +115,7 @@ _register(sketch, only=["sketch_countmin"])
 _register(sqlsuite, only=["sql_tpch_q9_like"])
 # --- round-5 queue (positions 50+): entries ADDED this round — they have
 # no driver row yet by construction; r5's window must lead with them ---
-_register(asof, only=["asof_events_tolerance"])
+_register(asof, only=["asof_events_tolerance", "join_scd2_temporal"])
 _register(relational4, only=[
     "window_first_last_ignore_nulls", "window_rolling_median",
 ])
