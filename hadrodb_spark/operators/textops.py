@@ -146,6 +146,53 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.orderBy(F.col("n_docs").desc(), F.col("bigram")).limit(20)
 
 
+# Cohen's kappa derived stats — ONE shared SQL text (used via F.expr on
+# the Spark side, verbatim in DuckDB) so every double division runs in
+# the identical op order; the inputs are exact integer counts.
+_KAPPA_PO = "(CAST(n11 + n00 AS DOUBLE) / n)"
+_KAPPA_PE = (
+    "((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
+    " + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))"
+)
+
+
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-gate agreement (Cohen's kappa) between two cheap curation
+    classifiers — the evaluation step before trusting a filter ensemble:
+    gate A = document long enough (≥ 40 tokens), gate B = English-like
+    (stopword ratio ≥ 0.10, tested as the INTEGER cross-multiplication
+    ``hits * 10 ≥ n_tokens`` so no float ever enters a decision). The
+    2×2 confusion counts are exact; po/pe/kappa are fixed-op-order
+    divisions of those counts, rounded at output. Map-only gates + one
+    global aggregate — scales trivially."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    toks = X.tokens(F.col("text"))
+    gated = docs.select(
+        (X.token_count(F.col("text")) >= 40).alias("g1"),
+        (X.stopword_hits(toks, "en") * 10 >= X.token_count(F.col("text"))).alias(
+            "g2"
+        ),
+    )
+    counts = gated.agg(
+        F.count(F.when(F.col("g1") & F.col("g2"), 1)).alias("n11"),
+        F.count(F.when(F.col("g1") & ~F.col("g2"), 1)).alias("n10"),
+        F.count(F.when(~F.col("g1") & F.col("g2"), 1)).alias("n01"),
+        F.count(F.when(~F.col("g1") & ~F.col("g2"), 1)).alias("n00"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return counts.select(
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.expr(f"ROUND({_KAPPA_PO}, 6)").alias("po"),
+        F.expr(f"ROUND({_KAPPA_PE}, 6)").alias("pe"),
+        F.expr(
+            f"ROUND(({_KAPPA_PO} - {_KAPPA_PE}) / (1 - {_KAPPA_PE}), 6)"
+        ).alias("kappa"),
+    )
+
+
 _VOCAB_K = 500
 
 
@@ -190,6 +237,27 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "classifier_agreement_kappa": f"""
+        WITH gated AS (
+          SELECT CAST(len({X.sql_tokens('text')}) AS BIGINT) >= 40 AS g1,
+                 {X.sql_stopword_hits(X.sql_tokens('text'), 'en')} * 10
+                   >= CAST(len({X.sql_tokens('text')}) AS BIGINT) AS g2
+          FROM documents
+        ),
+        counts AS (
+          SELECT CAST(COUNT(CASE WHEN g1 AND g2 THEN 1 END) AS BIGINT) AS n11,
+                 CAST(COUNT(CASE WHEN g1 AND NOT g2 THEN 1 END) AS BIGINT) AS n10,
+                 CAST(COUNT(CASE WHEN NOT g1 AND g2 THEN 1 END) AS BIGINT) AS n01,
+                 CAST(COUNT(CASE WHEN NOT g1 AND NOT g2 THEN 1 END) AS BIGINT) AS n00,
+                 COUNT(*) AS n
+          FROM gated
+        )
+        SELECT n11, n10, n01, n00,
+               ROUND({_KAPPA_PO}, 6) AS po,
+               ROUND({_KAPPA_PE}, 6) AS pe,
+               ROUND(({_KAPPA_PO} - {_KAPPA_PE}) / (1 - {_KAPPA_PE}), 6) AS kappa
+        FROM counts
+    """,
     "vocab_coverage": f"""
         WITH tc AS (
           SELECT term, COUNT(*) AS cnt
