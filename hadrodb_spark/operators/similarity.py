@@ -516,6 +516,48 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit per label: member count and mean/min cosine of
+    members to their label centroid — the cohesion check run before
+    trusting labels (or k-means cells) for semantic dedup or curriculum
+    grouping. Centroids use the exact-decimal element-mean pattern
+    (oracle-checkable); each member's cosine is a per-row fixed op
+    sequence rounded to 6 decimals, then the MEAN is an exact DECIMAL sum
+    of those rounded values divided once — accumulation order can't leak
+    in. Two small shuffles (centroid agg over ncells×dim rows, final
+    per-label agg); the member scan is map-only against broadcast
+    centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(V.cosine(F.col("embedding"), F.col("centroid")), 6).alias("c"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            (
+                F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("mean_cohesion"),
+        F.min("c").alias("min_cohesion"),
+    )
+
+
 _RANGE_TAU = 0.25  # ≈ top-2% of this fixture's cosine distribution
 
 
@@ -570,6 +612,34 @@ ORACLE: dict[str, str] = {
                TRUE AS count_ok,
                TRUE AS recall_ok
         FROM (SELECT COUNT(*) AS n FROM embeddings)
+    """,
+    "embedding_cluster_cohesion": f"""
+        WITH exploded AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos,
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM exploded GROUP BY label, pos
+        ),
+        centv AS (
+          SELECT label, array_agg(m ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT e.label,
+                 ROUND({V.sql_cosine('e.embedding', 'c.centroid')}, 6) AS cs
+          FROM embeddings e JOIN centv c USING (label)
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_cohesion,
+               MIN(cs) AS min_cohesion
+        FROM scored GROUP BY label
     """,
     "ann_range_search": f"""
         SELECT vec_id, label, cos_sim

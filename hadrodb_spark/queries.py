@@ -119,7 +119,7 @@ _register(asof, only=["asof_events_tolerance", "join_scd2_temporal"])
 _register(relational4, only=[
     "window_first_last_ignore_nulls", "window_rolling_median",
 ])
-_register(similarity, only=["ann_range_search"])
+_register(similarity, only=["ann_range_search", "embedding_cluster_cohesion"])
 _register(textops, only=["vocab_coverage", "classifier_agreement_kappa"])
 _register(pipeline2, only=["length_gate_disc"])
 _register(pipeline3, only=["source_js_divergence", "mixture_apply"])
