@@ -146,6 +146,41 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.orderBy(F.col("n_docs").desc(), F.col("bigram")).limit(20)
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate pressure — which sources produce dup-heavy
+    content (the signal that drives source-level recrawl/dedup budget):
+    per source, doc count, docs sharing a canonical fingerprint with ≥1
+    other doc (corpus-wide, so cross-source copies count for both), and
+    the dup rate as one exact-count division. Exact copies are planted
+    (the dedup_exact scheme) so the relation is non-vacuous. One shuffle
+    on the fingerprint for the frequency window, one on source for the
+    rollup."""
+    from hadrodb_spark.operators.dedup import _with_exact_copies
+
+    base = _with_exact_copies(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = base.join(
+        src, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("source", F.lit("planted")).alias("source"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    from pyspark.sql.window import Window
+
+    n_fp = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    flagged = docs.select(
+        "source", (n_fp > 1).cast("int").alias("is_dup")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
 # Cohen's kappa derived stats — ONE shared SQL text (used via F.expr on
 # the Spark side, verbatim in DuckDB) so every double division runs in
 # the identical op order; the inputs are exact integer counts.
@@ -237,6 +272,31 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
+    "dedup_rate_by_source": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        docs AS (
+          SELECT b.doc_id,
+                 COALESCE(d.source, 'planted') AS source,
+                 {X.sql_fingerprint('b.text')} AS fp
+          FROM base b LEFT JOIN documents d ON b.doc_id = d.doc_id
+        ),
+        flagged AS (
+          SELECT source,
+                 CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM docs
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+               ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        FROM flagged GROUP BY source
+    """,
     "classifier_agreement_kappa": f"""
         WITH gated AS (
           SELECT CAST(len({X.sql_tokens('text')}) AS BIGINT) >= 40 AS g1,

@@ -120,7 +120,7 @@ _register(relational4, only=[
     "window_first_last_ignore_nulls", "window_rolling_median",
 ])
 _register(similarity, only=["ann_range_search", "embedding_cluster_cohesion"])
-_register(textops, only=["vocab_coverage", "classifier_agreement_kappa"])
+_register(textops, only=["vocab_coverage", "classifier_agreement_kappa", "dedup_rate_by_source"])
 _register(pipeline2, only=["length_gate_disc"])
 _register(pipeline3, only=["source_js_divergence", "mixture_apply"])
 # --- verified tiers (after the round-5 queue; every entry below has a
