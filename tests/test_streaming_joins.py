@@ -198,3 +198,46 @@ def test_stream_stream_left_outer(spark, sf_dir, event_dir):
     ).count()
     batch_signups = ev.filter(F.col("event_type") == "signup").count()
     assert provable <= n_signups <= batch_signups
+
+
+def test_session_merge_exact_under_out_of_order_arrival(spark, tmp_path):
+    """Adversarial session-window fixture: the BRIDGING event arrives last.
+    User 1 has events at 12:00, 12:40, and 12:20 (arrival order 12:40,
+    12:00, then 12:20) with a 30-minute gap — the first two batches create
+    TWO provisional sessions ([12:00) and [12:40)), and the late 12:20
+    event must MERGE them into one [12:00, 13:10) session of 3 events.
+    User 2's two bursts stay separate sessions. Exact expected rows."""
+    from datetime import datetime, timedelta
+
+    from hadrodb_spark.streaming.events import EVENT_SCHEMA, session_windows
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, base + timedelta(minutes=minutes), uid, "t", 1.0, "{}")
+
+    chunks = [
+        [ev(3, 40, 1), ev(11, 0, 2)],       # provisional session B + u2 burst 1
+        [ev(1, 0, 1)],                      # provisional session A
+        [ev(2, 20, 1), ev(12, 300, 2)],     # the bridge (late) + u2 burst 2
+        [ev(901, 600, 999)],                # sentinels advance the watermark
+        [ev(902, 660, 999)],
+    ]
+    d = str(tmp_path / "ooo_sessions")
+    _write_ooo_batches(spark, d, chunks)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    S.run_to_memory(session_windows(stream), "t_ooo_sess", "append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_ooo_sess").collect()
+        if r["user_id"] != 999
+    }
+    m = lambda mins: base + timedelta(minutes=mins)
+    assert got == {
+        (1, m(0), m(70), 3),      # merged: 12:00 + 12:20 + 12:40, end 12:40+30m
+        (2, m(0), m(30), 1),
+        (2, m(300), m(330), 1),
+    }
