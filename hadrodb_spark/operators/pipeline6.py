@@ -1,0 +1,411 @@
+"""Corpus-health + interval analytics (round-4 session-2 additions): peak
+interval concurrency, MAD robust outliers, sub-document chunk dedup
+(C4/CCNet-style line dedup adapted to the fixture's unpunctuated text),
+Zipf-law fit, and PMI collocation mining.
+
+The reference delegates all query processing to its host engine
+(``/root/reference/README.md:5``); these extend the training-data-pipeline
+surface the brief grades first-class. Every operator follows the repo
+contract: identical aliases in Spark and the DuckDB oracle, exact integer /
+decimal accumulation (transcendentals rounded per-row at 6 decimals BEFORE
+any sum — the driver-proven ``unigram_logprob`` discipline), unique
+tiebreakers in every ORDER BY/LIMIT, no raw timestamps in outputs.
+
+Scale design (100 TB):
+
+- peak_concurrency: sweep line, not interval self-join. One shuffle to
+  per-(day,user) spans, a map-only ±1 delta expansion, then a running-sum
+  window partitioned BY DAY — parallelism = |days|, rows per partition =
+  2·|active users that day|. The naive formulation self-joins intervals on
+  overlap (quadratic); this is linear with one partitioned sort. If a
+  single day ever exceeds an executor, the swap is chunked prefix sums
+  (per-hour partial sums + carry-in merge) — same algebra.
+- anomaly_mad: exact MAD needs two order statistics in sequence (median,
+  then median of deviations) ⇒ two passes over events, both keyed on
+  event_type (map-side combinable aggs; the per-type medians are a tiny
+  relation the rejoin broadcasts). The at-scale swap is approx_percentile
+  on both passes — same shape, bounded error, documented here rather than
+  silently substituted (the exact form IS the verification anchor).
+- dedup_subdoc_chunks: map-only chunking (fixed 8-token windows), ONE
+  shuffle on the chunk string for the frequency window, one re-agg by doc.
+  Chunk strings could be md5'd to fixed 16-byte keys at scale to cut
+  shuffle bytes — elided here so the oracle stays readable; the plan shape
+  is identical.
+- zipf_slope / collocation_pmi: explode → count aggs (map-side combined);
+  the per-source rank window partitions by source; the PMI unigram joins
+  are |bigrams|⋈|vocab| equi-joins — AQE broadcasts the vocab side while
+  it is small and degrades to shuffle joins at web-scale vocabularies,
+  which is the correct shape (no collect, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.relational import load
+
+_CHUNK = 8          # tokens per sub-document chunk
+_PMI_MIN_PAIR = 5   # min document frequency for a collocation candidate
+_ZIPF_TOP = 200     # rank cutoff for the log-log fit
+
+# Shared SQL fragments — used via F.expr on the Spark side and verbatim in
+# DuckDB so every double runs the identical op sequence (the _KAPPA pattern).
+_MAD_TH = "(ad > 3.0 * 1.4826 * mad)"
+_PMI_EXPR = (
+    "ROUND(LN(CAST(n_pair AS DOUBLE) * n_docs"
+    " / (CAST(n_w1 AS DOUBLE) * n_w2)), 6)"
+)
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent active users per day — the interval-overlap analytic
+    (capacity planning / load modeling): each user's daily activity span
+    [first event, last event] contributes +1/−1 boundary deltas; the peak
+    is the max of the running sum. Closed-interval convention: at equal
+    timestamps starts sort before ends (delta DESC), so touching spans
+    count as overlapping. Prefix sums within an equal-(t,delta) run are
+    permutation-invariant at the run's end and the interior values are a
+    deterministic ramp, so MAX(running) is engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    spans = ev.groupBy("day", "user_id").agg(
+        F.min("us").alias("s"), F.max("us").alias("e")
+    )
+    deltas = spans.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select("day", F.sum("delta").over(w).alias("c"))
+    peaks = run.groupBy("day").agg(
+        F.max("c").cast("bigint").alias("peak_concurrency")
+    )
+    ns = spans.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return ns.join(peaks, "day").select("day", "n_users", "peak_concurrency")
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation — the curation-grade alternative to z-scores (anomaly_zscore)
+    when the metric is heavy-tailed: flag |value − median| > 3·1.4826·MAD.
+    Both order statistics are DISCRETE percentiles (actual data values, the
+    length_gate_disc convention), the deviations are single IEEE ops on
+    those values, and the threshold comparison runs the shared-SQL-text op
+    sequence — no accumulation-order exposure anywhere."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    st = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(st, "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med", "n"
+    )
+    md = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad")
+    )
+    flagged = F.sum(F.when(F.expr(_MAD_TH), 1).otherwise(0))
+    return (
+        dev.join(md, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            flagged.cast("bigint").alias("n_outliers"),
+            F.round(flagged.cast("double") / F.max("n"), 6).alias("outlier_rate"),
+        )
+    )
+
+
+def _chunks(toks: Column, n: int = _CHUNK) -> Column:
+    """Non-overlapping ``n``-token chunks as space-joined strings. ``toks``
+    is bound once through the single-element-transform wrapper (the
+    functions/text.py::shingles discipline — Catalyst does no CSE inside
+    HOF lambdas). Guarded: sequence(0, negative) counts DOWN in Spark, so
+    short docs must yield an empty array, not a broken one."""
+
+    def over(t: Column) -> Column:
+        nfull = F.floor(F.size(t) / n).cast("int")
+        grams = F.transform(
+            F.sequence(F.lit(0), nfull - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * n + 1, n)),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), over), 1)
+
+
+def dedup_subdoc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication audit — the line-level dedup step of
+    C4/CCNet adapted to the fixture's unpunctuated text: split each doc
+    into non-overlapping 8-token chunks, count every chunk's corpus-wide
+    occurrences (within-doc repeats count too — self-repetition is
+    boilerplate), and report per-doc how much of it is duplicated
+    material. Exact copies are planted (the dedup_exact scheme) so the
+    relation is non-vacuous. Docs shorter than one chunk are excluded."""
+    from hadrodb_spark.operators.dedup import _with_exact_copies
+
+    base = _with_exact_copies(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    ch = (
+        base.filter(F.size(toks) >= _CHUNK)
+        .select("doc_id", F.explode(_chunks(toks)).alias("chunk"))
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        ch.withColumn("c", c)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_chunk_rate"
+            ),
+        )
+    )
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source — the corpus-health check that catches
+    degenerate/templated sources (natural text fits slope ≈ −1 on the
+    log-log rank/frequency line; generated boilerplate flattens it): OLS
+    over (ln rank, ln count) for the top-200 terms, with both logs rounded
+    per-row to 6 decimals and accumulated as exact DECIMAL power sums
+    (regression_line's engine-proof algebra), one double division at the
+    end."""
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = tc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("cnt"), F.col("term"))
+        ),
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    xy = ranked.select(
+        "source",
+        F.expr("CAST(ROUND(LN(rk), 6) AS DECIMAL(18,6))").alias("x"),
+        F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))").alias("y"),
+    )
+    agg = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    return agg.selectExpr(
+        "source",
+        "CAST(n AS BIGINT) AS n_terms",
+        f"ROUND({num} / {den}, 6) AS slope",
+        f"ROUND((CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE)) / n, 6)"
+        " AS intercept",
+    )
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over document frequencies — the phrase/term
+    discovery step of corpus analysis: for bigrams appearing in ≥ 5 docs,
+    pmi = ln(df(ab)·N / (df(a)·df(b))), computed as ONE ln over an
+    integer-valued double expression (shared SQL text ⇒ identical op
+    order), top-20 with the bigram string as tiebreak. Document-frequency
+    (distinct-per-doc) semantics throughout, matching the shingle
+    helpers."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    tk = docs.select("doc_id", toks.alias("t"))
+    uni = (
+        tk.select(F.explode(F.array_distinct(F.col("t"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    big = (
+        tk.select(F.explode(X.shingles(F.col("t"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (
+        big.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(bigram, ' ', 2)"))
+        .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("df", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("df", "n_w2"), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    out = joined.select(
+        "bigram",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.col("n_w1").cast("bigint").alias("n_w1"),
+        F.col("n_w2").cast("bigint").alias("n_w2"),
+        F.expr(_PMI_EXPR).alias("pmi"),
+    )
+    return out.orderBy(F.desc("pmi"), "bigram").limit(20)
+
+
+_TOKS = X.sql_tokens("text")
+
+ORACLE: dict[str, str] = {
+    "peak_concurrency": """
+        WITH spans AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+                 MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+          FROM events GROUP BY 1, 2
+        ),
+        deltas AS (
+          SELECT day, s AS t, 1 AS delta FROM spans
+          UNION ALL
+          SELECT day, e AS t, -1 AS delta FROM spans
+        ),
+        run AS (
+          SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM deltas
+        ),
+        peaks AS (
+          SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+          FROM run GROUP BY day
+        ),
+        ns AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users FROM spans GROUP BY day
+        )
+        SELECT ns.day, n_users, peak_concurrency
+        FROM ns JOIN peaks ON ns.day = peaks.day
+    """,
+    "anomaly_mad": f"""
+        WITH ev AS (SELECT event_type, value FROM events),
+        st AS (
+          SELECT event_type, quantile_disc(value, 0.5) AS med, COUNT(*) AS n
+          FROM ev GROUP BY event_type
+        ),
+        dev AS (
+          SELECT ev.event_type, ABS(value - med) AS ad, med, n
+          FROM ev JOIN st USING (event_type)
+        ),
+        md AS (
+          SELECT event_type, quantile_disc(ad, 0.5) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MAX(med) AS med,
+               MAX(mad) AS mad,
+               CAST(SUM(CASE WHEN {_MAD_TH} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               ROUND(CAST(SUM(CASE WHEN {_MAD_TH} THEN 1 ELSE 0 END) AS DOUBLE)
+                     / MAX(n), 6) AS outlier_rate
+        FROM dev d JOIN md USING (event_type)
+        GROUP BY d.event_type
+    """,
+    "dedup_subdoc_chunks": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        tk AS (SELECT doc_id, {_TOKS} AS t FROM base),
+        ch AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
+                   i -> array_to_string(
+                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')))
+                   AS chunk
+          FROM tk WHERE len(t) >= {_CHUNK}
+        ),
+        cc AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS c FROM ch
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_chunk_rate
+        FROM cc GROUP BY doc_id
+    """,
+    "zipf_slope": f"""
+        WITH tc AS (
+          SELECT source, term, COUNT(*) AS cnt
+          FROM (SELECT source, UNNEST({_TOKS}) AS term FROM documents)
+          GROUP BY source, term
+        ),
+        ranked AS (
+          SELECT source, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, term) AS rk
+          FROM tc
+        ),
+        xy AS (
+          SELECT source,
+                 CAST(ROUND(LN(rk), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6)) AS y
+          FROM ranked WHERE rk <= {_ZIPF_TOP}
+        ),
+        agg AS (
+          SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*x) AS sxx, SUM(x*y) AS sxy
+          FROM xy GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_terms,
+          ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+              6) AS slope,
+          ROUND((CAST(sy AS DOUBLE)
+                 - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM agg
+    """,
+    "collocation_pmi": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        uni AS (
+          SELECT term, COUNT(*) AS df
+          FROM (SELECT doc_id, UNNEST(list_distinct(t)) AS term FROM tk)
+          GROUP BY term
+        ),
+        big AS (
+          SELECT bigram, COUNT(*) AS n_pair
+          FROM (SELECT doc_id, UNNEST({X.sql_shingles('t', 2)}) AS bigram FROM tk)
+          GROUP BY bigram
+          HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM tk),
+        joined AS (
+          SELECT b.bigram, b.n_pair, u1.df AS n_w1, u2.df AS n_w2, n.n_docs
+          FROM big b, n
+          JOIN uni u1 ON split_part(b.bigram, ' ', 1) = u1.term
+          JOIN uni u2 ON split_part(b.bigram, ' ', 2) = u2.term
+        )
+        SELECT bigram,
+               CAST(n_pair AS BIGINT) AS n_pair,
+               CAST(n_w1 AS BIGINT) AS n_w1,
+               CAST(n_w2 AS BIGINT) AS n_w2,
+               {_PMI_EXPR} AS pmi
+        FROM joined
+        ORDER BY pmi DESC, bigram
+        LIMIT 20
+    """,
+}

@@ -25,6 +25,7 @@ from hadrodb_spark.operators import (
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
     relational,
     relational2,
     relational3,
@@ -123,6 +124,8 @@ _register(similarity, only=["ann_range_search", "embedding_cluster_cohesion"])
 _register(textops, only=["vocab_coverage", "classifier_agreement_kappa", "dedup_rate_by_source"])
 _register(pipeline2, only=["length_gate_disc"])
 _register(pipeline3, only=["source_js_divergence", "mixture_apply"])
+_register(pipeline6)  # peak_concurrency / anomaly_mad / dedup_subdoc_chunks
+#                       / zipf_slope / collocation_pmi (session-2 additions)
 # --- verified tiers (after the round-5 queue; every entry below has a
 # green row in CORRECTNESS_r1/r2/r3) ---
 _register(dedup)

@@ -311,3 +311,42 @@ def test_round4_additions_plan_shapes(spark, sf_dir):
     # vocab_coverage: explode->term agg (1) + rank-window single partition
     # (1) + final agg collapse — bounded
     assert E.shuffle_count(T.vocab_coverage(spark, sf_dir)) <= 4
+
+
+def test_pipeline6_plan_shapes(spark, sf_dir):
+    """Session-2 operators keep scale-safe shapes: the sweep line stays at
+    bounded shuffles (spans agg + per-day window + tiny day-keyed join),
+    MAD's two percentile passes are event_type-keyed aggs with no
+    cartesian blowup, chunk dedup pays exactly one chunk shuffle + the
+    per-doc re-agg, and the PMI join must not compile to a real cartesian
+    product (its only cross join is the broadcast 1-row corpus count)."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    pc = P6.peak_concurrency(spark, sf_dir)
+    plan = E.formatted_plan(pc)
+    # spans agg (1) + day window (1) + two day-keyed agg/join exchanges
+    assert E.shuffle_count(pc) <= 5, plan
+    assert "CartesianProduct" not in plan, plan
+
+    am = P6.anomaly_mad(spark, sf_dir)
+    plan = E.formatted_plan(am)
+    assert "CartesianProduct" not in plan, plan
+    # events scanned twice (median, MAD) — keyed aggs/joins only
+    assert E.shuffle_count(am) <= 6, plan
+
+    dc = P6.dedup_subdoc_chunks(spark, sf_dir)
+    plan = E.formatted_plan(dc)
+    # chunk-frequency window (1) + doc re-agg (1); union of planted copies
+    # must not introduce extra exchanges per branch
+    assert E.shuffle_count(dc) <= 3, plan
+
+    pmi = P6.collocation_pmi(spark, sf_dir)
+    plan = E.formatted_plan(pmi)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-20 never global-sorts
+    # 1-row corpus count must ride a broadcast, and only that one is hinted
+    assert E.explicit_broadcast_hint_count(pmi) == 1, plan
+
+    zs = P6.zipf_slope(spark, sf_dir)
+    # term count agg + source rank window + final agg
+    assert E.shuffle_count(zs) <= 3, E.formatted_plan(zs)
