@@ -264,6 +264,96 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("pmi"), "bigram").limit(20)
 
 
+_ARES_K = 50        # weighted-sample size
+# doc_id → deterministic uniform in (0,1): first 8 md5 hex chars as a 32-bit
+# int, +1, / 2^32+1. Integer-exact in both engines; the float tail runs the
+# shared op order below.
+_ARES_KEY = "ROUND(-LN(u) / wt * 1000.0, 9)"
+
+
+def latency_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 value percentiles per (event_type, day) — the
+    observability rollup every metrics pipeline ships. Exact DISCRETE
+    percentiles (actual data values — the length_gate_disc convention) in
+    one map-side-combinable aggregation; the at-scale swap for
+    ultra-high-cardinality keys is approx_percentile, documented not
+    substituted."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users (the WAU curve): sliding-window DISTINCT
+    can't ride an ordinary window frame, so each (day, user) activity row
+    is expanded map-side into the ≤7 window-end days it supports and the
+    count_distinct lands in ONE shuffle on the window-end day. Spark
+    plans count_distinct two-phase (partial distinct on (day,user) before
+    the count), so the coarse day key doesn't concentrate rows; the
+    at-scale swap for approximate curves is per-day HLL sketch merges.
+    Window ends are restricted to observed activity days (the grid
+    join)."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    grid = act.select("day").distinct()
+    exp = act.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.date_add("day", F.col("i")).alias("g_day"), "user_id")
+    return (
+        exp.join(grid.withColumnRenamed("day", "g_day"), "g_day")
+        .groupBy("g_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
+        .select(F.date_format("g_day", "yyyy-MM-dd").alias("day"), "active_7d")
+    )
+
+
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res /
+    exponential-race: Efraimidis & Spirakis 2006) — the importance-sampling
+    step that biases a training mix toward high-quality docs: priority =
+    −ln(u)/w with u a per-doc md5-derived uniform (re-run-stable on any
+    cluster, no RNG state), weight = n_chars, smallest 50 priorities win.
+    The key is map-only; the top-k is TakeOrdered (per-partition top-N,
+    never a global sort); priorities are rounded per-row at a fixed op
+    order shared with the oracle, with doc_id as tiebreak."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("wt"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967297.0)
+        ).alias("u"),
+    )
+    keyed = docs.select(
+        "doc_id", "wt", F.expr(_ARES_KEY).alias("k")
+    )
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(_ARES_K)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.round("k", 6).alias("priority"),
+        )
+    )
+
+
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
@@ -378,6 +468,45 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "latency_percentiles_daily": """
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY 1, 2
+    """,
+    "rolling_7d_active_users": """
+        WITH act AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        grid AS (SELECT DISTINCT day FROM act),
+        exp AS (
+          SELECT CAST(a.day + INTERVAL (i) DAY AS DATE) AS g_day, a.user_id
+          FROM act a, UNNEST(generate_series(0, 6)) AS t(i)
+        )
+        SELECT strftime(g.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_7d
+        FROM grid g JOIN exp e ON g.day = e.g_day
+        GROUP BY g.day
+    """,
+    "weighted_sample_ares": f"""
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+                 (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1.0) / 4294967297.0 AS u
+          FROM documents
+        ),
+        keyed AS (SELECT doc_id, wt, {_ARES_KEY} AS k FROM w),
+        ranked AS (
+          SELECT doc_id, wt, k,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk
+          FROM keyed
+        )
+        SELECT doc_id, CAST(wt AS BIGINT) AS weight, ROUND(k, 6) AS priority
+        FROM ranked WHERE rk <= {_ARES_K}
     """,
     "collocation_pmi": f"""
         WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),

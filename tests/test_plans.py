@@ -350,3 +350,24 @@ def test_pipeline6_plan_shapes(spark, sf_dir):
     zs = P6.zipf_slope(spark, sf_dir)
     # term count agg + source rank window + final agg
     assert E.shuffle_count(zs) <= 3, E.formatted_plan(zs)
+
+
+def test_pipeline6_batch2_plan_shapes(spark, sf_dir):
+    """Weighted sampling must compile map-only + TakeOrdered (zero
+    shuffles, no global sort); the daily percentile rollup is a single
+    keyed aggregation; the rolling-WAU expansion stays at bounded keyed
+    shuffles (distinct, grid, two-phase count_distinct) with no nested
+    loop."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    ws = P6.weighted_sample_ares(spark, sf_dir)
+    plan = E.formatted_plan(ws)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert E.shuffle_count(ws) == 0, plan
+
+    assert E.shuffle_count(P6.latency_percentiles_daily(spark, sf_dir)) <= 1
+
+    r7 = P6.rolling_7d_active_users(spark, sf_dir)
+    plan = E.formatted_plan(r7)
+    assert E.shuffle_count(r7) <= 5, plan
+    assert "CartesianProduct" not in plan, plan
