@@ -60,6 +60,13 @@ HEADLINE = [
     "asof_orders_events",
     "asof_events_tolerance",
     "window_rolling_median",
+    # round-4 session-2 additions (pipeline6 tier) — subtract for
+    # cross-round total comparisons; prefix subtotals stay comparable
+    "peak_concurrency",
+    "dedup_subdoc_chunks",
+    "collocation_pmi",
+    "rolling_7d_active_users",
+    "weighted_sample_ares",
 ]
 
 

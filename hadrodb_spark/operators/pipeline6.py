@@ -234,6 +234,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     helpers."""
     docs = load(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
+    # measured: sharing a persisted tokenized relation between the two
+    # count branches buys <3% warm — the shingle HOF dominates, so the
+    # double tokenization stays (no cache pressure for noise-level gain)
     tk = docs.select("doc_id", toks.alias("t"))
     uni = (
         tk.select(F.explode(F.array_distinct(F.col("t"))).alias("term"))
