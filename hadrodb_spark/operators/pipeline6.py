@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.functions import vectors as V
 from hadrodb_spark.operators.relational import load
 
 _CHUNK = 8          # tokens per sub-document chunk
@@ -357,6 +358,127 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 5          # neighbours per query in the label eval
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — which interaction immediately
+    precedes a purchase: for every purchase event, the user's most recent
+    PRIOR non-purchase event type via LAST_VALUE IGNORE NULLS over the
+    1-PRECEDING frame (a per-user as-of lookup inside one stream — one
+    shuffle on user_id, no self-join). Purchases with no prior touch
+    attribute to 'none'. Revenue is exact bigint cents (the repo's dec()
+    discipline); (ts, event_id) is the unique order."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: per user the first
+    signup and the first purchase AFTER it, with the latency summarized by
+    exact discrete percentiles over bigint microseconds. Two keyed
+    aggregations + one user join; completes the funnel family
+    (funnel_conversion counts, this one times)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.min("s_us").alias("s_us2"))
+    )
+    deltas = p.select((F.col("p_us") - F.col("s_us2")).alias("delta_us"))
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_us) AS BIGINT)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_us) AS BIGINT)"
+        ).alias("p90_us"),
+        F.max("delta_us").cast("bigint").alias("max_us"),
+    )
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification audit over the embedding column — the standard
+    embedding-quality eval (does neighborhood structure predict labels?):
+    for each probe vector (vec_id % 100 = 0), the majority label of its 5
+    exact-cosine nearest neighbours vs its own label. Probe side
+    broadcasts, corpus scanned once (the vector_topk_batch shape); cosines
+    rounded to 6 with vec_id tiebreak; majority ties break to the smaller
+    label. Map-only scoring + two small q_id-keyed windows."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "label",
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos"),
+        )
+    )
+    nn = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+        ),
+    ).filter(F.col("rk") <= _KNN_K)
+    votes = nn.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    maj = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.col("label"))
+        ),
+    ).filter(F.col("vr") == 1)
+    return maj.select(
+        "q_id",
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("label").cast("int").alias("pred_label"),
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        (F.col("label") == F.col("true_label")).alias("hit"),
+    )
+
+
 _TOKS = X.sql_tokens("text")
 
 ORACLE: dict[str, str] = {
@@ -471,6 +593,82 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "attribution_last_touch": """
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        touched AS (
+          SELECT event_type, cents,
+                 LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+          FROM ev
+        )
+        SELECT COALESCE(touch, 'none') AS touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY COALESCE(touch, 'none')
+    """,
+    "funnel_time_to_convert": """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        s AS (
+          SELECT user_id, MIN(us) AS s_us FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+          SELECT ev.user_id, MIN(ev.us) AS p_us, MIN(s.s_us) AS s_us2
+          FROM ev JOIN s ON ev.user_id = s.user_id
+          WHERE ev.event_type = 'purchase' AND ev.us > s.s_us
+          GROUP BY ev.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(quantile_disc(p_us - s_us2, 0.5) AS BIGINT) AS p50_us,
+               CAST(quantile_disc(p_us - s_us2, 0.9) AS BIGINT) AS p90_us,
+               CAST(MAX(p_us - s_us2) AS BIGINT) AS max_us
+        FROM p
+    """,
+    "knn_label_eval": f"""
+        WITH probes AS (
+          SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+          FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+          SELECT p.q_id, p.true_label, e.label, e.vec_id,
+                 ROUND({V.sql_cosine('e.embedding', 'p.q_emb')}, 6) AS cos
+          FROM embeddings e, probes p
+          WHERE e.vec_id <> p.q_id
+        ),
+        nn AS (
+          SELECT q_id, true_label, label,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rk
+          FROM scored
+        ),
+        votes AS (
+          SELECT q_id, true_label, label, COUNT(*) AS n_votes
+          FROM nn WHERE rk <= {_KNN_K}
+          GROUP BY q_id, true_label, label
+        ),
+        maj AS (
+          SELECT q_id, true_label, label, n_votes,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY n_votes DESC, label) AS vr
+          FROM votes
+        )
+        SELECT q_id,
+               CAST(true_label AS INT) AS true_label,
+               CAST(label AS INT) AS pred_label,
+               CAST(n_votes AS BIGINT) AS n_votes,
+               label = true_label AS hit
+        FROM maj WHERE vr = 1
     """,
     "latency_percentiles_daily": """
         SELECT event_type,

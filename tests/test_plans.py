@@ -371,3 +371,25 @@ def test_pipeline6_batch2_plan_shapes(spark, sf_dir):
     plan = E.formatted_plan(r7)
     assert E.shuffle_count(r7) <= 5, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pipeline6_batch3_plan_shapes(spark, sf_dir):
+    """Attribution is one user-keyed window (no self-join); conversion
+    latency is two keyed aggs + a user join; the kNN eval broadcasts the
+    probe side so the corpus is scanned once with no real cartesian."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    at = P6.attribution_last_touch(spark, sf_dir)
+    plan = E.formatted_plan(at)
+    assert E.shuffle_count(at) <= 2, plan  # user window + touch agg
+    assert "CartesianProduct" not in plan, plan
+
+    fc = P6.funnel_time_to_convert(spark, sf_dir)
+    plan = E.formatted_plan(fc)
+    assert "CartesianProduct" not in plan, plan
+    assert E.shuffle_count(fc) <= 5, plan
+
+    kn = P6.knn_label_eval(spark, sf_dir)
+    plan = E.formatted_plan(kn)
+    assert E.has_broadcast_join(kn), plan
+    assert "CartesianProduct" not in plan, plan
