@@ -359,6 +359,134 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 5          # neighbours per query in the label eval
+_MG_K = 24          # Misra-Gries counters per partition
+
+
+_PLANT = (
+    "repeat(concat('heavy', CAST(doc_id % 3 AS STRING), ' '), "
+    "CAST(n_chars / 10 AS INT))"
+)
+
+
+def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed frequent-items sketch (Misra-Gries): partition-local
+    summaries via mapInPandas, merged by plain summation — the mergeable-
+    summaries pattern that finds heavy hitters in one pass with O(K)
+    state per task, no full term aggregation needed at scale. Heavy terms
+    are PLANTED proportionally to the corpus (≈11% each vs the 8%
+    detection threshold; organic max ≈2%) so the guarantee is exercised
+    for real with K=24 < |vocab|.
+
+    The sketch's estimates depend on arrival order and partition
+    boundaries, so the OUTPUT exposes only partitioning-invariant facts:
+    the exact heavy-hitter set (true count > 2n/(K+1), integer
+    cross-multiplied) and the theorem's guarantee booleans — found_ok
+    (est > n/(K+1)) and bounds_ok (est ≤ true ∧ true − est ≤ n/(K+1)),
+    which hold under ANY partitioning. The oracle recomputes the exact
+    set and pins the booleans TRUE (the bound-checking-oracle pattern of
+    agg_approx_distinct)."""
+    docs = load(spark, sf_dir, "documents")
+    plant = docs.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.expr(_PLANT).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(plant)
+    terms = base.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+
+    # nested, stdlib+pandas-only closure: pickled BY VALUE so a vanilla
+    # session's workers need no hadrodb_spark import (the
+    # functions/multimodal.py discipline). ≤ 24 counters (= _MG_K, inlined
+    # so the closure captures no module globals), O(1) memory per task;
+    # per-partition bound true_p − est_p ≤ n_p/(K+1) sums across
+    # partitions (mergeable summaries), giving the merged n/(K+1) bound.
+    def mg_partials(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                c = counters.get(t)
+                if c is not None:
+                    counters[t] = c + 1
+                elif len(counters) < 24:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k2 in counters:
+                        v = counters[k2] - 1
+                        if v:
+                            counters[k2] = v
+                        else:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del counters[k2]
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "term": list(counters.keys()),
+                    "est": [int(v) for v in counters.values()],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"term": pd.Series(dtype="object"), "est": pd.Series(dtype="int64")}
+            )
+
+    partials = terms.mapInPandas(mg_partials, schema="term string, est long")
+    merged = partials.groupBy("term").agg(F.sum("est").alias("est"))
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = terms.agg(F.count(F.lit(1)).alias("n"))
+    kp1 = _MG_K + 1
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("cnt") * kp1 > 2 * F.col("n")
+    )
+    return heavy.join(merged, "term", "left").select(
+        "term",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("est").isNotNull() & (F.col("est") * kp1 > F.col("n"))).alias(
+            "found_ok"
+        ),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("cnt"))
+            & ((F.col("cnt") - F.col("est")) * kp1 <= F.col("n"))
+        ).alias("bounds_ok"),
+    )
+
+
+def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting — the pre-aggregation pattern that
+    makes 100 TB dashboards cheap: one HLL sketch per day (Datasketches
+    hll_sketch_agg), merged with hll_union_agg into the period total
+    instead of re-scanning raw events. Output exposes the exact daily/total
+    counts (deterministic) plus an est_ok boolean pinning the merged
+    estimate within 5% of exact (lgK=12 ⇒ rsd≈1.6%, so 5% ≈ 3σ); the
+    sketch estimate itself stays out of the output (implementation-defined
+    bits, same discipline as the Misra-Gries op)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    rolled = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("exact_daily").cast("bigint").alias("sum_daily"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_total"),
+    )
+    exact_tot = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_total")
+    )
+    return rolled.crossJoin(F.broadcast(exact_tot)).select(
+        "n_days",
+        "sum_daily",
+        "exact_total",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total")) * 20
+            <= F.col("exact_total")
+        ).alias("est_ok"),
+    )
 
 
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +721,38 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "sketch_frequent_items": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 400000,
+                 repeat('heavy' || CAST(doc_id % 3 AS VARCHAR) || ' ',
+                        CAST(n_chars // 10 AS INT))
+          FROM documents
+        ),
+        terms AS (SELECT UNNEST({_TOKS}) AS term FROM base),
+        tc AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM terms)
+        SELECT term, CAST(cnt AS BIGINT) AS cnt,
+               TRUE AS found_ok, TRUE AS bounds_ok
+        FROM tc, n WHERE cnt * {_MG_K + 1} > 2 * n
+    """,
+    "sketch_hll_daily_union": """
+        WITH ev AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+          FROM events
+        ),
+        daily AS (
+          SELECT day, COUNT(DISTINCT user_id) AS exact_daily
+          FROM ev GROUP BY day
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(exact_daily) AS BIGINT) AS sum_daily,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
+                 AS exact_total,
+               TRUE AS est_ok
+        FROM daily
     """,
     "attribution_last_touch": """
         WITH ev AS (

@@ -393,3 +393,21 @@ def test_pipeline6_batch3_plan_shapes(spark, sf_dir):
     plan = E.formatted_plan(kn)
     assert E.has_broadcast_join(kn), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sketch_mg_hll_plan_shapes(spark, sf_dir):
+    """The Misra-Gries pass must keep the sketch partial map-side
+    (mapInPandas before any exchange — summaries shuffle, not raw terms)
+    and the HLL rollup must be two keyed aggregations with a broadcast
+    1-row exact join."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    fi = P6.sketch_frequent_items(spark, sf_dir)
+    plan = E.formatted_plan(fi)
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    hll = P6.sketch_hll_daily_union(spark, sf_dir)
+    plan = E.formatted_plan(hll)
+    assert E.shuffle_count(hll) <= 5, plan
+    assert "CartesianProduct" not in plan, plan
