@@ -362,6 +362,93 @@ _KNN_K = 5          # neighbours per query in the label eval
 _MG_K = 24          # Misra-Gries counters per partition
 
 
+_SEM_TAU = "0.92"   # within-cluster prune threshold (organic max ≈ 0.47)
+_ENTROPY_EXPR = "(LN(n) - CAST(s AS DOUBLE) / n)"
+_ENTROPY_MIN = "2.8"  # splits the corpus ~83/17; min |H−2.8| ≈ 3e-5 ≫ 1 ulp
+
+
+def semdedup_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space, then drop the higher-id
+    member of any within-cluster pair with cosine above τ — the
+    quadratic pair scan is bounded by CLUSTER size, never corpus size,
+    which is the whole trick. Here the fixture's ``label`` column stands
+    in for the k-means cell so the oracle is exact end-to-end; the
+    trained-cell swap is the shared assignment vector_topk_kmeans_ivf
+    already builds. Exact copies are planted (every 20th vector, same
+    label ⇒ cosine 1.0) so pruning is non-vacuous; organic within-label
+    cosines top out ≈0.47, far from τ=0.92."""
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 500000
+    )
+    base = emb.unionByName(dups)
+    a = base.select(
+        "label", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = base.select(
+        "label", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "label").filter(F.col("ida") < F.col("idb"))
+    pruned = (
+        pairs.select(
+            "label",
+            "idb",
+            F.round(V.cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") > F.expr(_SEM_TAU))
+        # rename BOTH join keys: pruned's lineage traces back to base, so
+        # joining on same-named attributes trips the ambiguous-self-join
+        # analyzer; fresh attribute names disambiguate
+        .select(F.col("label").alias("p_label"), F.col("idb").alias("victim"))
+        .distinct()
+    )
+    return (
+        base.join(
+            pruned,
+            (F.col("label") == F.col("p_label"))
+            & (F.col("vec_id") == F.col("victim")),
+            "left",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count("victim").cast("bigint").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("victim")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate — the cheap gibberish/low-diversity
+    detector (repeated-character spam and template noise have low H):
+    H = ln(n) − Σ c·ln(c) / n over per-doc character frequencies, with the
+    Σ accumulated as exact DECIMAL of per-row-rounded logs (the
+    unigram_logprob discipline — no float accumulation order anywhere)
+    and the final expression evaluated from ONE shared SQL text. The 2.8
+    threshold splits the corpus ~83/17 and every doc's distance to it is
+    ≥3e-5, eleven orders above any cross-engine ln ulp skew. One shuffle
+    on (doc_id, char), one per-doc re-agg."""
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt")
+            * F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))")
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        F.expr(f"ROUND({_ENTROPY_EXPR}, 6)").alias("entropy"),
+        F.expr(f"{_ENTROPY_EXPR} >= {_ENTROPY_MIN}").alias("pass"),
+    )
+
+
 _PLANT = (
     "repeat(concat('heavy', CAST(doc_id % 3 AS STRING), ' '), "
     "CAST(n_chars / 10 AS INT))"
@@ -720,6 +807,50 @@ ORACLE: dict[str, str] = {
                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM agg
+    """,
+    "semdedup_within_label": f"""
+        WITH base AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL
+          SELECT vec_id + 500000, embedding, label
+          FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        pairs AS (
+          SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
+                 ROUND({V.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+          FROM base a JOIN base b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+        ),
+        pruned AS (
+          SELECT DISTINCT label, idb AS victim FROM pairs WHERE cos > {_SEM_TAU}
+        )
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(p.victim) AS BIGINT) AS n_pruned,
+               CAST(COUNT(*) - COUNT(p.victim) AS BIGINT) AS n_kept
+        FROM base e LEFT JOIN pruned p
+          ON e.label = p.label AND e.vec_id = p.victim
+        GROUP BY e.label
+    """,
+    "char_entropy_gate": f"""
+        WITH chars AS (
+          SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+          FROM documents
+        ),
+        cc AS (
+          SELECT doc_id, ch, COUNT(*) AS cnt
+          FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        ),
+        agg AS (
+          SELECT doc_id, SUM(cnt) AS n,
+                 SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS s
+          FROM cc GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars_counted,
+               ROUND({_ENTROPY_EXPR}, 6) AS entropy,
+               {_ENTROPY_EXPR} >= {_ENTROPY_MIN} AS pass
         FROM agg
     """,
     "sketch_frequent_items": f"""

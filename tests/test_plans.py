@@ -411,3 +411,19 @@ def test_sketch_mg_hll_plan_shapes(spark, sf_dir):
     plan = E.formatted_plan(hll)
     assert E.shuffle_count(hll) <= 5, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_entropy_plan_shapes(spark, sf_dir):
+    """SemDeDup's pair scan must be a label-keyed equi-join (bounded by
+    cluster size), never a cartesian; the entropy gate is two keyed
+    aggregations over the char explosion."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    sd = P6.semdedup_within_label(spark, sf_dir)
+    plan = E.formatted_plan(sd)
+    assert "CartesianProduct" not in plan, plan
+
+    eg = P6.char_entropy_gate(spark, sf_dir)
+    plan = E.formatted_plan(eg)
+    assert E.shuffle_count(eg) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
