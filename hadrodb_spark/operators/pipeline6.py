@@ -362,6 +362,26 @@ _KNN_K = 5          # neighbours per query in the label eval
 _MG_K = 24          # Misra-Gries counters per partition
 
 
+def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with an abstention margin — production language routing
+    keeps a 'don't know' bucket instead of trusting hairline argmaxes:
+    margin = (top hit count − second hit count) over the 4 stopword
+    profiles, abstain when margin < 2. Every decision is on exact
+    integers (hit counts and their sorted gap); map-only, one pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    hits = F.array(*[X.stopword_hits(toks, l) for l in sorted(X.STOPWORDS)])
+    top = F.sort_array(hits, asc=False)
+    return docs.select(
+        "doc_id",
+        X.lang_id(toks).alias("pred_lang"),
+        top[0].cast("bigint").alias("top1_hits"),
+        top[1].cast("bigint").alias("top2_hits"),
+        (top[0] - top[1]).cast("bigint").alias("margin"),
+        ((top[0] - top[1]) < 2).alias("abstain"),
+    )
+
+
 _SEM_TAU = "0.92"   # within-cluster prune threshold (organic max ≈ 0.47)
 _ENTROPY_EXPR = "(LN(n) - CAST(s AS DOUBLE) / n)"
 _ENTROPY_MIN = "2.8"  # splits the corpus ~83/17; min |H−2.8| ≈ 3e-5 ≫ 1 ulp
@@ -808,6 +828,31 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "langid_margin": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 {X.sql_tokens('text')} AS tk
+          FROM documents
+        ),
+        hits AS (
+          SELECT doc_id,
+                 list_sort([{", ".join(X.sql_stopword_hits('tk', l) for l in sorted(X.STOPWORDS))}], 'DESC') AS srt,
+                 CASE WHEN {X.sql_stopword_hits('tk', 'en')} >= {X.sql_stopword_hits('tk', 'de')}
+                       AND {X.sql_stopword_hits('tk', 'en')} >= {X.sql_stopword_hits('tk', 'es')}
+                       AND {X.sql_stopword_hits('tk', 'en')} >= {X.sql_stopword_hits('tk', 'fr')} THEN 'en'
+                      WHEN {X.sql_stopword_hits('tk', 'de')} >= {X.sql_stopword_hits('tk', 'es')}
+                       AND {X.sql_stopword_hits('tk', 'de')} >= {X.sql_stopword_hits('tk', 'fr')} THEN 'de'
+                      WHEN {X.sql_stopword_hits('tk', 'es')} >= {X.sql_stopword_hits('tk', 'fr')} THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM h
+        )
+        SELECT doc_id, pred_lang,
+               CAST(srt[1] AS BIGINT) AS top1_hits,
+               CAST(srt[2] AS BIGINT) AS top2_hits,
+               CAST(srt[1] - srt[2] AS BIGINT) AS margin,
+               (srt[1] - srt[2]) < 2 AS abstain
+        FROM hits
     """,
     "semdedup_within_label": f"""
         WITH base AS (

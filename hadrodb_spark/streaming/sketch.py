@@ -115,3 +115,117 @@ def countmin_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+MG_SCHEMA = T.StructType(
+    [
+        T.StructField("slot", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+MG_SLOT = "_mg_summary"   # JSON {term: est}
+MG_META_SLOT = "_mg_meta"  # JSON {ckpt, batch} — same commit ⇒ atomic
+MG_K = 8                   # counters kept after each merge
+
+
+def mg_summary(coll: HadroCollection) -> dict:
+    """The current heavy-hitter summary as a dict (≤ MG_K entries)."""
+    import json
+
+    rows = coll.scan(columns=["slot", "payload"]).filter(
+        F.col("slot") == MG_SLOT
+    ).collect()
+    return json.loads(rows[0]["payload"]) if rows else {}
+
+
+def mg_stream(
+    stream: DataFrame,
+    coll: HadroCollection,
+    key_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain a Misra-Gries heavy-hitter summary in ``coll``
+    incrementally — the frequent-items twin of :func:`countmin_stream`.
+
+    Per trigger: (1) partition-local MG partials via mapInPandas (≤ MG_K
+    counters per task — the batch never aggregates its full key space);
+    (2) driver-side merge with the stored summary (bounded: ≤ MG_K ×
+    partitions + MG_K rows) and the standard compress step (subtract the
+    (K+1)-th largest, keep positive); (3) ONE collection commit carrying
+    BOTH the new summary and the replay marker (the countmin_stream
+    atomicity design — a crash loses both or persists both). Mergeable-
+    summaries theorem: total error ≤ n/(K+1) over the whole stream under
+    any batching/partitioning, so tests assert the guarantee booleans,
+    never raw estimates."""
+    import json
+    import os as _os
+
+    ckpt_id = _os.path.abspath(checkpoint)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        state = {
+            r["slot"]: r["payload"]
+            for r in coll.scan(columns=["slot", "payload"]).collect()
+        }
+        meta = json.loads(state.get(MG_META_SLOT) or "{}")
+        if meta.get("ckpt") == ckpt_id and batch_id <= meta.get("batch", -1):
+            return  # replay of an already-applied batch
+        counters = json.loads(state.get(MG_SLOT) or "{}")
+
+        # nested BY-VALUE closure (vanilla workers have no package import)
+        def mg_partials(batches):
+            import pandas as pd
+
+            c: dict = {}
+            for pdf in batches:
+                for t in pdf["k"]:
+                    v = c.get(t)
+                    if v is not None:
+                        c[t] = v + 1
+                    elif len(c) < 8:  # = MG_K, inlined: no global capture
+                        c[t] = 1
+                    else:
+                        dead = []
+                        for k2 in c:
+                            nv = c[k2] - 1
+                            if nv:
+                                c[k2] = nv
+                            else:
+                                dead.append(k2)
+                        for k2 in dead:
+                            del c[k2]
+            if c:
+                yield pd.DataFrame(
+                    {"k": list(c.keys()), "est": [int(v) for v in c.values()]}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"k": pd.Series(dtype="object"), "est": pd.Series(dtype="int64")}
+                )
+
+        partials = batch.select(
+            F.col(key_col).cast("string").alias("k")
+        ).mapInPandas(mg_partials, schema="k string, est long")
+        for r in partials.collect():  # bounded: ≤ MG_K × partitions rows
+            counters[r["k"]] = counters.get(r["k"], 0) + r["est"]
+        if len(counters) > 8:
+            sub = sorted(counters.values(), reverse=True)[8]
+            counters = {t: c - sub for t, c in counters.items() if c - sub > 0}
+        rows = [
+            (MG_SLOT, json.dumps(counters, sort_keys=True)),
+            (MG_META_SLOT, json.dumps({"ckpt": ckpt_id, "batch": batch_id})),
+        ]
+        coll.append_df(
+            batch.sparkSession.createDataFrame(rows, MG_SCHEMA), key_col="slot"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -271,3 +271,52 @@ def test_countmin_stream_matches_batch(spark, sf_dir, event_dir, tmp_path):
         .collect()
     )
     assert len(meta) == 1 and meta[0]["c"] >= 0
+
+
+def test_mg_stream_heavy_hitters(spark, sf_dir, event_dir, tmp_path):
+    """Incrementally-maintained Misra-Gries summary must satisfy the
+    mergeable-summaries guarantee over the whole stream: every key with
+    true frequency > 2n/(K+1) present, with est <= true and
+    true - est <= n/(K+1) — under whatever batching availableNow picks.
+    A 'heavy' key is planted at ~1/3 of the stream; the ~100 tail keys
+    force constant compression (K=8 counters)."""
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import sketch as SK
+
+    skew = F.when(F.col("user_id") % 3 == 0, F.lit("heavy")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    coll = HadroCollection(spark, str(tmp_path / "mg"), SK.MG_SCHEMA)
+    stream = S.stream_events(spark, event_dir).withColumn("skewed", skew)
+    q = SK.mg_stream(stream, coll, "skewed", str(tmp_path / "mg_ckpt"))
+    q.awaitTermination(180)
+
+    summary = SK.mg_summary(coll)
+    assert 0 < len(summary) <= SK.MG_K
+
+    exact = {
+        r["skewed"]: r["cnt"]
+        for r in load(spark, sf_dir, "events")
+        .withColumn("skewed", skew)
+        .groupBy("skewed")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    k1 = SK.MG_K + 1
+    heavy = {t: c for t, c in exact.items() if c * k1 > 2 * n}
+    assert heavy, "planted skew must produce at least one heavy hitter"
+    for t, c in heavy.items():
+        assert t in summary, (t, summary)
+        est = summary[t]
+        assert est <= c and (c - est) * k1 <= n, (t, est, c, n)
+
+    # marker rides in the same commit as the summary (atomic replay guard)
+    import json
+
+    metas = (
+        coll.scan(columns=["slot", "payload"])
+        .filter(F.col("slot") == SK.MG_META_SLOT)
+        .collect()
+    )
+    assert len(metas) == 1 and json.loads(metas[0]["payload"])["batch"] >= 0
