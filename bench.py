@@ -67,6 +67,9 @@ HEADLINE = [
     "collocation_pmi",
     "rolling_7d_active_users",
     "weighted_sample_ares",
+    "sketch_frequent_items",
+    "semdedup_within_label",
+    "char_entropy_gate",
 ]
 
 
