@@ -362,6 +362,36 @@ _KNN_K = 5          # neighbours per query in the label eval
 _MG_K = 24          # Misra-Gries counters per partition
 
 
+def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function surface (the one UDF flavor the matrix
+    was missing next to scalar/pandas/cogrouped/mapInPandas): a LATERAL
+    chunk-splitter emitting (chunk_idx, chunk) rows per document,
+    value-identical to the declarative `_chunks` path — so the oracle
+    proves the UDTF plumbing, not new semantics. Like udf_scalar this is
+    deliberately the slow-path DEMO of the surface: row-at-a-time Python,
+    bounded here to doc_id < 100; the production path is the HOF/
+    mapInPandas form. Class defined nested so it pickles by value."""
+
+    from pyspark.sql.functions import udtf
+
+    class ChunkSplit:
+        def eval(self, text: str):
+            import re as _re
+
+            toks = [t for t in _re.split("[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(len(toks) // 8):
+                yield i, " ".join(toks[8 * i : 8 * i + 8])
+
+    fn = udtf(ChunkSplit, returnType="chunk_idx int, chunk string")
+    spark.udtf.register("hadro_chunk_split", fn)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return spark.sql(
+        "SELECT doc_id, s.chunk_idx, s.chunk "
+        "FROM {docs}, LATERAL hadro_chunk_split(text) s",
+        docs=docs,
+    )
+
+
 def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID with an abstention margin — production language routing
     keeps a 'don't know' bucket instead of trusting hairline argmaxes:
@@ -828,6 +858,21 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "udtf_chunk_expand": f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 100
+        ),
+        ch AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
+                   i -> array_to_string(
+                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')) AS l
+          FROM tk WHERE len(t) >= {_CHUNK}
+        )
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx, l[i] AS chunk
+        FROM ch, UNNEST(generate_series(1, len(l))) AS u(i)
     """,
     "langid_margin": f"""
         WITH h AS (
