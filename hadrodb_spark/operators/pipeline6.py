@@ -392,6 +392,48 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user — a genuinely RECURSIVE
+    computation (acc depends on acc) that no window frame expresses, so
+    it runs as grouped Arrow batches via applyInPandas (the batch twin of
+    the streaming applyInPandasWithState path). Determinism: events are
+    sorted by the unique (us, event_id) inside each group and the update
+    is the literal op sequence ``0.25 * x + 0.75 * acc`` — the DuckDB
+    oracle folds the same lambda over the same ordering (list_reduce
+    seeds with the first element; the loop matches), so every IEEE step
+    is bit-identical. One shuffle on user_id; rounding happens JVM-side
+    after the UDF (Python round() is banker's — never use it for oracle
+    outputs)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+
+    # nested BY-VALUE closure (stdlib+pandas only — vanilla-session safe)
+    def ema(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["us", "event_id"])
+        acc = None
+        for x in pdf["value"]:
+            acc = x if acc is None else 0.25 * x + 0.75 * acc
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ema_raw": [float(acc)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        ema, schema="user_id long, n_events long, ema_raw double"
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("ema_raw", 6).alias("ema_final"),
+    )
+
+
 def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID with an abstention margin — production language routing
     keeps a 'don't know' bucket instead of trusting hairline argmaxes:
@@ -858,6 +900,21 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM agg
+    """,
+    "ema_per_user": """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        ),
+        seq AS (
+          SELECT user_id,
+                 list(value ORDER BY us, event_id) AS vals
+          FROM ev GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               ROUND(list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+                 AS ema_final
+        FROM seq
     """,
     "udtf_chunk_expand": f"""
         WITH tk AS (

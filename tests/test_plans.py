@@ -427,3 +427,19 @@ def test_semdedup_entropy_plan_shapes(spark, sf_dir):
     plan = E.formatted_plan(eg)
     assert E.shuffle_count(eg) <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ema_udtf_plan_shapes(spark, sf_dir):
+    """The recursive EMA runs as ONE user-keyed FlatMapGroupsInPandas
+    (single shuffle); the UDTF expands via a lateral generator, no
+    cartesian."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    em = P6.ema_per_user(spark, sf_dir)
+    plan = E.formatted_plan(em)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert E.shuffle_count(em) <= 1, plan
+
+    ut = P6.udtf_chunk_expand(spark, sf_dir)
+    plan = E.formatted_plan(ut)
+    assert "CartesianProduct" not in plan, plan
