@@ -1,7 +1,11 @@
-"""Corpus-health + interval analytics (round-4 session-2 additions): peak
-interval concurrency, MAD robust outliers, sub-document chunk dedup
-(C4/CCNet-style line dedup adapted to the fixture's unpunctuated text),
-Zipf-law fit, and PMI collocation mining.
+"""Round-4 session-2 operator tier: interval analytics (peak concurrency,
+last-touch attribution, conversion latency), robust statistics (MAD
+outliers, daily percentiles, exact AUC), corpus health (chunk dedup,
+Zipf fit, PMI collocations, entropy gate, lang-ID abstention),
+training-data sampling (deterministic A-Res, rolling WAU), embedding ops
+(SemDeDup pruning, kNN label eval), distributed sketches (Misra-Gries,
+HLL daily union), and the UDF-matrix completions (UDTF, recursive
+applyInPandas EMA).
 
 The reference delegates all query processing to its host engine
 (``/root/reference/README.md:5``); these extend the training-data-pipeline
@@ -389,6 +393,45 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.chunk_idx, s.chunk "
         "FROM {docs}, LATERAL hadro_chunk_split(text) s",
         docs=docs,
+    )
+
+
+def score_auc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware AUC (Mann-Whitney U) of a cheap score against a
+    label — the metric that decides whether a curation classifier is
+    worth its cost. Computed scale-safely: NOT a global rank window over
+    all rows, but a score HISTOGRAM (one keyed agg; |distinct scores| is
+    bounded by the score's cardinality) with a cumulative window over
+    that small relation — pair credit 2·Σ n1(s)·(2·cum_n0(<s) + n0(s))
+    stays integer-exact until one final division. The oracle uses the
+    classic average-rank formulation; both are the same exact rational,
+    so value-equality doubles as an algebra cross-check. Label here =
+    the planted-duplicate marker, score = n_chars (a deliberately weak
+    predictor ⇒ AUC near 0.5, non-degenerate either way)."""
+    scored = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("y").alias("n1s"),
+        F.sum(1 - F.col("y")).alias("n0s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum0 = F.coalesce(F.sum("n0s").over(w), F.lit(0))
+    per_score = hist.select(
+        "n1s", "n0s", (F.col("n1s") * (2 * cum0 + F.col("n0s"))).alias("credit2")
+    )
+    agg = per_score.agg(
+        F.sum("n1s").cast("bigint").alias("n1"),
+        F.sum("n0s").cast("bigint").alias("n0"),
+        F.sum("credit2").alias("s2"),
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        F.round(
+            F.col("s2").cast("double") / (2.0 * F.col("n1") * F.col("n0")), 6
+        ).alias("auc"),
     )
 
 
@@ -899,6 +942,30 @@ ORACLE: dict[str, str] = {
                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM agg
+    """,
+    "score_auc_dup": """
+        WITH scored AS (
+          SELECT CAST(n_chars AS BIGINT) AS score,
+                 CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        ranked AS (
+          SELECT y,
+                 RANK() OVER (ORDER BY score) AS rk,
+                 COUNT(*) OVER (PARTITION BY score) AS ties
+          FROM scored
+        ),
+        agg AS (
+          SELECT CAST(SUM(y) AS BIGINT) AS n1,
+                 CAST(SUM(1 - y) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN y = 1 THEN 2 * rk + ties - 1 ELSE 0 END)
+                   AS BIGINT) AS s2r
+          FROM ranked
+        )
+        SELECT n1, n0,
+               ROUND(CAST(s2r - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n0), 6)
+                 AS auc
         FROM agg
     """,
     "ema_per_user": """
