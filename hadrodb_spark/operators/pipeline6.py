@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadrodb_spark.functions import sketches as SK
 from hadrodb_spark.functions import text as X
 from hadrodb_spark.functions import vectors as V
 from hadrodb_spark.operators.relational import load
@@ -220,12 +221,17 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     den = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    # a single-term vocabulary (fully templated source — exactly what this
+    # operator flags) makes den = 0: emit NULL instead of an ANSI
+    # divide-by-zero abort; mirrored in the oracle
     return agg.selectExpr(
         "source",
         "CAST(n AS BIGINT) AS n_terms",
-        f"ROUND({num} / {den}, 6) AS slope",
-        f"ROUND((CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE)) / n, 6)"
-        " AS intercept",
+        f"CASE WHEN {den} = 0 THEN NULL"
+        f" ELSE ROUND({num} / {den}, 6) END AS slope",
+        f"CASE WHEN {den} = 0 THEN NULL"
+        f" ELSE ROUND((CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE))"
+        f" / n, 6) END AS intercept",
     )
 
 
@@ -337,7 +343,9 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     order shared with the oracle, with doc_id as tiebreak."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.col("n_chars").cast("double").alias("wt"),
+        # clamp to ≥1: a zero-weight doc must not divide by zero (ANSI
+        # Spark aborts the query; DuckDB yields a NULL that sorts wrong)
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("double").alias("wt"),
         (
             (
                 F.conv(
@@ -447,8 +455,15 @@ def ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical. One shuffle on user_id; rounding happens JVM-side
     after the UDF (Python round() is banker's — never use it for oracle
     outputs)."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    # NULL values are excluded in BOTH engines: pandas would fold NaN where
+    # DuckDB's lambda propagates NULL — the one input class the shared-op-
+    # sequence argument doesn't cover
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+        )
     )
 
     # nested BY-VALUE closure (stdlib+pandas only — vanilla-session safe)
@@ -615,46 +630,13 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "text").unionByName(plant)
     terms = base.select(F.explode(X.tokens(F.col("text"))).alias("term"))
 
-    # nested, stdlib+pandas-only closure: pickled BY VALUE so a vanilla
-    # session's workers need no hadrodb_spark import (the
-    # functions/multimodal.py discipline). ≤ 24 counters (= _MG_K, inlined
-    # so the closure captures no module globals), O(1) memory per task;
-    # per-partition bound true_p − est_p ≤ n_p/(K+1) sums across
-    # partitions (mergeable summaries), giving the merged n/(K+1) bound.
-    def mg_partials(batches):
-        import pandas as pd
-
-        counters: dict = {}
-        for pdf in batches:
-            for t in pdf["term"]:
-                c = counters.get(t)
-                if c is not None:
-                    counters[t] = c + 1
-                elif len(counters) < 24:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k2 in counters:
-                        v = counters[k2] - 1
-                        if v:
-                            counters[k2] = v
-                        else:
-                            dead.append(k2)
-                    for k2 in dead:
-                        del counters[k2]
-        if counters:
-            yield pd.DataFrame(
-                {
-                    "term": list(counters.keys()),
-                    "est": [int(v) for v in counters.values()],
-                }
-            )
-        else:
-            yield pd.DataFrame(
-                {"term": pd.Series(dtype="object"), "est": pd.Series(dtype="int64")}
-            )
-
-    partials = terms.mapInPandas(mg_partials, schema="term string, est long")
+    # shared BY-VALUE closure factory (functions/sketches.py): one MG
+    # implementation for the batch and streaming paths — the returned
+    # nested function pickles by value, so vanilla-session workers need
+    # no hadrodb_spark import (the functions/multimodal.py discipline)
+    partials = terms.mapInPandas(
+        SK.mg_partials_closure(_MG_K, "term"), schema="term string, est long"
+    )
     merged = partials.groupBy("term").agg(F.sum("est").alias("est"))
     exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     tot = terms.agg(F.count(F.lit(1)).alias("n"))
@@ -935,13 +917,17 @@ ORACLE: dict[str, str] = {
           FROM xy GROUP BY source
         )
         SELECT source, CAST(n AS BIGINT) AS n_terms,
+          CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+               THEN NULL ELSE
           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-              6) AS slope,
+              6) END AS slope,
+          CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+               THEN NULL ELSE
           ROUND((CAST(sy AS DOUBLE)
                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+                 * CAST(sx AS DOUBLE)) / n, 6) END AS intercept
         FROM agg
     """,
     "score_auc_dup": """
@@ -971,6 +957,7 @@ ORACLE: dict[str, str] = {
     "ema_per_user": """
         WITH ev AS (
           SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+          WHERE value IS NOT NULL
         ),
         seq AS (
           SELECT user_id,
@@ -1200,7 +1187,7 @@ ORACLE: dict[str, str] = {
     """,
     "weighted_sample_ares": f"""
         WITH w AS (
-          SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+          SELECT doc_id, CAST(GREATEST(n_chars, 1) AS DOUBLE) AS wt,
                  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) + 1.0) / 4294967297.0 AS u
           FROM documents

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from hadrodb_spark.functions.sketches import mg_partials_closure
 from hadrodb_spark.sources.collection import HadroCollection
 
 CMS_SCHEMA = T.StructType(
@@ -175,44 +176,18 @@ def mg_stream(
             return  # replay of an already-applied batch
         counters = json.loads(state.get(MG_SLOT) or "{}")
 
-        # nested BY-VALUE closure (vanilla workers have no package import)
-        def mg_partials(batches):
-            import pandas as pd
-
-            c: dict = {}
-            for pdf in batches:
-                for t in pdf["k"]:
-                    v = c.get(t)
-                    if v is not None:
-                        c[t] = v + 1
-                    elif len(c) < 8:  # = MG_K, inlined: no global capture
-                        c[t] = 1
-                    else:
-                        dead = []
-                        for k2 in c:
-                            nv = c[k2] - 1
-                            if nv:
-                                c[k2] = nv
-                            else:
-                                dead.append(k2)
-                        for k2 in dead:
-                            del c[k2]
-            if c:
-                yield pd.DataFrame(
-                    {"k": list(c.keys()), "est": [int(v) for v in c.values()]}
-                )
-            else:
-                yield pd.DataFrame(
-                    {"k": pd.Series(dtype="object"), "est": pd.Series(dtype="int64")}
-                )
-
+        # shared BY-VALUE closure factory (functions/sketches.py) — one MG
+        # implementation with the batch operator; NULL keys are excluded
+        # there (a None dict key would crash the sorted-JSON persistence)
         partials = batch.select(
             F.col(key_col).cast("string").alias("k")
-        ).mapInPandas(mg_partials, schema="k string, est long")
+        ).mapInPandas(
+            mg_partials_closure(MG_K, "k"), schema="k string, est long"
+        )
         for r in partials.collect():  # bounded: ≤ MG_K × partitions rows
             counters[r["k"]] = counters.get(r["k"], 0) + r["est"]
-        if len(counters) > 8:
-            sub = sorted(counters.values(), reverse=True)[8]
+        if len(counters) > MG_K:
+            sub = sorted(counters.values(), reverse=True)[MG_K]
             counters = {t: c - sub for t, c in counters.items() if c - sub > 0}
         rows = [
             (MG_SLOT, json.dumps(counters, sort_keys=True)),

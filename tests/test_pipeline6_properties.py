@@ -114,17 +114,20 @@ def test_chunks_partition_token_prefix(spark):
 
 def test_ares_sample_invariant_to_partitioning(spark, sf_dir):
     """The weighted sample must be a pure function of the data — the same
-    50 doc_ids whatever the physical partitioning (TakeOrdered over
-    deterministic md5 keys, no RNG state)."""
+    50 doc_ids whatever the physical SCAN partitioning (TakeOrdered over
+    deterministic md5 keys, no RNG state). The plan has zero shuffles, so
+    the knob that actually changes its parallel structure is the input
+    split size: run once at the session default and once with every row
+    in its own tiny split."""
     base = {r["doc_id"] for r in P6.weighted_sample_ares(spark, sf_dir).collect()}
-    shuffled = spark.conf.get("spark.sql.shuffle.partitions")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
         again = {
             r["doc_id"] for r in P6.weighted_sample_ares(spark, sf_dir).collect()
         }
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", shuffled)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert base == again and len(base) == 50
 
 
