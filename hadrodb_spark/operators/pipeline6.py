@@ -404,6 +404,96 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel over the session-2 gates — the attrition
+    report a production curation dashboard shows: sequential
+    length → entropy → language-confidence → chunk-dedup stages, each row
+    (stage, n_in, n_out) with n_out(k) = survivors of gates 1..k. All
+    four gates reuse this module's verified primitives (disc-percentile
+    thresholds, the shared entropy expression, the integer lang margin,
+    corpus-wide chunk frequency); the attrition algebra is one aggregate
+    row unioned into four stage rows — exact integers end to end. Gates
+    are map-only or one keyed agg each; the only broadcast is the 1-row
+    threshold."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    hits = F.array(*[X.stopword_hits(toks, l) for l in sorted(X.STOPWORDS)])
+    top = F.sort_array(hits, asc=False)
+    base = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        ((top[0] - top[1]) >= 2).alias("g_lang"),
+    )
+    th = base.agg(
+        F.expr(
+            "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)"
+        ).alias("hi"),
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    ent = (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt") * F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))")
+            ).alias("s"),
+        )
+        .select("doc_id", F.expr(f"{_ENTROPY_EXPR} >= {_ENTROPY_MIN}").alias("g_ent"))
+    )
+    ch = (
+        docs.filter(F.size(toks) >= _CHUNK)
+        .select("doc_id", F.explode(_chunks(toks)).alias("chunk"))
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
+    )
+    dup = ch.groupBy("doc_id").agg((F.max("c") > 1).alias("has_dup"))
+    gates = (
+        base.crossJoin(F.broadcast(th))
+        .join(ent, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            F.col("n_tokens").between(F.col("lo"), F.col("hi")).alias("g_len"),
+            F.coalesce("g_ent", F.lit(False)).alias("g_ent"),
+            F.coalesce("g_lang", F.lit(False)).alias("g_lang"),
+            (~F.coalesce("has_dup", F.lit(False))).alias("g_dup"),
+        )
+    )
+    agg = gates.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("g_len"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g_len") & F.col("g_ent"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.when(F.col("g_len") & F.col("g_ent") & F.col("g_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c3"),
+        F.sum(
+            F.when(
+                F.col("g_len") & F.col("g_ent") & F.col("g_lang") & F.col("g_dup"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c4"),
+    )
+    # ONE lineage → four stage rows via inline(array(...)): a 4-way union
+    # of agg selects would re-run the whole gate pipeline per stage row
+    return agg.selectExpr(
+        "inline(array("
+        "named_struct('stage', 'length',      'n_in', n,  'n_out', c1),"
+        "named_struct('stage', 'entropy',     'n_in', c1, 'n_out', c2),"
+        "named_struct('stage', 'language',    'n_in', c2, 'n_out', c3),"
+        "named_struct('stage', 'chunk_dedup', 'n_in', c3, 'n_out', c4)))"
+    )
+
+
 def score_auc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware AUC (Mann-Whitney U) of a cheap score against a
     label — the metric that decides whether a curation classifier is
@@ -812,6 +902,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKS = X.sql_tokens("text")
+_HITS = ", ".join(X.sql_stopword_hits(_TOKS, l) for l in sorted(X.STOPWORDS))
 
 ORACLE: dict[str, str] = {
     "peak_concurrency": """
@@ -929,6 +1020,76 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) END AS intercept
         FROM agg
+    """,
+    "curation_funnel_v2": f"""
+        WITH tok AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        th AS (
+          SELECT CAST(quantile_disc(n_tokens, 0.05) AS BIGINT) AS lo,
+                 CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS hi
+          FROM tok
+        ),
+        ent AS (
+          SELECT doc_id, {_ENTROPY_EXPR} >= {_ENTROPY_MIN} AS g_ent
+          FROM (
+            SELECT doc_id, SUM(cnt) AS n,
+                   SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS s
+            FROM (
+              SELECT doc_id, ch, COUNT(*) AS cnt
+              FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+                    FROM documents)
+              WHERE ch <> '' GROUP BY doc_id, ch
+            ) GROUP BY doc_id
+          )
+        ),
+        lang AS (
+          SELECT doc_id,
+                 (list_sort([{_HITS}], 'DESC')[1]
+                - list_sort([{_HITS}], 'DESC')[2]) >= 2 AS g_lang
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
+                   i -> array_to_string(
+                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')))
+                   AS chunk
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+          WHERE len(t) >= {_CHUNK}
+        ),
+        dup AS (
+          SELECT doc_id, MAX(c) > 1 AS has_dup
+          FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS c FROM ch)
+          GROUP BY doc_id
+        ),
+        gates AS (
+          SELECT t.n_tokens BETWEEN th.lo AND th.hi AS g_len,
+                 COALESCE(e.g_ent, FALSE) AS g_ent,
+                 COALESCE(l.g_lang, FALSE) AS g_lang,
+                 NOT COALESCE(d.has_dup, FALSE) AS g_dup
+          FROM tok t
+          CROSS JOIN th
+          LEFT JOIN ent e ON t.doc_id = e.doc_id
+          LEFT JOIN lang l ON t.doc_id = l.doc_id
+          LEFT JOIN dup d ON t.doc_id = d.doc_id
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN g_len AND g_ent THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN g_len AND g_ent AND g_lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN g_len AND g_ent AND g_lang AND g_dup
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c4
+          FROM gates
+        )
+        SELECT 'length' AS stage, n AS n_in, c1 AS n_out FROM agg
+        UNION ALL SELECT 'entropy', c1, c2 FROM agg
+        UNION ALL SELECT 'language', c2, c3 FROM agg
+        UNION ALL SELECT 'chunk_dedup', c3, c4 FROM agg
     """,
     "score_auc_dup": """
         WITH scored AS (

@@ -443,3 +443,17 @@ def test_ema_udtf_plan_shapes(spark, sf_dir):
     ut = P6.udtf_chunk_expand(spark, sf_dir)
     plan = E.formatted_plan(ut)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_funnel_v2_plan_shape(spark, sf_dir):
+    """The composed funnel must stay at bounded keyed work: the only
+    explicit broadcast is the 1-row threshold, no cartesian blowup from
+    the three gate joins."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    fv = P6.curation_funnel_v2(spark, sf_dir)
+    plan = E.formatted_plan(fv)
+    assert "CartesianProduct" not in plan, plan
+    # inline(array(...)) keeps ONE agg lineage — exactly one threshold
+    # hint, no per-stage re-computation
+    assert E.explicit_broadcast_hint_count(fv) == 1, plan
