@@ -404,6 +404,39 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via roaring-style bitmaps
+    (bitmap_construct_agg / bitmap_or_agg, Spark 3.5+) — the dashboard
+    pre-aggregation pattern with NO approximation: per (day, 32768-wide
+    bucket) bitmaps merge across days with OR, so the period total never
+    re-scans raw events, and unlike the HLL twin
+    (sketch_hll_daily_union) the result is value-exact — the oracle is a
+    plain COUNT(DISTINCT), full hash-match. The day-bucket bitmap
+    relation is the materialized state a production pipeline would
+    persist; here both grains re-derive it (documented recomputation,
+    |days|×|buckets| rows either way). Output: one row per day plus a
+    'TOTAL' row from the OR-merge."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("user_id").alias("v"),
+    )
+    db = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(v)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm"))
+    day_counts = (
+        db.select("day", F.expr("bitmap_count(bm)").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("n_users"))
+    )
+    total = (
+        db.groupBy("bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .agg(F.sum("c").cast("bigint").alias("n_users"))
+        .select(F.lit("TOTAL").alias("day"), "n_users")
+    )
+    return day_counts.unionByName(total)
+
+
 def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation funnel over the session-2 gates — the attrition
     report a production curation dashboard shows: sequential
@@ -1020,6 +1053,15 @@ ORACLE: dict[str, str] = {
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / n, 6) END AS intercept
         FROM agg
+    """,
+    "bitmap_daily_distinct": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'TOTAL' AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
     """,
     "curation_funnel_v2": f"""
         WITH tok AS (

@@ -457,3 +457,14 @@ def test_curation_funnel_v2_plan_shape(spark, sf_dir):
     # inline(array(...)) keeps ONE agg lineage — exactly one threshold
     # hint, no per-stage re-computation
     assert E.explicit_broadcast_hint_count(fv) == 1, plan
+
+
+def test_bitmap_distinct_plan_shape(spark, sf_dir):
+    """The bitmap rollup must aggregate bitmaps, never raw rows twice at
+    the merge grain: objecthashed bitmap aggs, no cartesian."""
+    from hadrodb_spark.operators import pipeline6 as P6
+
+    bd = P6.bitmap_daily_distinct(spark, sf_dir)
+    plan = E.formatted_plan(bd)
+    assert "CartesianProduct" not in plan, plan
+    assert "bitmap" in plan.lower(), plan
