@@ -70,6 +70,8 @@ HEADLINE = [
     "sketch_frequent_items",
     "semdedup_within_label",
     "char_entropy_gate",
+    "curation_funnel_v2",
+    "bitmap_daily_distinct",
 ]
 
 
