@@ -136,7 +136,63 @@ def hadrolog_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: events → ORC write → ORC scan →
+    filtered aggregate. ORC is the other first-class columnar format a
+    Spark deployment exchanges with Hive-era warehouses; this verifies
+    the full write→read path (type mapping, predicate pushdown at the
+    ORC reader) end-to-end against the parquet-direct oracle — the
+    format tier next to the native hadrolog round-trip. Fixture dir is
+    content-keyed + atomically published (the hadrolog discipline);
+    values ride as exact integer cents. Avro is NOT exercised: its data
+    source module ships outside the Spark distribution and is absent in
+    this environment (probed; Failed to find data source)."""
+    dest = _native_events_dir(sf_dir) + "_orc"
+    if not os.path.isdir(dest):
+        staging = tempfile.mkdtemp(prefix="orc_build_")
+        target = os.path.join(staging, "data")
+        (
+            load(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .orc(target)
+        )
+        try:
+            os.rename(staging, dest)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(dest):
+                raise
+    scanned = spark.read.orc(os.path.join(dest, "data"))
+    return (
+        scanned.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "orc_roundtrip_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
     "hadrolog_scan_decode": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,

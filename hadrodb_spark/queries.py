@@ -126,6 +126,7 @@ _register(pipeline2, only=["length_gate_disc"])
 _register(pipeline3, only=["source_js_divergence", "mixture_apply"])
 _register(pipeline6)  # peak_concurrency / anomaly_mad / dedup_subdoc_chunks
 #                       / zipf_slope / collocation_pmi (session-2 additions)
+_register(nativefmt, only=["orc_roundtrip_scan"])  # ORC format tier
 # --- verified tiers (after the round-5 queue; every entry below has a
 # green row in CORRECTNESS_r1/r2/r3) ---
 _register(dedup)

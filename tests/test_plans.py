@@ -468,3 +468,16 @@ def test_bitmap_distinct_plan_shape(spark, sf_dir):
     plan = E.formatted_plan(bd)
     assert "CartesianProduct" not in plan, plan
     assert "bitmap" in plan.lower(), plan
+
+
+def test_orc_scan_pushes_filter(spark, sf_dir):
+    """The ORC reader must receive the event_type pushdown and prune to
+    the 4 needed columns — format parity with the parquet scan contract."""
+    from hadrodb_spark.operators import nativefmt as N
+
+    df = N.orc_roundtrip_scan(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    assert E.has_pushed_filters(df), plan
+    cols = set(E.read_schema_columns(df))
+    # user_id is written but pruned — the agg never touches it
+    assert cols == {"event_id", "event_type", "cents"}, cols
