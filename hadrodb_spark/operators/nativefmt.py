@@ -150,21 +150,22 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = _native_events_dir(sf_dir) + "_orc"
     if not os.path.isdir(dest):
         staging = tempfile.mkdtemp(prefix="orc_build_")
-        target = os.path.join(staging, "data")
-        (
-            load(spark, sf_dir, "events")
-            .select(
-                "event_id",
-                "user_id",
-                "event_type",
-                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-            )
-            .write.mode("overwrite")
-            .orc(target)
-        )
         try:
+            target = os.path.join(staging, "data")
+            (
+                load(spark, sf_dir, "events")
+                .select(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                )
+                .write.mode("overwrite")
+                .orc(target)
+            )
             os.rename(staging, dest)
-        except OSError:
+        except Exception:
+            # failed write OR lost publish race: never leak the staging dir
             shutil.rmtree(staging, ignore_errors=True)
             if not os.path.isdir(dest):
                 raise

@@ -156,6 +156,49 @@ def _chunks(toks: Column, n: int = _CHUNK) -> Column:
     return F.element_at(F.transform(F.array(toks), over), 1)
 
 
+# ---- shared gate relations (one implementation per gate: the single-gate
+# operators AND curation_funnel_v2 consume these, so a fix can't silently
+# miss one copy — the functions/sketches.py lesson applied here too) ----
+
+
+def _chunk_freq(base: DataFrame) -> DataFrame:
+    """(doc_id, chunk, c): corpus-wide frequency of every doc's 8-token
+    chunks; docs under one chunk excluded."""
+    toks = X.tokens(F.col("text"))
+    ch = base.filter(F.size(toks) >= _CHUNK).select(
+        "doc_id", F.explode(_chunks(toks)).alias("chunk")
+    )
+    return ch.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+
+
+def _char_entropy_ns(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, s): per-doc character count and the decimal-exact
+    Σ c·round(ln c, 6) the shared entropy expression consumes."""
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    return (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt") * F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))")
+            ).alias("s"),
+        )
+    )
+
+
+def _lang_top(toks: Column) -> Column:
+    """Stopword-profile hit counts sorted descending — top[0]−top[1] is
+    the integer abstention margin."""
+    hits = F.array(*[X.stopword_hits(toks, l) for l in sorted(X.STOPWORDS)])
+    return F.sort_array(hits, asc=False)
+
+
 def dedup_subdoc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document duplication audit — the line-level dedup step of
     C4/CCNet adapted to the fixture's unpunctuated text: split each doc
@@ -167,15 +210,9 @@ def dedup_subdoc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadrodb_spark.operators.dedup import _with_exact_copies
 
     base = _with_exact_copies(spark, sf_dir)
-    toks = X.tokens(F.col("text"))
-    ch = (
-        base.filter(F.size(toks) >= _CHUNK)
-        .select("doc_id", F.explode(_chunks(toks)).alias("chunk"))
-    )
-    c = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
     dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
     return (
-        ch.withColumn("c", c)
+        _chunk_freq(base)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
@@ -450,8 +487,7 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold."""
     docs = load(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    hits = F.array(*[X.stopword_hits(toks, l) for l in sorted(X.STOPWORDS)])
-    top = F.sort_array(hits, asc=False)
+    top = _lang_top(toks)
     base = docs.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -465,27 +501,14 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)"
         ).alias("hi"),
     )
-    chars = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
-    ).filter(F.col("ch") != "")
-    ent = (
-        chars.groupBy("doc_id", "ch")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    ent = _char_entropy_ns(docs).select(
+        "doc_id", F.expr(f"{_ENTROPY_EXPR} >= {_ENTROPY_MIN}").alias("g_ent")
+    )
+    dup = (
+        _chunk_freq(docs.select("doc_id", "text"))
         .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n"),
-            F.sum(
-                F.col("cnt") * F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))")
-            ).alias("s"),
-        )
-        .select("doc_id", F.expr(f"{_ENTROPY_EXPR} >= {_ENTROPY_MIN}").alias("g_ent"))
+        .agg((F.max("c") > 1).alias("has_dup"))
     )
-    ch = (
-        docs.filter(F.size(toks) >= _CHUNK)
-        .select("doc_id", F.explode(_chunks(toks)).alias("chunk"))
-        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
-    )
-    dup = ch.groupBy("doc_id").agg((F.max("c") > 1).alias("has_dup"))
     gates = (
         base.crossJoin(F.broadcast(th))
         .join(ent, "doc_id", "left")
@@ -623,8 +646,7 @@ def langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (hit counts and their sorted gap); map-only, one pass."""
     docs = load(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    hits = F.array(*[X.stopword_hits(toks, l) for l in sorted(X.STOPWORDS)])
-    top = F.sort_array(hits, asc=False)
+    top = _lang_top(toks)
     return docs.select(
         "doc_id",
         X.lang_id(toks).alias("pred_lang"),
@@ -703,18 +725,7 @@ def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥3e-5, eleven orders above any cross-engine ln ulp skew. One shuffle
     on (doc_id, char), one per-doc re-agg."""
     docs = load(spark, sf_dir, "documents")
-    chars = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
-    ).filter(F.col("ch") != "")
-    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
-    agg = cc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n"),
-        F.sum(
-            F.col("cnt")
-            * F.expr("CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))")
-        ).alias("s"),
-    )
-    return agg.select(
+    return _char_entropy_ns(docs).select(
         "doc_id",
         F.col("n").cast("bigint").alias("n_chars_counted"),
         F.expr(f"ROUND({_ENTROPY_EXPR}, 6)").alias("entropy"),
@@ -937,6 +948,32 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = X.sql_tokens("text")
 _HITS = ", ".join(X.sql_stopword_hits(_TOKS, l) for l in sorted(X.STOPWORDS))
 
+# shared oracle fragments — ONE SQL text per gate, interpolated by every
+# oracle that uses the gate (mirrors the Python-side shared helpers)
+_SQL_ENT_NS = """
+          SELECT doc_id, SUM(cnt) AS n,
+                 SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS s
+          FROM (
+            SELECT doc_id, ch, COUNT(*) AS cnt
+            FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+                  FROM documents)
+            WHERE ch <> '' GROUP BY doc_id, ch
+          ) GROUP BY doc_id"""
+
+
+def _sql_chunk_rows(src: str) -> str:
+    """(doc_id, chunk) rows of ``src``'s 8-token chunks — the SQL twin of
+    :func:`_chunk_freq`'s explode stage."""
+    return f"""
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
+                   i -> array_to_string(
+                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')))
+                   AS chunk
+          FROM (SELECT doc_id, {_TOKS} AS t FROM {src})
+          WHERE len(t) >= {_CHUNK}"""
+
 ORACLE: dict[str, str] = {
     "peak_concurrency": """
         WITH spans AS (
@@ -996,15 +1033,7 @@ ORACLE: dict[str, str] = {
           SELECT doc_id + 200000 AS doc_id, text
           FROM documents WHERE doc_id % 50 = 0
         ),
-        tk AS (SELECT doc_id, {_TOKS} AS t FROM base),
-        ch AS (
-          SELECT doc_id,
-                 UNNEST(list_transform(
-                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
-                   i -> array_to_string(
-                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')))
-                   AS chunk
-          FROM tk WHERE len(t) >= {_CHUNK}
+        ch AS ({_sql_chunk_rows('base')}
         ),
         cc AS (
           SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS c FROM ch
@@ -1074,32 +1103,16 @@ ORACLE: dict[str, str] = {
         ),
         ent AS (
           SELECT doc_id, {_ENTROPY_EXPR} >= {_ENTROPY_MIN} AS g_ent
-          FROM (
-            SELECT doc_id, SUM(cnt) AS n,
-                   SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS s
-            FROM (
-              SELECT doc_id, ch, COUNT(*) AS cnt
-              FROM (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
-                    FROM documents)
-              WHERE ch <> '' GROUP BY doc_id, ch
-            ) GROUP BY doc_id
+          FROM ({_SQL_ENT_NS}
           )
         ),
         lang AS (
-          SELECT doc_id,
-                 (list_sort([{_HITS}], 'DESC')[1]
-                - list_sort([{_HITS}], 'DESC')[2]) >= 2 AS g_lang
-          FROM documents
+          SELECT doc_id, (srt[1] - srt[2]) >= 2 AS g_lang
+          FROM (
+            SELECT doc_id, list_sort([{_HITS}], 'DESC') AS srt FROM documents
+          )
         ),
-        ch AS (
-          SELECT doc_id,
-                 UNNEST(list_transform(
-                   generate_series(0, CAST(len(t) // {_CHUNK} AS INT) - 1),
-                   i -> array_to_string(
-                     list_slice(t, i*{_CHUNK}+1, i*{_CHUNK}+{_CHUNK}), ' ')))
-                   AS chunk
-          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-          WHERE len(t) >= {_CHUNK}
+        ch AS ({_sql_chunk_rows('documents')}
         ),
         dup AS (
           SELECT doc_id, MAX(c) > 1 AS has_dup
@@ -1238,18 +1251,7 @@ ORACLE: dict[str, str] = {
         GROUP BY e.label
     """,
     "char_entropy_gate": f"""
-        WITH chars AS (
-          SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
-          FROM documents
-        ),
-        cc AS (
-          SELECT doc_id, ch, COUNT(*) AS cnt
-          FROM chars WHERE ch <> '' GROUP BY doc_id, ch
-        ),
-        agg AS (
-          SELECT doc_id, SUM(cnt) AS n,
-                 SUM(cnt * CAST(ROUND(LN(cnt), 6) AS DECIMAL(18,6))) AS s
-          FROM cc GROUP BY doc_id
+        WITH agg AS ({_SQL_ENT_NS}
         )
         SELECT doc_id,
                CAST(n AS BIGINT) AS n_chars_counted,
