@@ -204,3 +204,91 @@ def mg_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------------ exact bitmaps
+
+BMD_SCHEMA = T.StructType(
+    [
+        T.StructField("slot", T.StringType(), False),
+        T.StructField("day", T.StringType(), True),
+        T.StructField("bkt", T.LongType(), True),
+        T.StructField("bm", T.BinaryType(), True),
+    ]
+)
+
+BMD_META_SLOT = "_bmd_meta"  # day carries the checkpoint id, bkt the batch id
+
+
+def bitmap_daily_counts(coll: HadroCollection) -> DataFrame:
+    """Per-day EXACT distinct counts from the maintained bitmap state —
+    what dashboards read between batches, no raw-event rescan."""
+    state = coll.scan(columns=["slot", "day", "bkt", "bm"]).filter(
+        F.col("slot") != BMD_META_SLOT
+    )
+    return state.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
+    )
+
+
+def bitmap_distinct_stream(
+    stream: DataFrame,
+    coll: HadroCollection,
+    key_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain EXACT per-day distinct counts incrementally — the third
+    streaming accumulator next to countmin_stream (approximate counts)
+    and mg_stream (heavy hitters), and the only exact one: per
+    (day, 32768-bucket) roaring-style bitmaps, batch deltas OR-merged
+    into stored state. Unlike count_distinct over a stream (which needs
+    the full key set as state rows), bitmap state is O(|days|×|buckets|)
+    fixed-size pages, and merging is associative/commutative/idempotent
+    — replays cannot double-count even WITHOUT the marker, but the
+    marker still rides in the same commit (one scan of a replayed batch
+    saved). The bucket discipline (bitmap_bucket_number) is load-bearing:
+    one un-bucketed bitmap drops values at the 32768 boundary."""
+    import os as _os
+
+    ckpt_id = _os.path.abspath(checkpoint)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        state = coll.scan(columns=["slot", "day", "bkt", "bm"])
+        meta = (
+            state.filter(F.col("slot") == BMD_META_SLOT)
+            .select("day", "bkt")
+            .collect()
+        )
+        if meta and meta[0]["day"] == ckpt_id and batch_id <= meta[0]["bkt"]:
+            return  # replay of an already-applied batch
+        delta = (
+            batch.select(
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+                F.col(key_col).alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+            .groupBy("day", F.expr("bitmap_bucket_number(v)").alias("bkt"))
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm"))
+        )
+        cur = state.filter(F.col("slot") != BMD_META_SLOT).select("day", "bkt", "bm")
+        merged = (
+            delta.unionByName(cur)
+            .groupBy("day", "bkt")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            .select(
+                F.concat_ws("|", "day", "bkt").alias("slot"), "day", "bkt", "bm"
+            )
+        )
+        meta_row = batch.sparkSession.createDataFrame(
+            [(BMD_META_SLOT, ckpt_id, batch_id, None)], BMD_SCHEMA
+        )
+        # ONE append_df = ONE commit: state + marker atomic
+        coll.append_df(merged.unionByName(meta_row), key_col="slot")
+
+    return (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

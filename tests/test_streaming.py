@@ -320,3 +320,29 @@ def test_mg_stream_heavy_hitters(spark, sf_dir, event_dir, tmp_path):
         .collect()
     )
     assert len(metas) == 1 and json.loads(metas[0]["payload"])["batch"] >= 0
+
+
+def test_bitmap_distinct_stream_exact(spark, sf_dir, event_dir, tmp_path):
+    """Incrementally-maintained bitmap state must yield EXACTLY the batch
+    per-day distinct user counts — no tolerance, the property that
+    separates bitmap state from the HLL/CMS sketches."""
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import sketch as SK
+
+    coll = HadroCollection(spark, str(tmp_path / "bmd"), SK.BMD_SCHEMA)
+    stream = S.stream_events(spark, event_dir)
+    q = SK.bitmap_distinct_stream(stream, coll, "user_id", str(tmp_path / "bmd_ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r["day"]: r["n_distinct"]
+        for r in SK.bitmap_daily_counts(coll).collect()
+    }
+    want = {
+        r["day"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
