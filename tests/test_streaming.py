@@ -363,38 +363,35 @@ def test_streaming_accumulators_survive_checkpoint_loss(
     from hadrodb_spark.streaming import sketch as SK
 
     # --- count-min (read-modify-write sum: marker is load-bearing) ---
+    def _run(q):
+        assert q.awaitTermination(300), "stream did not finish in time"
+
     cms = HadroCollection(spark, str(tmp_path / "r_cms"), SK.CMS_SCHEMA)
     ck1 = str(tmp_path / "r_cms_ckpt")
-    SK.countmin_stream(S.stream_events(spark, event_dir), cms, "user_id", ck1
-                       ).awaitTermination(180)
+    _run(SK.countmin_stream(S.stream_events(spark, event_dir), cms, "user_id", ck1))
     before = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
     _sh.rmtree(ck1)
-    SK.countmin_stream(S.stream_events(spark, event_dir), cms, "user_id", ck1
-                       ).awaitTermination(180)
+    _run(SK.countmin_stream(S.stream_events(spark, event_dir), cms, "user_id", ck1))
     after = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
     assert after == before
 
     # --- Misra-Gries (driver merge: marker is load-bearing) ---
     mg = HadroCollection(spark, str(tmp_path / "r_mg"), SK.MG_SCHEMA)
     ck2 = str(tmp_path / "r_mg_ckpt")
-    SK.mg_stream(S.stream_events(spark, event_dir), mg, "event_type", ck2
-                 ).awaitTermination(180)
+    _run(SK.mg_stream(S.stream_events(spark, event_dir), mg, "event_type", ck2))
     before_mg = SK.mg_summary(mg)
     _sh.rmtree(ck2)
-    SK.mg_stream(S.stream_events(spark, event_dir), mg, "event_type", ck2
-                 ).awaitTermination(180)
+    _run(SK.mg_stream(S.stream_events(spark, event_dir), mg, "event_type", ck2))
     assert SK.mg_summary(mg) == before_mg
 
     # --- bitmap distinct (idempotent OR: exact even by algebra) ---
     bmd = HadroCollection(spark, str(tmp_path / "r_bmd"), SK.BMD_SCHEMA)
     ck3 = str(tmp_path / "r_bmd_ckpt")
-    SK.bitmap_distinct_stream(S.stream_events(spark, event_dir), bmd, "user_id", ck3
-                              ).awaitTermination(180)
+    _run(SK.bitmap_distinct_stream(S.stream_events(spark, event_dir), bmd, "user_id", ck3))
     before_bm = {r["day"]: r["n_distinct"]
                  for r in SK.bitmap_daily_counts(bmd).collect()}
     _sh.rmtree(ck3)
-    SK.bitmap_distinct_stream(S.stream_events(spark, event_dir), bmd, "user_id", ck3
-                              ).awaitTermination(180)
+    _run(SK.bitmap_distinct_stream(S.stream_events(spark, event_dir), bmd, "user_id", ck3))
     after_bm = {r["day"]: r["n_distinct"]
                 for r in SK.bitmap_daily_counts(bmd).collect()}
     assert after_bm == before_bm
