@@ -27,7 +27,9 @@ from hadrodb_spark.functions import text as X
 from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.relational import load
 
-_EXACT_MOD = 50      # doc_id % 50 == 0 → planted exact copy at +200000
+_EXACT_MOD = 50        # doc_id % _EXACT_MOD == 0 → planted exact copy
+_EXACT_OFFSET = 200000  # … at doc_id + _EXACT_OFFSET (interpolated into every
+#                         oracle that replants the scheme — never hardcode)
 _NEAR_MOD = 10       # doc_id % 10 == 0 → planted near-dup at +100000
 _MINHASH_SEEDS = 8   # 2 bands × 4 rows
 _BAND_ROWS = 4       # rows per band: P(candidate) = 1-(1-j^4)^2 — steep
@@ -40,7 +42,7 @@ def _with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = (
         docs.filter(F.col("doc_id") % _EXACT_MOD == 0)
-        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("doc_id", F.col("doc_id") + _EXACT_OFFSET)
     )
     return docs.unionByName(copies)
 
@@ -399,7 +401,7 @@ _SH = X.sql_shingles(_TOKS, 3)
 _EXACT_BASE = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % {_EXACT_MOD} = 0
+    SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % {_EXACT_MOD} = 0
 """
 
 _NEAR_BASE = f"""

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.dedup import _EXACT_MOD, _EXACT_OFFSET
 from hadrodb_spark.operators.relational import load
 
 _TFIDF_TOPN = 3
@@ -450,8 +451,8 @@ ORACLE: dict[str, str] = {
         WITH documents2 AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 200000 AS doc_id, text FROM documents
-          WHERE doc_id % 50 = 0
+          SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id % {_EXACT_MOD} = 0
         ),
         scored AS (
           SELECT doc_id,

@@ -51,6 +51,7 @@ from pyspark.sql.window import Window
 from hadrodb_spark.functions import sketches as SK
 from hadrodb_spark.functions import text as X
 from hadrodb_spark.functions import vectors as V
+from hadrodb_spark.operators.dedup import _EXACT_MOD, _EXACT_OFFSET
 from hadrodb_spark.operators.relational import load
 
 _CHUNK = 8          # tokens per sub-document chunk
@@ -1030,8 +1031,8 @@ ORACLE: dict[str, str] = {
         WITH base AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 200000 AS doc_id, text
-          FROM documents WHERE doc_id % 50 = 0
+          SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text
+          FROM documents WHERE doc_id % {_EXACT_MOD} = 0
         ),
         ch AS ({_sql_chunk_rows('base')}
         ),

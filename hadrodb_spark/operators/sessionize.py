@@ -99,7 +99,11 @@ ORACLE: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged
         )
-        SELECT user_id, session_id,
+        SELECT user_id,
+               -- DuckDB types an un-cast window SUM over INTEGER as HUGEINT
+               -- (int128); Spark emits bigint.  The r4 driver red row was
+               -- exactly this type-encoding mismatch (values identical).
+               CAST(session_id AS BIGINT) AS session_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MIN(ets) AS session_start_epoch,
                MAX(ets) AS session_end_epoch,

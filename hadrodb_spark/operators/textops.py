@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.dedup import _EXACT_MOD, _EXACT_OFFSET
 from hadrodb_spark.operators.relational import load
 
 
@@ -276,8 +277,8 @@ ORACLE: dict[str, str] = {
         WITH base AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 200000 AS doc_id, text
-          FROM documents WHERE doc_id % 50 = 0
+          SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text
+          FROM documents WHERE doc_id % {_EXACT_MOD} = 0
         ),
         docs AS (
           SELECT b.doc_id,

@@ -59,63 +59,31 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1/r2/r3 CORRECTNESS key sets).  Cumulative driver coverage after three
-# disjoint windows: 150/188 (r1 relational/relational2 tier; r2 pipeline3/
-# sqlsuite/pipeline4 tier; r3 dedup/vector/KV/text/multimodal tier).
+# r1/r2/r3/r4 CORRECTNESS key sets).  Cumulative driver coverage after four
+# disjoint windows: 188/222 (r1 relational tier; r2 pipeline3/sqlsuite/
+# pipeline4 tier; r3 dedup/vector/KV/text/multimodal tier; r4 analytics/
+# asof/pipeline5/relational3/relational4 tier — 187 green, sessionize red
+# on an oracle HUGEINT cast, fixed this round).
 #
-# ROUND-4 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (per VERDICT.md r3 "Next round" item 1):
-#   [0]     sessionize        — the one r3 red row, outputs hardened to
-#                               bigint epochs + bigint cents this round
-#   [1]     profile_quantiles_approx — r2 row was err:no_oracle; the
-#                               bound-checking oracle has never driver-run
-#   [2-39]  the 38 entries with NO driver CORRECTNESS row in r1/r2/r3
-#   [40-49] highest-churn re-checks: queries whose code, oracle, or shared
-#           intermediates this round touches (shared registry, basket_lift
-#           de-broadcast, nativefmt fixture keying, graph conf fix,
-#           kmeans-IVF oracle robustness, curation profiling)
+# ROUND-5 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (per VERDICT.md r4 "Next round" items 1-2):
+#   [0]     sessionize        — the one r4 red row; root cause was the
+#                               oracle's un-cast window SUM (DuckDB HUGEINT
+#                               vs Spark bigint, values identical) — fixed
+#                               with CAST(session_id AS BIGINT); all 222
+#                               oracles swept for the same pattern
+#                               (tools/oracle_type_sweep.py: clean)
+#   [1-34]  the 34 entries with NO driver row in r1-r4 (the r4 session's
+#           additions: asof tolerance/SCD2, IGNORE-NULLS windows, ANN
+#           range/cohesion, text gates, the pipeline6 tier, ORC)
+#   [35-49] re-checks: queries whose code, oracle, module, or shared
+#           lineage this round's diffs touch (sessionize module →
+#           funnel_conversion; tfidf plan rework → pipeline2 tier;
+#           nativefmt writer → hadrolog_scan_decode) + high-value r1-r3
+#           greens
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  After r4 every registered query has a driver row.
+# OF THIS ROUND.  After r5 every registered query has a driver row.
 _register(sessionize, only=["sessionize"])
-_register(pipeline3, only=["profile_quantiles_approx"])
-_register(relational4, only=[
-    "basket_lift", "lateral_topk", "agg_map_counts", "date_arithmetic",
-    "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
-])
-_register(asof, only=[
-    "asof_orders_events", "asof_events_forward", "asof_events_nearest",
-])
-_register(pipeline5, only=[
-    "bpe_train_merges", "bpe_encode", "embedding_quantize_int8",
-    "feature_hashing", "bigram_logprob",
-])
-_register(analytics)  # cumulative_users/retention/event_paths/mode/rfm
-_register(sessionize)  # funnel_conversion remainder
-_register(skew)  # join_salted / join_interval_bucketed
-_register(relational2, only=["profile_columns"])
-_register(pipeline2, only=[
-    "profile_quantiles", "stratified_sample", "length_buckets",
-])
-_register(dedup, only=["dedup_ml_minhash"])
-_register(similarity, only=["vector_topk_kmeans_ivf"])
-_register(relational3, only=[
-    "events_hourly_windows", "join_null_safe", "setop_intersect_all",
-    "setop_except_all", "setop_union_all", "dedup_drop_duplicates",
-    "scalar_array2", "null_semantics", "join_cross",
-])
-# positions 40-49: high-churn re-checks (all green in r1-r3; re-verify
-# because this round's changes touch their code or shared lineage)
-_register(dedup, only=["dedup_near"])
-_register(pipeline2, only=["curation_pipeline", "tfidf_top_terms"])
-_register(graph, only=["graph_reachability"])
-_register(nativefmt, only=["hadrolog_scan_decode"])
-_register(relational3, only=["session_window_batch"])
-_register(similarity, only=["vector_topk_sq"])
-_register(pipeline4, only=["rag_context_pack"])
-_register(sketch, only=["sketch_countmin"])
-_register(sqlsuite, only=["sql_tpch_q9_like"])
-# --- round-5 queue (positions 50+): entries ADDED this round — they have
-# no driver row yet by construction; r5's window must lead with them ---
 _register(asof, only=["asof_events_tolerance", "join_scd2_temporal"])
 _register(relational4, only=[
     "window_first_last_ignore_nulls", "window_rolling_median",
@@ -124,11 +92,34 @@ _register(similarity, only=["ann_range_search", "embedding_cluster_cohesion"])
 _register(textops, only=["vocab_coverage", "classifier_agreement_kappa", "dedup_rate_by_source"])
 _register(pipeline2, only=["length_gate_disc"])
 _register(pipeline3, only=["source_js_divergence", "mixture_apply"])
-_register(pipeline6)  # peak_concurrency / anomaly_mad / dedup_subdoc_chunks
-#                       / zipf_slope / collocation_pmi (session-2 additions)
+_register(pipeline6)  # the 21-entry session-2 tier (peak_concurrency …
+#                       collocation_pmi), never driver-run
 _register(nativefmt, only=["orc_roundtrip_scan"])  # ORC format tier
-# --- verified tiers (after the round-5 queue; every entry below has a
-# green row in CORRECTNESS_r1/r2/r3) ---
+# positions 35-49: re-checks
+_register(sessionize)  # funnel_conversion — module touched by the fix
+_register(pipeline2, only=["tfidf_top_terms", "curation_pipeline"])
+_register(nativefmt, only=["hadrolog_scan_decode"])
+_register(sqlsuite, only=["sql_tpch_q9_like"])
+_register(dedup, only=["dedup_near", "dedup_ml_minhash"])
+_register(relational4, only=["basket_lift"])
+_register(similarity, only=["vector_topk_kmeans_ivf"])
+_register(sketch, only=["sketch_countmin"])
+_register(pipeline4, only=["rag_context_pack"])
+_register(relational3, only=["session_window_batch"])
+_register(pipeline5, only=["bpe_train_merges"])
+_register(graph, only=["graph_reachability"])
+_register(pipeline3, only=["profile_quantiles_approx"])
+# --- verified tiers (after the window; every entry below has a green row
+# in CORRECTNESS_r1/r2/r3/r4) ---
+_register(relational4, only=[
+    "lateral_topk", "agg_map_counts", "date_arithmetic",
+    "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
+])
+_register(asof)
+_register(pipeline5)
+_register(analytics)
+_register(skew)
+_register(relational2, only=["profile_columns"])
 _register(dedup)
 _register(components)
 _register(similarity)

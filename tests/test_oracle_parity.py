@@ -77,6 +77,23 @@ def test_oracle_parity(spark, sf_dir, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+def test_no_hugeint_oracle_outputs(sf_dir):
+    """No oracle may emit HUGEINT/UHUGEINT (r3/r4 ``sessionize`` red row:
+    DuckDB types an un-cast window SUM over INTEGER as int128, Spark emits
+    bigint, and the driver's value hash is type-encoding-sensitive — values
+    can be identical and still mismatch).  Plan-only: LIMIT 0, no Spark.
+    """
+    con = _duck(sf_dir)
+    bad = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(f"SELECT * FROM ({sql}) __q LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in ("HUGEINT", "UHUGEINT"):
+                bad.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not bad, f"un-cast int128 oracle outputs (CAST ... AS BIGINT): {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_smoke(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
