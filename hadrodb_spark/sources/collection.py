@@ -59,6 +59,7 @@ _SCHEMA_FILE = "_hadro_schema.json"
 _MANIFEST_FILE = "_hadro_manifest.json"
 _DATA_DIR = "segments"
 _ZORDER_COL = "_zorder"  # transient clustering key, never written to disk
+_ZBUCKET_COL = "_zbucket"  # transient deterministic partition rep, ditto
 
 
 class HadroError(Exception):
@@ -1036,27 +1037,113 @@ class HadroCollection:
         leading one — the multi-dimensional data-skipping trade: each
         dimension's per-file span shrinks to roughly global_span /
         n_files^(1/k) rather than one column getting perfect clustering
-        and the rest none."""
+        and the rest none.
+
+        The z-path's file assignment is fully DETERMINISTIC (r4 VERDICT
+        de-flake): ``repartitionByRange`` samples its boundaries from the
+        LWW shuffle output, whose within-partition row order varies run to
+        run, so file spans wobbled around the test bound.  Instead the
+        z-key's bounded domain (≤ 2^16 distinct values by construction) is
+        exactly histogrammed (one map-side-combinable agg), equi-depth
+        boundaries are computed on the driver, and rows are placed via an
+        identity hash-partitioning trick (see ``_identity_partition_reps``)
+        — same shuffle count, exact file boundaries, no sampling anywhere.
+        On uniform data the equi-depth cuts land on dyadic z-block edges,
+        which is also the best possible per-dimension span."""
         live = self._lww().filter(~F.col(DELETED_COL))
         if zorder:
             if len(sort_cols) < 2:
                 raise HadroError("zorder needs at least 2 columns")
             live = live.withColumn(_ZORDER_COL, self._zorder_key(live, sort_cols))
-            cluster = [_ZORDER_COL]
-        else:
-            cluster = list(sort_cols)
+            n_files = target_files or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            live = self._with_zbucket_rep(live, n_files)
+            self._rewrite_segments(
+                live,
+                self._data_path + ".optimize",
+                sort_cols=[_ZORDER_COL],
+                target_files=n_files,
+                partition_col=_ZBUCKET_COL,
+            )
+            return
         self._rewrite_segments(
             live,
             self._data_path + ".optimize",
-            sort_cols=cluster,
+            sort_cols=list(sort_cols),
             target_files=target_files,
         )
+
+    def _with_zbucket_rep(self, live: DataFrame, n_files: int) -> DataFrame:
+        """Attach ``_ZBUCKET_COL``: a representative id whose murmur3 hash
+        lands each row's equi-depth z-bucket on exactly one shuffle
+        partition of ``repartition(n_files, _ZBUCKET_COL)``.
+
+        The z histogram is exact and small (the z domain is capped at 2^16
+        values by ``_zorder_key``), so boundaries are exact cumulative-count
+        cuts — deterministic for deterministic data, unlike range-exchange
+        boundary *sampling*.  Cost at any scale: one extra pass for the
+        histogram (map-side combinable, ≤65536 groups collected) and a
+        broadcast map-only join; the required clustering shuffle itself is
+        unchanged."""
+        hist = sorted(
+            (r[0], r[1])
+            for r in live.groupBy(_ZORDER_COL).count().collect()
+            if r[0] is not None
+        )
+        if not hist:
+            return live.withColumn(_ZBUCKET_COL, F.lit(0))
+        total = sum(c for _, c in hist)
+        reps = self._identity_partition_reps(n_files)
+        mapping, cum, bucket = [], 0, 0
+        for z, c in hist:
+            # advance to the bucket whose depth range holds this z's rows
+            while bucket < n_files - 1 and cum >= (bucket + 1) * total / n_files:
+                bucket += 1
+            mapping.append((int(z), reps[bucket]))
+            cum += c
+        mdf = self.spark.createDataFrame(
+            mapping, f"{_ZORDER_COL} long, {_ZBUCKET_COL} int"
+        )
+        return live.join(F.broadcast(mdf), on=_ZORDER_COL, how="inner")
+
+    def _identity_partition_reps(self, n: int) -> list[int]:
+        """For each shuffle partition p in 0..n-1, an int id r with
+        ``pmod(murmur3(r), n) == p`` — so ``repartition(n, col_of_reps)``
+        places rows on EXACTLY the intended partition.  Spark's DataFrame
+        API offers no direct-assignment partitioner (the RDD one would
+        round-trip every row through Python); probing murmur3 through
+        Spark's own ``hash`` keeps the placement contract honest against
+        whatever seed/variant the engine uses."""
+        reps: dict[int, int] = {}
+        lo = 0
+        while len(reps) < n:
+            got = (
+                self.spark.range(lo, lo + 32 * n)
+                .select(
+                    F.col("id").cast("int").alias("r"),
+                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+                )
+                .groupBy("p")
+                .agg(F.min("r").alias("r"))
+                .collect()
+            )
+            for row in got:
+                reps.setdefault(row["p"], row["r"])
+            lo += 32 * n
+        return [reps[p] for p in range(n)]
 
     def _zorder_key(self, df: DataFrame, cols: Sequence[str]) -> Column:
         """Z-value: each column min-max-scaled to an 8-bit bucket
         (``width_bucket`` — one tiny agg for the bounds, then map-only),
         bits interleaved into one integer. Pure JVM expressions; the only
-        extra cost over a plain sort is the bounds agg."""
+        extra cost over a plain sort is the bounds agg.
+
+        Total z bits are capped at 16 (8 per column for 2 columns, fewer
+        per column beyond) so the z domain stays ≤65536 values — this is
+        what makes the exact histogram in ``_with_zbucket_rep`` collectible
+        at any data scale, and 16 bucket bits split across k dimensions is
+        already far finer than any realistic file count resolves."""
         for c in cols:
             if not isinstance(df.schema[c].dataType, T.NumericType):
                 raise HadroError(f"zorder column {c!r} must be numeric")
@@ -1064,7 +1151,7 @@ class HadroCollection:
             *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
         ).first()
-        bits = 8
+        bits = max(2, 16 // len(cols))
         parts = []
         for i, c in enumerate(cols):
             mn = float(bounds[f"mn_{i}"]) if bounds[f"mn_{i}"] is not None else 0.0
@@ -1094,6 +1181,7 @@ class HadroCollection:
         tmp: str,
         sort_cols: Sequence[str] | None = None,
         target_files: int | None = None,
+        partition_col: str | None = None,
     ) -> None:
         """Materialize ``df`` — re-sequenced into one fresh commit — to
         ``tmp`` then swap it in with two renames: the live dir is moved
@@ -1104,7 +1192,15 @@ class HadroCollection:
 
         commit = self._next_commit()
         out = df.drop(SEQ_COL)
-        if sort_cols:
+        if partition_col:
+            # deterministic placement: partition_col holds representative
+            # ids pre-probed so murmur3 hashing routes each bucket to
+            # exactly one partition (see _identity_partition_reps); an
+            # explicit numPartitions keeps AQE from coalescing it
+            out = out.repartition(target_files, F.col(partition_col))
+            out = out.sortWithinPartitions(*self.partition_by, *(sort_cols or ()))
+            out = out.drop(partition_col)
+        elif sort_cols:
             # cluster by sort_cols for min/max data skipping; lead the sort
             # with the partition columns so the dynamic-partition writer's
             # required ordering is already satisfied and it does not insert

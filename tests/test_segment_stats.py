@@ -264,10 +264,14 @@ def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
 
     # storage column order: _key, _sub, _deleted, x, y  (SEQ is the hive dir)
     x_spans, y_spans = spans(3), spans(4)
-    assert len(x_spans) >= 4, "expected several clustered files"
-    # both dimensions clustered: average per-file span well below global
-    assert sum(x_spans) / len(x_spans) < 0.6, x_spans
-    assert sum(y_spans) / len(y_spans) < 0.6, y_spans
+    assert len(x_spans) == 8, "deterministic bucketing must emit target_files files"
+    # File placement is now DETERMINISTIC (exact z-histogram boundaries, no
+    # range-exchange sampling — the r4 flake), and on this uniform grid the
+    # equi-depth cuts land on dyadic z-block edges: every file spans exactly
+    # half the x range and a quarter of the y range (0.496 / 0.244 measured).
+    # Bounds carry honest margin but far below the old sampled wobble (~0.60).
+    assert sum(x_spans) / len(x_spans) < 0.55, x_spans
+    assert sum(y_spans) / len(y_spans) < 0.30, y_spans
     # correctness preserved
     assert len(coll) == n
     assert coll.scan(predicate="x = 5 AND y = 7").count() == 1
