@@ -24,6 +24,33 @@ def test_flagship_prunes_to_needed_columns(spark, sf_dir):
     assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
 
 
+def test_tfidf_no_preagg_term_shuffle(spark, sf_dir):
+    """tfidf_top_terms (r4 VERDICT fix): no stage may be partitioned by bare
+    ``term`` carrying row-scale pre-aggregation data — the old
+    ``repartition("term")`` forfeited map-side combine and funneled each
+    Zipf-head stopword's whole occurrence stream onto one executor. The
+    scale-safe plan: every exchange is ENSURE_REQUIREMENTS under a partial
+    aggregate, df joins back by broadcast, top-k uses WindowGroupLimit."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline2 import tfidf_top_terms
+
+    try:
+        df = tfidf_top_terms(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no user-forced repartition anywhere (the skew-prone shape)
+        assert "REPARTITION_BY_COL" not in plan, plan
+        # the vocab/df relation joins back via broadcast, and rank top-k
+        # prunes before the final shuffle
+        assert "BroadcastHashJoin" in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+        # every term-keyed exchange carries partial-aggregate rows: the
+        # exploded Generate feeds a partial count BEFORE any exchange
+        gen = plan.index("Generate explode")
+        assert "partial_count" in plan[:gen], plan
+    finally:
+        shared.release_shared()
+
+
 def test_dim_joins_broadcast(spark, sf_dir):
     assert E.has_broadcast_join(R.join_inner(spark, sf_dir))
     assert E.has_broadcast_join(R.join_range(spark, sf_dir))
