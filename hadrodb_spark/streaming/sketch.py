@@ -6,18 +6,43 @@ restarts (the collection's LWW log is the state store).
 Per trigger: (1) hash the batch's keys into (j, bucket) partial counts —
 map-side, d×w rows max; (2) read the current 1024-row counter relation
 from the collection; (3) sum and append the new counter versions (LWW
-makes the append an upsert). The last-applied batch id rides in the SAME
-commit as the counters (a ``_cms_meta`` row, LWW-upserted like any other
-slot), so the merge and its idempotency marker are atomic: a crash either
-loses both (the batch replays cleanly against the old counters) or
-persists both (the replay is skipped). This read-modify-write merge is
-NOT intrinsically idempotent, so a marker written in a separate step —
-the round-2 design — double-counted any batch that crashed between the
+makes the append an upsert). The last-applied (batch id, content
+fingerprint) rides in the SAME commit as the counters (a ``_cms_meta``
+row, LWW-upserted like any other slot), so the merge and its replay guard
+are atomic: a crash either loses both (the batch replays cleanly against
+the old counters) or persists both. This read-modify-write merge is NOT
+intrinsically idempotent, so a marker written in a separate step — the
+round-2 design — double-counted any batch that crashed between the
 counter commit and the marker write.
+
+Replay policy for the non-idempotent accumulators (CMS, MG) — the r4
+ADVICE hazard was a bare ``batch_id <= marker`` skip that silently DROPPED
+new data after checkpoint loss (a restarted availableNow run renumbers
+batches from 0, so a renumbered batch carrying unseen rows matched the
+stale marker):
+
+* same batch id AND same content fingerprint → a WAL replay of the batch
+  that wrote the marker: skip (the exactly-once path);
+* batch id above the marker → normal progress: merge;
+* batch id at-or-below the marker with a different fingerprint → the
+  checkpoint was lost and the source is being redelivered from offset 0:
+  REBUILD (reset the accumulator, apply this batch fresh) — subsequent
+  renumbered batches then merge normally, so the final state is an exact
+  recount of everything the source retains, old AND new, counted once.
+  (A skip-on-full-match-only policy without the rebuild would
+  double-count any multi-batch redelivery.)
+
+Rebuild assumes the source can redeliver from the beginning — true for
+the file sources these accumulators target (that is exactly what a
+post-checkpoint-loss availableNow run does); a retention-limited source
+that cannot redeliver history forfeits the pre-loss counts, which no
+scalar marker can recover.
 
 Scale: the per-batch delta aggregation is the only work proportional to
 input; the state read/write is O(d×w) rows regardless of stream history —
-the property that makes a sketch the right streaming accumulator."""
+the property that makes a sketch the right streaming accumulator. The
+fingerprint is one order-independent agg over the batch (count + summed
+xxhash64), map-side combinable."""
 
 from __future__ import annotations
 
@@ -61,7 +86,46 @@ def _delta_counts(batch: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-META_SLOT = "_cms_meta"  # j = -1; bucket carries the checkpoint id, c the batch id
+META_SLOT = "_cms_meta"  # j = -1; bucket carries JSON {ckpt, n, h}, c the batch id
+
+
+def _fingerprint(batch: DataFrame, key_col: str) -> tuple[int, int]:
+    """Order-independent content fingerprint of a micro-batch's key column:
+    (row count, sum of xxhash64) — partitioning- and delivery-order-proof,
+    so a WAL replay matches and any content drift does not."""
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.xxhash64(
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _replay_mode(
+    meta_ckpt: str | None,
+    meta_batch: int,
+    meta_fp: tuple[int, int] | None,
+    ckpt_id: str,
+    batch_id: int,
+    fp: tuple[int, int],
+) -> str:
+    """'skip' | 'merge' | 'rebuild' per the module-docstring replay policy."""
+    if meta_ckpt is None:
+        return "merge"  # fresh state: merging with nothing == rebuild
+    if meta_ckpt == ckpt_id:
+        if batch_id == meta_batch and fp == meta_fp:
+            return "skip"  # WAL replay of the marker's own batch
+        if batch_id > meta_batch:
+            return "merge"
+    # renumbered/regressed ids or a new checkpoint identity: the stream is
+    # redelivering from the beginning — start the accumulator over
+    return "rebuild"
 
 
 def counters(coll: HadroCollection) -> DataFrame:
@@ -81,29 +145,54 @@ def countmin_stream(
     j INT, bucket STRING, c LONG) incrementally from a stream."""
     ckpt_id = os.path.abspath(checkpoint)
 
+    import json
+
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         state = coll.scan(columns=["slot", "j", "bucket", "c"])
-        # 1-row bounded read: the last (checkpoint, batch) this collection
-        # applied — committed atomically WITH the counters it describes
+        # 1-row bounded read: the last (checkpoint, batch, fingerprint) this
+        # collection applied — committed atomically WITH its counters
         meta = state.filter(F.col("slot") == META_SLOT).select("bucket", "c").collect()
-        if meta and meta[0]["bucket"] == ckpt_id and batch_id <= meta[0]["c"]:
-            return  # replay of an already-applied batch
-        delta = _delta_counts(batch, key_col)
-        cur = state.filter(F.col("slot") != META_SLOT).select(
-            F.col("slot"), F.col("c").alias("c_old")
+        m = json.loads(meta[0]["bucket"]) if meta else {}
+        fp = _fingerprint(batch, key_col)
+        mode = _replay_mode(
+            m.get("ckpt"),
+            meta[0]["c"] if meta else -1,
+            (m.get("n"), m.get("h")) if meta else None,
+            ckpt_id,
+            batch_id,
+            fp,
         )
-        merged = (
-            delta.withColumn("slot", F.concat_ws("|", "j", "bucket"))
-            .join(cur, "slot", "left")
-            .select(
+        if mode == "skip":
+            return
+        delta = _delta_counts(batch, key_col).withColumn(
+            "slot", F.concat_ws("|", "j", "bucket")
+        )
+        cur = state.filter(F.col("slot") != META_SLOT)
+        if mode == "merge":
+            merged = delta.join(
+                cur.select("slot", F.col("c").alias("c_old")), "slot", "left"
+            ).select(
                 "slot",
                 "j",
                 "bucket",
                 (F.col("c") + F.coalesce("c_old", F.lit(0))).alias("c"),
             )
-        )
+        else:  # rebuild: delta counts stand alone; stored slots not in the
+            # delta are zeroed so no stale pre-loss value survives the LWW
+            stale = cur.join(delta.select("slot"), "slot", "left_anti").select(
+                "slot", "j", "bucket", F.lit(0).cast("long").alias("c")
+            )
+            merged = delta.select("slot", "j", "bucket", "c").unionByName(stale)
         meta_row = batch.sparkSession.createDataFrame(
-            [(META_SLOT, -1, ckpt_id, batch_id)], CMS_SCHEMA
+            [
+                (
+                    META_SLOT,
+                    -1,
+                    json.dumps({"ckpt": ckpt_id, "n": fp[0], "h": fp[1]}),
+                    batch_id,
+                )
+            ],
+            CMS_SCHEMA,
         )
         # ONE append_df = ONE collection commit: counters + marker are
         # atomic, so a crash can never persist one without the other
@@ -172,9 +261,20 @@ def mg_stream(
             for r in coll.scan(columns=["slot", "payload"]).collect()
         }
         meta = json.loads(state.get(MG_META_SLOT) or "{}")
-        if meta.get("ckpt") == ckpt_id and batch_id <= meta.get("batch", -1):
-            return  # replay of an already-applied batch
-        counters = json.loads(state.get(MG_SLOT) or "{}")
+        fp = _fingerprint(batch, key_col)
+        mode = _replay_mode(
+            meta.get("ckpt"),
+            meta.get("batch", -1),
+            (meta.get("n"), meta.get("h")),
+            ckpt_id,
+            batch_id,
+            fp,
+        )
+        if mode == "skip":
+            return
+        # rebuild (checkpoint lost, source redelivering from the start):
+        # restart the summary from empty — see the module docstring
+        counters = json.loads(state.get(MG_SLOT) or "{}") if mode == "merge" else {}
 
         # shared BY-VALUE closure factory (functions/sketches.py) — one MG
         # implementation with the batch operator; NULL keys are excluded
@@ -191,7 +291,12 @@ def mg_stream(
             counters = {t: c - sub for t, c in counters.items() if c - sub > 0}
         rows = [
             (MG_SLOT, json.dumps(counters, sort_keys=True)),
-            (MG_META_SLOT, json.dumps({"ckpt": ckpt_id, "batch": batch_id})),
+            (
+                MG_META_SLOT,
+                json.dumps(
+                    {"ckpt": ckpt_id, "batch": batch_id, "n": fp[0], "h": fp[1]}
+                ),
+            ),
         ]
         coll.append_df(
             batch.sparkSession.createDataFrame(rows, MG_SCHEMA), key_col="slot"
