@@ -92,16 +92,18 @@ META_SLOT = "_cms_meta"  # j = -1; bucket carries JSON {ckpt, n, h}, c the batch
 def _fingerprint(batch: DataFrame, key_col: str) -> tuple[int, int]:
     """Order-independent content fingerprint of a micro-batch's key column:
     (row count, sum of xxhash64) — partitioning- and delivery-order-proof,
-    so a WAL replay matches and any content drift does not."""
+    so a WAL replay matches and any content drift does not. The hash sum
+    runs in DECIMAL(38,0): raw int64 hashes overflow a LONG sum under
+    ANSI mode; JSON and Python ints carry the wide value losslessly."""
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(
                 F.xxhash64(
                     F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
-                )
+                ).cast("decimal(38,0)")
             ),
-            F.lit(0),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
     ).first()
     return int(row["n"]), int(row["h"])
@@ -349,23 +351,20 @@ def bitmap_distinct_stream(
     into stored state. Unlike count_distinct over a stream (which needs
     the full key set as state rows), bitmap state is O(|days|×|buckets|)
     fixed-size pages, and merging is associative/commutative/idempotent
-    — replays cannot double-count even WITHOUT the marker, but the
-    marker still rides in the same commit (one scan of a replayed batch
-    saved). The bucket discipline (bitmap_bucket_number) is load-bearing:
+    — a replayed batch ORs in bits that are already set, so replays
+    cannot double-count. There is deliberately NO batch-id marker here:
+    a bare ``batch_id <= marker`` skip silently DROPS data after
+    checkpoint loss (availableNow renumbers batches from 0, so a
+    renumbered batch carrying unseen rows matches a stale marker), and
+    for an idempotent merge the marker buys nothing — re-merging is the
+    cheaper and always-correct recovery. The non-idempotent accumulators
+    (CMS/MG above) keep a (batch, fingerprint) marker because their
+    merges double-count; this one's merge doesn't, so it doesn't.
+    The bucket discipline (bitmap_bucket_number) is load-bearing:
     one un-bucketed bitmap drops values at the 32768 boundary."""
-    import os as _os
-
-    ckpt_id = _os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         state = coll.scan(columns=["slot", "day", "bkt", "bm"])
-        meta = (
-            state.filter(F.col("slot") == BMD_META_SLOT)
-            .select("day", "bkt")
-            .collect()
-        )
-        if meta and meta[0]["day"] == ckpt_id and batch_id <= meta[0]["bkt"]:
-            return  # replay of an already-applied batch
         delta = (
             batch.select(
                 F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
@@ -384,11 +383,7 @@ def bitmap_distinct_stream(
                 F.concat_ws("|", "day", "bkt").alias("slot"), "day", "bkt", "bm"
             )
         )
-        meta_row = batch.sparkSession.createDataFrame(
-            [(BMD_META_SLOT, ckpt_id, batch_id, None)], BMD_SCHEMA
-        )
-        # ONE append_df = ONE commit: state + marker atomic
-        coll.append_df(merged.unionByName(meta_row), key_col="slot")
+        coll.append_df(merged, key_col="slot")
 
     return (
         stream.writeStream.foreachBatch(commit_batch)

@@ -395,3 +395,80 @@ def test_streaming_accumulators_survive_checkpoint_loss(
     after_bm = {r["day"]: r["n_distinct"]
                 for r in SK.bitmap_daily_counts(bmd).collect()}
     assert after_bm == before_bm
+
+
+def test_accumulators_recover_checkpoint_loss_with_new_data(
+    spark, sf_dir, tmp_path
+):
+    """The r4-ADVICE hazard, end to end: lose the checkpoint AND land new
+    source data, then rerun. availableNow renumbers batches from 0, so a
+    bare ``batch_id <= marker`` skip would silently DROP the new rows.
+    The replay policy must instead detect the fingerprint mismatch,
+    REBUILD, and finish with an exact recount of old + new data:
+
+    * CMS counters == the one-shot batch delta over the full directory;
+    * MG summary satisfies the Misra-Gries guarantee over the full data;
+    * bitmap counts == batch count_distinct over the full data (markerless
+      by design — idempotent OR-merge needs no replay guard at all)."""
+    import shutil as _sh
+
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import sketch as SK
+
+    src = str(tmp_path / "events")
+    old = load(spark, sf_dir, "events")
+    old.repartition(16).write.parquet(src)
+
+    def _run(q):
+        assert q.awaitTermination(300), "stream did not finish in time"
+
+    cms = HadroCollection(spark, str(tmp_path / "n_cms"), SK.CMS_SCHEMA)
+    mg = HadroCollection(spark, str(tmp_path / "n_mg"), SK.MG_SCHEMA)
+    bmd = HadroCollection(spark, str(tmp_path / "n_bmd"), SK.BMD_SCHEMA)
+    cks = {n: str(tmp_path / f"n_{n}_ckpt") for n in ("cms", "mg", "bmd")}
+    _run(SK.countmin_stream(S.stream_events(spark, src), cms, "user_id", cks["cms"]))
+    _run(SK.mg_stream(S.stream_events(spark, src), mg, "event_type", cks["mg"]))
+    _run(SK.bitmap_distinct_stream(S.stream_events(spark, src), bmd, "user_id", cks["bmd"]))
+
+    # crash: every checkpoint lost; meanwhile NEW data (disjoint users,
+    # one new event type) lands in the source directory
+    for ck in cks.values():
+        _sh.rmtree(ck)
+    new = old.limit(500).select(
+        "ts",
+        (F.col("user_id") + F.lit(1_000_000)).alias("user_id"),
+        F.lit("ckpt_loss_probe").alias("event_type"),
+        "value",
+        "props",
+    )
+    new.repartition(4).write.mode("append").parquet(src)
+    full = spark.read.parquet(src)
+
+    _run(SK.countmin_stream(S.stream_events(spark, src), cms, "user_id", cks["cms"]))
+    got = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
+    want = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in SK._delta_counts(full, "user_id").collect()
+    }
+    assert got == want  # exact recount: old AND new, nothing dropped/doubled
+
+    _run(SK.mg_stream(S.stream_events(spark, src), mg, "event_type", cks["mg"]))
+    summary = SK.mg_summary(mg)
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in full.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n, k1 = sum(exact.values()), SK.MG_K + 1
+    for t, c in exact.items():
+        if c * k1 > 2 * n:
+            assert t in summary and summary[t] <= c and (c - summary[t]) * k1 <= n
+
+    _run(SK.bitmap_distinct_stream(S.stream_events(spark, src), bmd, "user_id", cks["bmd"]))
+    got_bm = {r["day"]: r["n_distinct"] for r in SK.bitmap_daily_counts(bmd).collect()}
+    want_bm = {
+        r["day"]: r["n"]
+        for r in full.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got_bm == want_bm
