@@ -38,7 +38,7 @@ from hadrodb_spark.operators.relational import load
 from hadrodb_spark.sources import hadrolog
 
 _N_SEGMENTS = 4
-_FIXTURE_VERSION = "v2"
+_FIXTURE_VERSION = "v3"  # v3: built via the DataSource writer path
 
 
 def _native_events_dir(sf_dir: str) -> str:
@@ -61,16 +61,16 @@ def _native_events_dir(sf_dir: str) -> str:
 
 
 def _build_native_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
-    """Write events as a native-format collection: one segment per input
-    partition, written map-side (no shuffle, no collect). 'error' events are
-    framed as tombstones so the scan's skip path is exercised for real.
-
-    LOCAL-MODE ASSUMPTION: ``write_segment`` runs executor-side but writes
-    into a driver-created local tempdir, which only works when executors
-    share the driver's filesystem (local[N] — this repo's test/bench rig).
-    A multi-host deploy writes each segment to shared storage instead and
-    publishes via the manifest's conditional swap (see SCALE.md); the
-    framing/encode path is identical either way."""
+    """Write events as a native-format collection through the hadrolog
+    DataSource WRITER: one segment per input partition, streamed
+    executor-side with the writer's own two-phase commit (tasks stage into
+    the destination filesystem, the driver publishes sequential segment
+    numbers) — the cluster-safe twin of the reference's append
+    (``hadro/engine.py:122-137``), with no driver-local paths in the data
+    path. 'error' events are framed as tombstones so the scan's skip path
+    is exercised for real. The outer staging+rename here is FIXTURE
+    discipline (two concurrent fixture builders must not double-append),
+    not a write-path requirement."""
     ev = (
         load(spark, sf_dir, "events")
         .select(
@@ -84,24 +84,13 @@ def _build_native_collection(spark: SparkSession, sf_dir: str, dest: str) -> Non
     )
 
     staging = tempfile.mkdtemp(prefix="hadrolog_build_")
-
-    def write_segment(idx, rows):
-        # executor-side: stream this partition into its own segment file,
-        # framing each record like the reference's append path
-        from hadrodb_spark.sources.hadrolog import encode_row_record
-
-        path = os.path.join(staging, f"{idx:08d}.data")
-        with open(path, "wb") as f:
-            for r in rows:
-                f.write(
-                    encode_row_record(
-                        (r.event_id, r.user_id, r.event_type, r.cents),
-                        deleted=r.deleted,
-                    )
-                )
-        yield idx
-
-    ev.rdd.mapPartitionsWithIndex(write_segment).count()
+    (
+        ev.write.format("hadrolog")
+        .option("path", staging)
+        .option("deleted_col", "deleted")
+        .mode("append")
+        .save()
+    )
     try:
         os.rename(staging, dest)  # atomic publish; loser of a race cleans up
     except OSError:

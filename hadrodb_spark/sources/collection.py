@@ -848,11 +848,16 @@ class HadroCollection:
     contains = __contains__
 
     def ids(self) -> list[str]:
-        """Live keys (``INTERFACE.md:23-24``)."""
-        return [
-            r[KEY_COL]
-            for r in self._lww().filter(~F.col(DELETED_COL)).select(KEY_COL).collect()
-        ]
+        """Live keys (``INTERFACE.md:23-24``). List-returning API-parity
+        method — BOUNDED BY DRIVER MEMORY by construction (a 100-TB
+        collection's live key set does not fit in a Python list); use
+        :meth:`ids_df` for anything beyond interactive inspection."""
+        return [r[KEY_COL] for r in self.ids_df().collect()]
+
+    def ids_df(self) -> DataFrame:
+        """Live keys as a distributed relation — the scale-safe twin of
+        :meth:`ids`: joinable, writable, never materialized on the driver."""
+        return self._lww().filter(~F.col(DELETED_COL)).select(KEY_COL)
 
     def __len__(self) -> int:
         """``len(hadro)`` (``INTERFACE.md:26-27``). Answered from manifest

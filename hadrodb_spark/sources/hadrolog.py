@@ -24,9 +24,31 @@ to typed rows. Two read modes:
   live record's payload decodes to those columns positionally — the
   migration path for existing native collections.
 
+WRITE path (``df.write.format("hadrolog")``): cluster-safe append/overwrite
+via the standard two-phase commit — every task streams its partition into a
+uniquely-named staged file under the DESTINATION directory (shared storage
+on a real cluster; no driver-local tempdirs anywhere in the data path), and
+the driver-side ``commit`` publishes the staged files as sequentially
+numbered segments after the existing maximum. Pass
+``.option("deleted_col", "col")`` to frame rows with a truthy boolean in
+that column as tombstones (the reference's delete, ``hadro/engine.py:26``).
+Concurrency contract matches the reference's single-process appender: one
+writing JOB at a time per collection (tasks within the job are fully
+parallel); concurrent jobs would interleave segment numbers.
+
+STREAM read (``spark.readStream.format("hadrolog")``): an offset is the
+frame-aligned byte length of every segment, so micro-batches pick up both
+new segment files (a cluster append) and in-place growth of an existing
+segment (the reference's appender extending ``00000000.data``). A torn
+trailing frame is never consumed — alignment stops at the last complete
+record, and the frame is read once all its bytes land. Compacting a
+collection mid-stream is NOT supported (segments must only grow).
+
 Scale note: one Spark input partition per segment file (segments are
 append-ordered units, like parquet files in HadroCollection); a 1000-segment
-collection fans out across the cluster with no coordination.
+collection fans out across the cluster with no coordination. The streaming
+offset walk is driver-side metadata work proportional to NEW bytes only
+(alignment resumes from the previous offset, never rescans history).
 """
 
 from __future__ import annotations
@@ -34,9 +56,17 @@ from __future__ import annotations
 import os
 import struct
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DELETED_FLAG = 0x01
 
@@ -164,9 +194,181 @@ class HadroLogReader(DataSourceReader):
             yield (seg, offset, flags, payload)
 
 
+@dataclass
+class _SegmentCommitMessage(WriterCommitMessage):
+    staged: str
+    records: int
+
+
+class HadroLogWriter(DataSourceWriter):
+    """Two-phase-commit segment writer (module docstring, WRITE path).
+
+    Task side writes ``<dir>/_staging_<job>/<task>.seg`` directly on the
+    destination filesystem; driver-side ``commit`` renames the staged files
+    to ``NNNNNNNN.data`` after the current highest segment — the append
+    semantics of the reference's ``hadro/engine.py:122-137`` made durable
+    from many executors at once. A failed job leaves only an unreferenced
+    staging directory (``abort`` removes it); readers never see partial
+    state because segments become visible only via the commit renames."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool) -> None:
+        import uuid
+
+        self.dir = options["path"]
+        self.overwrite = overwrite
+        self.deleted_col = options.get("deleted_col")
+        names = [f.name for f in schema.fields]
+        if self.deleted_col is not None and self.deleted_col not in names:
+            raise ValueError(
+                f"deleted_col {self.deleted_col!r} not in schema columns {names}"
+            )
+        self.del_idx = (
+            names.index(self.deleted_col) if self.deleted_col is not None else None
+        )
+        self.staging = os.path.join(self.dir, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> _SegmentCommitMessage:
+        # executor-side: frame each row like the reference's append path
+        # (header + orso-msgpack payload) into one staged segment per task
+        import uuid
+
+        from hadrodb_spark.sources.mpack import encode_row
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"{uuid.uuid4().hex}.seg")
+        n = 0
+        with open(path, "wb") as f:
+            for row in iterator:
+                vals = list(row)
+                deleted = (
+                    bool(vals.pop(self.del_idx)) if self.del_idx is not None else False
+                )
+                f.write(encode_record(encode_row(tuple(vals)), deleted))
+                n += 1
+        return _SegmentCommitMessage(staged=path, records=n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        os.makedirs(self.dir, exist_ok=True)  # all-empty job: no task ran
+        existing = sorted(f for f in os.listdir(self.dir) if f.endswith(".data"))
+        if self.overwrite:
+            for fn in existing:
+                os.remove(os.path.join(self.dir, fn))
+            nxt = 0
+        else:
+            nxt = 1 + max(
+                (int(fn.split(".")[0]) for fn in existing), default=-1
+            )
+        staged = sorted(
+            m.staged for m in messages if m is not None and m.records > 0
+        )
+        for i, s in enumerate(staged):
+            os.replace(s, os.path.join(self.dir, f"{nxt + i:08d}.data"))
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class _SlicePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int) -> None:
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def aligned_length(path: str, start: int = 0) -> int:
+    """Byte offset just past the last COMPLETE frame at or after ``start``
+    — the streaming offset primitive. Walks headers only (one seek per
+    frame past ``start``), so incremental calls cost O(new frames)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return start
+    off = start
+    with open(path, "rb") as f:
+        f.seek(start)
+        while True:
+            header = f.read(5)
+            if len(header) < 5:
+                return off
+            _, sz = struct.unpack(">BI", header)
+            if off + 5 + sz > size:
+                return off  # torn tail: not consumable yet
+            f.seek(sz, 1)
+            off += 5 + sz
+
+
+class HadroLogStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing native collection (module
+    docstring, STREAM read). Offsets: ``{"segs": {segment: aligned_bytes}}``."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+        self.include_deleted = options.get("include_deleted", "false") == "true"
+        self.typed = "ddl" in options
+        self._aligned: dict[str, int] = {}  # driver-side incremental cache
+
+    def initialOffset(self) -> dict:
+        return {"segs": {}}
+
+    def latestOffset(self) -> dict:
+        segs = {}
+        for fn in sorted(os.listdir(self.dir)):
+            if not fn.endswith(".data"):
+                continue
+            prev = self._aligned.get(fn, 0)
+            cur = aligned_length(os.path.join(self.dir, fn), prev)
+            self._aligned[fn] = cur
+            segs[fn] = cur
+        return {"segs": segs}
+
+    def partitions(self, start: dict, end: dict):
+        prev = start.get("segs", {})
+        out = []
+        for seg, e in end.get("segs", {}).items():
+            s = int(prev.get(seg, 0))
+            if int(e) > s:
+                out.append(_SlicePartition(os.path.join(self.dir, seg), s, int(e)))
+        return out
+
+    def read(self, partition: _SlicePartition) -> Iterator[tuple]:
+        if self.typed:
+            from hadrodb_spark.sources.mpack import decode_row
+
+        seg = os.path.basename(partition.path)
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start)
+            offset = partition.start
+            while offset < partition.end:
+                header = f.read(5)
+                if len(header) < 5:
+                    return
+                flags, size = struct.unpack(">BI", header)
+                payload = f.read(size)
+                if len(payload) < size:
+                    return
+                if self.typed:
+                    if not (flags & DELETED_FLAG):
+                        yield decode_row(payload)
+                elif self.include_deleted or not (flags & DELETED_FLAG):
+                    yield (seg, offset, flags, payload)
+                offset += 5 + size
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing source-side
+
+    def stop(self) -> None:
+        pass
+
+
 class HadroLogDataSource(DataSource):
     """``spark.read.format("hadrolog").option("path", dir)`` over a native
-    HadroDB collection directory."""
+    HadroDB collection directory; ``spark.readStream`` for incremental
+    consumption; ``df.write.format("hadrolog")`` for cluster-safe append."""
 
     @classmethod
     def name(cls) -> str:
@@ -182,6 +384,12 @@ class HadroLogDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> HadroLogReader:
         return HadroLogReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> HadroLogStreamReader:
+        return HadroLogStreamReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> HadroLogWriter:
+        return HadroLogWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

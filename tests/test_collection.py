@@ -85,6 +85,11 @@ def test_ids_and_where(spark, coll):
     for i in range(5):
         coll.set(f"k{i}", {"title": f"t{i}", "author": "a" if i % 2 else None})
     assert sorted(coll.ids()) == [f"k{i}" for i in range(5)]
+    # distributed twin: same keys, but as a joinable relation (no driver
+    # materialization — the shape a 100-TB collection requires)
+    df = coll.ids_df()
+    assert df.columns == ["_key"] or len(df.columns) == 1
+    assert sorted(r[0] for r in df.collect()) == [f"k{i}" for i in range(5)]
     assert coll.where("author IS NOT NULL").count() == 2
 
 
