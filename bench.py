@@ -105,18 +105,28 @@ def main() -> None:
     t_all0, s_all0 = cpu_stat()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    best: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         n = 0
-        for _ in range(2):
+        # 3 runs: cold, warm (FIELD SEMANTICS UNCHANGED since r1 — always
+        # the second run), and one more warm sample. warm_best = min of the
+        # two warm runs — host-jitter immunity WITHOUT changing any
+        # pre-existing field's meaning: on this hypervisor a straggler task
+        # in one 32-way stage can triple a multi-stage query's wall time
+        # (measured: same query, same session, 1.3s-15.3s across runs with
+        # steal < 1%), and min-of-2 is the cheapest estimator that mostly
+        # discards such one-off stalls.
+        for _ in range(3):
             t0 = time.perf_counter()
             n = QUERIES[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         warm[name] = round(runs[1], 3)
+        best[name] = round(min(runs[1:]), 3)
         print(
             f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
-            f" ({n} rows)",
+            f" / best {best[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
     t_all1, s_all1 = cpu_stat()
@@ -140,6 +150,14 @@ def main() -> None:
                 "total_cold": total_cold,
                 "r01_comparable_warm_total": r01_subset,
                 "r02_comparable_warm_total": r02_subset,
+                "queries_warm_best": best,
+                "total_warm_best": round(sum(best.values()), 3),
+                "r01_comparable_warm_best_total": round(
+                    sum(best[n] for n in HEADLINE[:15]), 3
+                ),
+                "r02_comparable_warm_best_total": round(
+                    sum(best[n] for n in HEADLINE[:27]), 3
+                ),
                 "steal_pct": steal_pct,
                 "sf": sf,
             }
