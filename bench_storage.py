@@ -71,6 +71,29 @@ def main() -> None:
     assert coll.scan().count() == n
     t["scan_compacted"] = round(time.perf_counter() - t0, 3)
 
+    # NATIVE-format path (the reference's actual on-disk format): append
+    # through the hadrolog DataSource writer's two-phase commit, scan back
+    # through its typed reader — the byte-level twin of the reference's
+    # append/scan loop (hadro/engine.py:122-177), distributed
+    from hadrodb_spark.sources import hadrolog
+
+    hadrolog.register(spark)
+    nd = os.path.join(root, "native")
+    nat = li.select("_id", "l_orderkey", "l_partkey", "l_quantity")
+    t0 = time.perf_counter()
+    nat.write.format("hadrolog").option("path", nd).mode("append").save()
+    t["native_append"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    assert (
+        spark.read.format("hadrolog")
+        .option("path", nd)
+        .option("ddl", "_id bigint, l_orderkey bigint, l_partkey bigint, l_quantity double")
+        .load()
+        .count()
+        == n
+    )
+    t["native_scan_decode"] = round(time.perf_counter() - t0, 3)
+
     shutil.rmtree(root, ignore_errors=True)
     print(
         json.dumps(
