@@ -569,8 +569,118 @@ def window_rolling_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via bucket banding — the range-join
+    family member beyond as-of (reference exposes no join surface,
+    ``hadro/engine.py:139-177``; [A]-tier capability).
+
+    Each distinct (supplier, ship-date, ship-date + ⌊qty⌋ days) triple is
+    an activity interval; the query reports, per supplier, how many of
+    its interval pairs overlap and their total overlap days.
+
+    Scale shape: the naive formulation is a non-equi self-join —
+    O(n²/|suppliers|) comparisons and a broadcast-nested-loop plan. The
+    banded shape used here: each interval explodes to the MONTH buckets
+    it touches (≤ 3 rows at ≤ 50-day spans), candidates come from an
+    EQUI-join on (supplier, bucket) — hash-partitionable, AQE/skew-join
+    eligible — and the exact predicate then filters candidates. Each
+    overlapping pair survives EXACTLY once: only in the bucket containing
+    greatest(start_a, start_b) (for an overlapping pair that month
+    provably lies in both intervals' bucket ranges, and each interval
+    emits each of its buckets once). Candidate volume is Σ_buckets
+    density² — bounded by the banding width, no broadcast, no BNLJ.
+    Pair identity is lexicographic on (start, end), which is unique
+    within a supplier after the DISTINCT (the synthetic data duplicates
+    (orderkey, linenumber), so no row id is assumed unique)."""
+    iv = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("s"),
+            F.date_add(
+                F.to_date("l_shipdate"),
+                F.floor("l_quantity").cast("int"),
+            ).alias("e"),
+        )
+        .distinct()
+    )
+    bucketed = iv.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"),
+                F.trunc("e", "month"),
+                F.expr("interval 1 month"),
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        F.col("bkt").alias("bkt_a"),
+    )
+    b = bucketed.select(
+        F.col("l_suppkey").alias("supp_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.col("bkt").alias("bkt_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("supp") == F.col("supp_b"))
+            & (F.col("bkt_a") == F.col("bkt_b"))
+            & (
+                (F.col("s_a") < F.col("s_b"))
+                | ((F.col("s_a") == F.col("s_b")) & (F.col("e_a") < F.col("e_b")))
+            ),
+        )
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        # exactly-once: count the pair only in greatest(start)'s month
+        .filter(
+            F.trunc(F.greatest("s_a", "s_b"), "month") == F.col("bkt_a")
+        )
+    )
+    return (
+        pairs.groupBy(F.col("supp").alias("l_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.datediff(F.least("e_a", "e_b"), F.greatest("s_a", "s_b")) + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+        .orderBy(F.desc("n_pairs"), "l_suppkey")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------------ oracles
 ORACLE: dict[str, str] = {
+    "join_interval_overlap": """
+        WITH iv AS (
+          SELECT DISTINCT l_suppkey,
+                 CAST(l_shipdate AS DATE) AS s,
+                 CAST(l_shipdate AS DATE)
+                   + CAST(FLOOR(l_quantity) AS INTEGER) AS e
+          FROM lineitem
+        )
+        SELECT a.l_suppkey AS l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(date_diff('day', GREATEST(a.s, b.s),
+                                  LEAST(a.e, b.e)) + 1) AS BIGINT)
+                 AS overlap_days
+        FROM iv a
+        JOIN iv b
+          ON a.l_suppkey = b.l_suppkey
+         AND (a.s < b.s OR (a.s = b.s AND a.e < b.e))
+         AND a.s <= b.e AND b.s <= a.e
+        GROUP BY a.l_suppkey
+        ORDER BY n_pairs DESC, l_suppkey
+        LIMIT 20
+    """,
     "agg_higher_moments": None,  # built below (shared formula text)
     "agg_argmax": """
         WITH c AS (
