@@ -508,3 +508,23 @@ def test_orc_scan_pushes_filter(spark, sf_dir):
     cols = set(E.read_schema_columns(df))
     # user_id is written but pruned — the agg never touches it
     assert cols == {"event_id", "event_type", "cents"}, cols
+
+
+def test_interval_overlap_is_equi_banded(spark, sf_dir):
+    """The banded interval-overlap join must plan as an EQUI join on
+    (supplier, bucket) — a hash join AQE can re-plan / skew-split — and
+    never the quadratic BroadcastNestedLoop / CartesianProduct a naive
+    non-equi interval self-join produces. The exactly-once bucket filter
+    and the overlap predicate ride as post-join filters, not join-strategy
+    downgrades."""
+    from hadrodb_spark.operators.relational4 import join_interval_overlap
+
+    df = join_interval_overlap(spark, sf_dir)
+    df.count()  # execute so AQE finalizes strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k never full-sorts
