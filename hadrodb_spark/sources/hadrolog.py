@@ -42,7 +42,8 @@ new segment files (a cluster append) and in-place growth of an existing
 segment (the reference's appender extending ``00000000.data``). A torn
 trailing frame is never consumed — alignment stops at the last complete
 record, and the frame is read once all its bytes land. Compacting a
-collection mid-stream is NOT supported (segments must only grow).
+collection mid-stream is NOT supported (segments must only grow); a
+segment vanishing under a live stream raises instead of going stale.
 
 Scale note: one Spark input partition per segment file (segments are
 append-ordered units, like parquet files in HadroCollection); a 1000-segment
@@ -263,8 +264,19 @@ class HadroLogWriter(DataSourceWriter):
         staged = sorted(
             m.staged for m in messages if m is not None and m.records > 0
         )
-        for i, s in enumerate(staged):
-            os.replace(s, os.path.join(self.dir, f"{nxt + i:08d}.data"))
+        for s in staged:
+            # publish with CREATE-EXCLUSIVE semantics: os.link fails with
+            # EEXIST instead of silently overwriting (os.replace would
+            # clobber), so two jobs committing concurrently interleave
+            # their segment numbers rather than losing one job's data.
+            while True:
+                try:
+                    os.link(s, os.path.join(self.dir, f"{nxt:08d}.data"))
+                    os.unlink(s)
+                    nxt += 1
+                    break
+                except FileExistsError:
+                    nxt += 1  # a concurrent committer took this number
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -324,6 +336,16 @@ class HadroLogStreamReader(DataSourceStreamReader):
             cur = aligned_length(os.path.join(self.dir, fn), prev)
             self._aligned[fn] = cur
             segs[fn] = cur
+        gone = set(self._aligned) - set(segs)
+        if gone:
+            # fail LOUDLY: a consumed segment vanished (compaction ran
+            # mid-stream). Offsets would silently go stale — the stream
+            # must be restarted against the compacted collection instead.
+            raise RuntimeError(
+                "hadrolog stream: segment(s) removed mid-stream "
+                f"({sorted(gone)}); compaction under a live stream is "
+                "unsupported — restart the query from a fresh checkpoint"
+            )
         return {"segs": segs}
 
     def partitions(self, start: dict, end: dict):

@@ -296,3 +296,69 @@ def _scan_ddl(spark, d):
         .option("ddl", "k bigint, s string, b binary, f double")
         .load()
     )
+
+
+def test_writer_commit_never_overwrites_existing_segment(spark, tmp_path):
+    """Publish uses create-exclusive link semantics: if a concurrent
+    committer (simulated here by pre-placing a file at the number the
+    commit would pick) already owns a segment number, the commit skips to
+    the next free number instead of silently clobbering data."""
+    hadrolog.register(spark)
+    d = str(tmp_path / "race")
+    _tweets(spark, 10).coalesce(1).write.format("hadrolog").option(
+        "path", d
+    ).mode("append").save()
+    # a "concurrent job" grabs the next two numbers with real content
+    squatter = hadrolog.encode_row_record((9999, 9, 1_700_000_000, "squat"))
+    for i in (1, 2):
+        with open(os.path.join(d, f"{i:08d}.data"), "wb") as f:
+            f.write(squatter)
+
+    _tweets(spark, 5, start_id=10).coalesce(1).write.format("hadrolog").option(
+        "path", d
+    ).mode("append").save()
+
+    segs = sorted(f for f in os.listdir(d) if f.endswith(".data"))
+    assert segs == [f"{i:08d}.data" for i in range(4)]
+    rows = {tuple(r) for r in _scan(spark, d).collect()}
+    # both squatter frames AND the appended batch survive — nothing clobbered
+    assert (9999, 9, 1_700_000_000, "squat") in rows
+    assert len(rows) == 16  # 10 + 5 + 1 distinct squatter tuple
+
+
+def test_stream_reader_raises_on_segment_removal(spark, tmp_path):
+    """Compaction under a live stream must fail LOUDLY, not stall with
+    stale offsets: removing an already-consumed segment makes the next
+    poll raise."""
+    hadrolog.register(spark)
+    d = str(tmp_path / "shrink")
+    _tweets(spark, 8).repartition(2).write.format("hadrolog").option(
+        "path", d
+    ).mode("append").save()
+    stream = (
+        spark.readStream.format("hadrolog")
+        .option("path", d)
+        .option("ddl", TWEET_DDL)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("shrink_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("shrink_rows").count() == 8
+        os.remove(os.path.join(d, "00000001.data"))  # "compaction"
+        with pytest.raises(Exception, match="removed mid-stream"):
+            q.processAllAvailable()
+            # some Spark versions surface the poll failure on stop/status
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
