@@ -147,6 +147,50 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.orderBy(F.col("n_docs").desc(), F.col("bigram")).limit(20)
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty — how much of a source's trigram
+    vocabulary is corpus-UNIQUE (document frequency 1). High novelty
+    flags fresh content worth crawling deeper; low novelty flags
+    templated/boilerplate sources — the source-scoring signal next to
+    dedup_rate_by_source's copy pressure.
+
+    Scale shape: NO gram-level join. Per-doc distinct shingles explode
+    once; df(gram) is one map-side-combinable count; a df==1 gram's
+    owning source is recovered as min(source) over its single occurrence
+    (exact by definition), so novelty-by-source is a second tiny agg
+    over the vocab relation, and total-by-source a count over the same
+    exploded lineage. The only join is |sources| × |sources|. The ratio
+    is exact integer fixed-point (ppm via DIV), no float division."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(X.shingles(X.tokens(F.col("text")), 3)).alias("g")
+    )
+    vocab = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("source").alias("only_source"),
+    )
+    novel = (
+        vocab.filter(F.col("df") == 1)
+        .groupBy(F.col("only_source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    total = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_grams")
+    )
+    return (
+        total.join(novel, "source", "left")
+        .select(
+            "source",
+            F.col("total_grams").cast("bigint").alias("total_grams"),
+            F.coalesce("novel_grams", F.lit(0)).cast("bigint").alias("novel_grams"),
+            F.expr(
+                "CAST((1000000 * COALESCE(novel_grams, 0)) DIV total_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicate pressure — which sources produce dup-heavy
     content (the signal that drives source-level recrawl/dedup budget):
@@ -352,6 +396,30 @@ ORACLE: dict[str, str] = {
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS tk
           FROM documents WHERE doc_id < 300
         )
+    """,
+    "ngram_novelty": f"""
+        WITH grams AS (
+          SELECT source, UNNEST({X.sql_shingles(_TOKS, 3)}) AS g
+          FROM documents
+        ),
+        vocab AS (
+          SELECT g, COUNT(*) AS df, MIN(source) AS only_source
+          FROM grams GROUP BY g
+        ),
+        novel AS (
+          SELECT only_source AS source, COUNT(*) AS novel_grams
+          FROM vocab WHERE df = 1 GROUP BY only_source
+        ),
+        total AS (
+          SELECT source, COUNT(*) AS total_grams FROM grams GROUP BY source
+        )
+        SELECT t.source,
+               CAST(t.total_grams AS BIGINT) AS total_grams,
+               CAST(COALESCE(n.novel_grams, 0) AS BIGINT) AS novel_grams,
+               CAST((1000000 * COALESCE(n.novel_grams, 0)) // t.total_grams
+                    AS BIGINT) AS novelty_ppm
+        FROM total t LEFT JOIN novel n ON t.source = n.source
+        ORDER BY t.source
     """,
     "ngram_freq": f"""
         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_docs

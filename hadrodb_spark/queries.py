@@ -83,6 +83,12 @@ def _register(module, only: list[str] | None = None) -> None:
 #           greens
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
 # OF THIS ROUND.  After r5 every registered query has a driver row.
+#
+# ROUND-6 QUEUE (registered below the window this round; rotate them to
+# the window head at r6 START, same procedure): join_interval_overlap, ngram_novelty
+# (+ re-check hadrolog_scan_decode — its fixture now builds through the
+# DataSource writer's exclusive-link publish — and anything r6 diffs
+# touch).
 _register(sessionize, only=["sessionize"])
 _register(asof, only=["asof_events_tolerance", "join_scd2_temporal"])
 _register(relational4, only=[
