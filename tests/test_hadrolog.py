@@ -213,3 +213,51 @@ def test_mpack_roundtrip_property():
         assert M.unpackb(M.packb(v)) == v
 
     check()
+
+
+def test_aligned_length_property():
+    """Property: for ANY sequence of frames with an arbitrary byte cut,
+    aligned_length returns exactly the bytes of the complete-frame prefix
+    — never mid-frame, never past a torn tail — and resuming from a
+    previous aligned offset gives the same answer as scanning from 0
+    (the incremental-offset invariant the stream reader relies on)."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadrodb_spark.sources.hadrolog import aligned_length, encode_record
+
+    frames = st.lists(
+        st.tuples(st.binary(max_size=40), st.booleans()), min_size=0, max_size=12
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(frames, st.integers(min_value=0, max_value=60))
+    def check(fs, cut_back):
+        encoded = [encode_record(p, d) for p, d in fs]
+        blob = b"".join(encoded)
+        cut = max(0, len(blob) - cut_back)  # chop arbitrary bytes off the tail
+        # expected: longest complete-frame prefix within blob[:cut]
+        want = 0
+        for e in encoded:
+            if want + len(e) <= cut:
+                want += len(e)
+            else:
+                break
+        fd, path = tempfile.mkstemp(suffix=".data")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob[:cut])
+            assert aligned_length(path) == want
+            # incremental resume from any earlier frame boundary
+            mid = 0
+            for e in encoded:
+                if mid + len(e) <= want:
+                    mid += len(e)
+                    assert aligned_length(path, mid) == want
+        finally:
+            os.unlink(path)
+
+    check()
