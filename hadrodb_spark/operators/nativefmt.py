@@ -171,7 +171,98 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interchange_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build (once) the events table written out in an interchange format
+    (csv / jsonl), with the hadrolog fixture discipline: content-keyed
+    cache dir, staging + atomic rename publish, integer cents."""
+    dest = _native_events_dir(sf_dir) + f"_{kind}"
+    if not os.path.isdir(dest):
+        staging = tempfile.mkdtemp(prefix=f"{kind}_build_")
+        try:
+            target = os.path.join(staging, "data")
+            ev = load(spark, sf_dir, "events").select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            if kind == "csv":
+                ev.write.mode("overwrite").option("header", "true").csv(target)
+            else:
+                ev.write.mode("overwrite").json(target)
+            os.rename(staging, dest)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(dest):
+                raise
+    return os.path.join(dest, "data")
+
+
+_EV_DDL = "event_id bigint, user_id bigint, event_type string, cents bigint"
+
+
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange tier: events → CSV write → schema-explicit CSV scan
+    → filtered aggregate vs the parquet-direct oracle. The schema is
+    DECLARED, never inferred (inference is a full extra pass and a
+    type-drift hazard at 100 TB). Scale note, recorded honestly: the CSV
+    reader has no predicate pushdown into the parser — rows are parsed
+    then filtered — so CSV is the ingest/egress format here, never the
+    analytical store; the round-trip proves lossless interchange, and
+    column pruning still avoids materializing unused fields."""
+    src = _interchange_fixture(spark, sf_dir, "csv")
+    scanned = spark.read.schema(_EV_DDL).option("header", "true").csv(src)
+    return (
+        scanned.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange tier: events → JSONL write → schema-explicit
+    JSON scan → filtered aggregate vs the parquet-direct oracle. Same
+    contract as the CSV tier (declared schema, no parser pushdown —
+    interchange, not storage); JSONL is the wire format most
+    crawl/annotation pipelines actually deliver."""
+    src = _interchange_fixture(spark, sf_dir, "jsonl")
+    scanned = spark.read.schema(_EV_DDL).json(src)
+    return (
+        scanned.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "csv_roundtrip_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+    "jsonl_roundtrip_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
     "orc_roundtrip_scan": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -85,7 +85,8 @@ def _register(module, only: list[str] | None = None) -> None:
 # OF THIS ROUND.  After r5 every registered query has a driver row.
 #
 # ROUND-6 QUEUE (registered below the window this round; rotate them to
-# the window head at r6 START, same procedure): join_interval_overlap, ngram_novelty
+# the window head at r6 START, same procedure): join_interval_overlap, ngram_novelty,
+# csv_roundtrip_scan, jsonl_roundtrip_scan
 # (+ re-check hadrolog_scan_decode — its fixture now builds through the
 # DataSource writer's exclusive-link publish — and anything r6 diffs
 # touch).
