@@ -52,30 +52,56 @@ def stream_into_collection(
 
     Exactly-once: foreachBatch is at-least-once (a crash between the
     collection commit and the checkpoint write replays the batch), so the
-    last landed batch id is recorded next to the collection and replayed
-    batches are skipped — the standard idempotent-sink pattern.
+    last landed (batch id, content fingerprint) is recorded next to the
+    collection and a batch is skipped ONLY on a full match — a true WAL
+    replay of the batch that wrote the marker. A bare ``batch_id <=
+    marker`` skip (the pre-r5 shape) silently DROPPED data after
+    checkpoint loss: availableNow renumbers batches from 0 over the
+    grown source, so a renumbered batch carrying unseen rows matched the
+    stale marker. Any non-matching batch — renumbered redelivery
+    included — is appended; re-appending previously-landed rows in
+    arrival order is LOGICALLY idempotent under the LWW view (the latest
+    version of each key still wins; the extra physical versions are what
+    ``compact()`` purges), so correctness never depends on the skip.
 
-    Batch ids are scoped to a CHECKPOINT, not to the sink: a fresh
-    checkpoint restarts ids at 0, so the marker records the checkpoint
-    identity too and is ignored (then overwritten) when a different
-    checkpoint starts writing — re-pointing a new query at an existing
-    collection must not silently drop its first batches (ADVICE r1)."""
+    Batch ids are scoped to a CHECKPOINT, not to the sink: the marker
+    records the checkpoint identity and is ignored (then overwritten)
+    when a different checkpoint starts writing — re-pointing a new query
+    at an existing collection must not drop its first batches (ADVICE
+    r1). The fingerprint covers ALL columns: a CDC stream can redeliver
+    the same key set with NEW values, which must not look like a
+    replay."""
     import json
     import os
+
+    from hadrodb_spark.streaming.sketch import content_fingerprint
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        fp = content_fingerprint(batch, batch.columns)
         if os.path.exists(marker):
             with open(marker) as f:
                 state = json.load(f)
-            if state.get("checkpoint") == ckpt_id and batch_id <= state["last_batch"]:
-                return  # replayed batch of THIS query lineage — already landed
+            if (
+                state.get("checkpoint") == ckpt_id
+                and batch_id == state.get("last_batch")
+                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
+            ):
+                return  # WAL replay of the marker's own batch
         coll.append_df(batch, key_col=key_col)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"checkpoint": ckpt_id, "last_batch": batch_id}, f)
+            json.dump(
+                {
+                    "checkpoint": ckpt_id,
+                    "last_batch": batch_id,
+                    "n": fp[0],
+                    "h": fp[1],
+                },
+                f,
+            )
         os.replace(tmp, marker)
 
     writer = (
@@ -101,26 +127,43 @@ def stream_merge_into_collection(
     batch) — the CDC-apply shape, where the stream carries the latest row
     per key and the collection converges to it.
 
-    Same checkpoint-scoped idempotency marker as
-    ``stream_into_collection``: a replayed batch after a crash between
-    commit and checkpoint write is skipped, so re-applied updates can't
-    mint spurious extra versions."""
+    Same (batch id, all-column content fingerprint) replay guard as
+    ``stream_into_collection``: skip ONLY a full-match WAL replay, so a
+    re-applied update can't mint spurious extra versions, while a
+    checkpoint-loss redelivery (renumbered batches, possibly carrying
+    NEW values for old keys) is re-merged — deterministic merges applied
+    in arrival order converge to the same final state."""
     import json
     import os
+
+    from hadrodb_spark.streaming.sketch import content_fingerprint
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        fp = content_fingerprint(batch, batch.columns)
         if os.path.exists(marker):
             with open(marker) as f:
                 state = json.load(f)
-            if state.get("checkpoint") == ckpt_id and batch_id <= state["last_batch"]:
-                return
+            if (
+                state.get("checkpoint") == ckpt_id
+                and batch_id == state.get("last_batch")
+                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
+            ):
+                return  # WAL replay of the marker's own batch
         coll.merge_df(batch, key_col=key_col, when_matched=when_matched)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"checkpoint": ckpt_id, "last_batch": batch_id}, f)
+            json.dump(
+                {
+                    "checkpoint": ckpt_id,
+                    "last_batch": batch_id,
+                    "n": fp[0],
+                    "h": fp[1],
+                },
+                f,
+            )
         os.replace(tmp, marker)
 
     writer = (

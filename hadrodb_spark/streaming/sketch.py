@@ -89,24 +89,35 @@ def _delta_counts(batch: DataFrame, key_col: str) -> DataFrame:
 META_SLOT = "_cms_meta"  # j = -1; bucket carries JSON {ckpt, n, h}, c the batch id
 
 
-def _fingerprint(batch: DataFrame, key_col: str) -> tuple[int, int]:
-    """Order-independent content fingerprint of a micro-batch's key column:
+def content_fingerprint(batch: DataFrame, cols: list[str]) -> tuple[int, int]:
+    """Order-independent content fingerprint of a micro-batch over ``cols``:
     (row count, sum of xxhash64) — partitioning- and delivery-order-proof,
     so a WAL replay matches and any content drift does not. The hash sum
     runs in DECIMAL(38,0): raw int64 hashes overflow a LONG sum under
-    ANSI mode; JSON and Python ints carry the wide value losslessly."""
+    ANSI mode; JSON and Python ints carry the wide value losslessly.
+    Shared by the sketch accumulators here (key-column fingerprints —
+    their deltas depend only on the key multiset) and the collection
+    sinks in ingest/curation (ALL-column fingerprints — a CDC redelivery
+    can repeat a key set with NEW values and must not match)."""
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(
                 F.xxhash64(
-                    F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                        for c in cols
+                    ]
                 ).cast("decimal(38,0)")
             ),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
     ).first()
     return int(row["n"]), int(row["h"])
+
+
+def _fingerprint(batch: DataFrame, key_col: str) -> tuple[int, int]:
+    return content_fingerprint(batch, [key_col])
 
 
 def _replay_mode(

@@ -196,3 +196,72 @@ def test_stream_merge_into_collection(spark, tmp_path):
     assert coll.get("3")["v"] == "old"
     assert coll.get("7")["v"] == "new"
     assert coll.get("12")["v"] == "new"
+
+
+def test_stream_ingest_recovers_checkpoint_loss_with_new_data(
+    spark, sf_dir, tmp_path
+):
+    """The r5 replay policy on the collection sinks, end to end: lose the
+    CHECKPOINT (not the collection) while new source data lands, rerun.
+    availableNow renumbers batches from 0, so the pre-r5 bare
+    ``batch_id <= marker`` skip silently dropped the new rows; the
+    (batch, fingerprint) guard must instead re-land everything — the
+    re-append of old rows is absorbed by the LWW view, and for the CDC
+    merge the same keys arriving with NEW values must win."""
+    import shutil as _sh
+
+    from hadrodb_spark.streaming.ingest import (
+        stream_into_collection,
+        stream_merge_into_collection,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+
+    # --- append sink ---
+    coll = HadroCollection(spark, str(tmp_path / "ap"), schema)
+    src = str(tmp_path / "ap_src")
+    ck = str(tmp_path / "ap_ck")
+    spark.range(50).selectExpr("id AS k", "'a' AS v").repartition(4).write.parquet(src)
+    stream = lambda: spark.readStream.schema("k long, v string").parquet(src)
+    stream_into_collection(stream(), coll, "k", ck).awaitTermination()
+    assert len(coll) == 50
+    _sh.rmtree(ck)  # checkpoint lost; collection + marker survive
+    spark.range(100, 130).selectExpr("id AS k", "'b' AS v").repartition(
+        2
+    ).write.mode("append").parquet(src)
+    stream_into_collection(stream(), coll, "k", ck).awaitTermination()
+    assert len(coll) == 80  # 50 old (re-absorbed by LWW) + 30 new
+    assert coll.get("105")["v"] == "b" and coll.get("3")["v"] == "a"
+
+    # --- CDC merge sink: redelivered keys carry NEW values and must win ---
+    cdc = HadroCollection(spark, str(tmp_path / "cd"), schema)
+    csrc = str(tmp_path / "cd_src")
+    cck = str(tmp_path / "cd_ck")
+    # one file per CDC generation + one file per trigger: a merge batch
+    # must carry at most one version per key (duplicate keys within one
+    # merge are ill-defined), and the file source orders by mod-time so
+    # the v2 generation replays AFTER v1 — real CDC delivery order
+    spark.range(10).selectExpr("id AS k", "'v1' AS v").coalesce(1).write.parquet(csrc)
+    cstream = lambda: (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(csrc)
+    )
+    stream_merge_into_collection(cstream(), cdc, "k", cck).awaitTermination()
+    assert cdc.get("4")["v"] == "v1"
+    _sh.rmtree(cck)
+    # same keys, NEW values — fingerprint must see through the renumbering
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtime second: deterministic replay order
+    spark.range(10).selectExpr("id AS k", "'v2' AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    stream_merge_into_collection(cstream(), cdc, "k", cck).awaitTermination()
+    assert len(cdc) == 10
+    assert cdc.get("4")["v"] == "v2"  # the redelivered update won
