@@ -100,10 +100,37 @@ def trending_topk_sink(
 
     Scale: each emitted batch holds only newly-closed windows (|types| rows
     per window); the rank window partitions by window_start — bounded work
-    per trigger however large the stream history."""
+    per trigger however large the stream history.
+
+    Delivery contract: a WAL replay (crash between the parquet append and
+    the checkpoint commit) is skipped via the (checkpoint, batch id,
+    content fingerprint) full-match guard, so the emitted log is
+    exactly-once under normal crash recovery. Under CHECKPOINT LOSS the
+    sink is at-least-once by design — an append-only parquet log has no
+    key to dedup on; feed a keyed collection via
+    ``ingest.stream_merge_into_collection`` when redelivery dedup is
+    required."""
+    import json
+    import os
+
     from pyspark.sql.window import Window
 
-    def rank_batch(batch: DataFrame, _batch_id: int) -> None:
+    from hadrodb_spark.streaming.sketch import content_fingerprint
+
+    marker = os.path.join(out_dir, "_trending_batch.json")
+    ckpt_id = os.path.abspath(checkpoint)
+
+    def rank_batch(batch: DataFrame, batch_id: int) -> None:
+        fp = content_fingerprint(batch, batch.columns)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                state = json.load(f)
+            if (
+                state.get("checkpoint") == ckpt_id
+                and batch_id == state.get("last_batch")
+                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
+            ):
+                return  # WAL replay of the marker's own batch
         w = Window.partitionBy("window_start").orderBy(
             F.desc("n_events"), "event_type"
         )
@@ -112,6 +139,13 @@ def trending_topk_sink(
             .filter(F.col("rnk") <= k)
             .write.mode("append").parquet(out_dir)
         )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"checkpoint": ckpt_id, "last_batch": batch_id, "n": fp[0], "h": fp[1]},
+                f,
+            )
+        os.replace(tmp, marker)
 
     return (
         counts.writeStream.outputMode("append")

@@ -472,3 +472,36 @@ def test_accumulators_recover_checkpoint_loss_with_new_data(
         .collect()
     }
     assert got_bm == want_bm
+
+
+def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_path):
+    """A WAL replay (checkpoint commit lost AFTER the parquet append) must
+    not double-append the replayed batch's windows — the (batch,
+    fingerprint) guard on the trending sink."""
+    import os
+
+    out_dir = str(tmp_path / "tr_out")
+    ckpt = str(tmp_path / "tr_ckpt")
+    q = S.trending_topk_sink(
+        S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
+    )
+    q.awaitTermination()
+    first = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert first
+
+    # crash simulation: sink appended, checkpoint commit didn't land —
+    # drop the LAST commit file so the restarted query replays that batch
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = S.trending_topk_sink(
+        S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
+    )
+    q2.awaitTermination()
+    after = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert after == first  # replayed batch skipped, nothing double-landed
