@@ -362,3 +362,70 @@ def test_stream_reader_raises_on_segment_removal(spark, tmp_path):
             q.stop()
         except Exception:
             pass
+
+
+def test_reader_filter_pushdown_and_segment_pruning(spark, tmp_path):
+    """Spark 4.1 Python-DataSource filter pushdown, both modes: typed
+    scans enforce pushed predicates record-side (results must equal the
+    unpushed truth for =, range, IN, IS NULL shapes), and a raw-mode
+    equality/IN filter on ``segment`` prunes whole files at planning
+    time — verified directly on the reader's partitions()."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from hadrodb_spark.sources.hadrolog import HadroLogReader
+
+    hadrolog.register(spark)
+    d = str(tmp_path / "push")
+    df = _tweets(spark, 60).withColumn(
+        "text", F.when(F.col("tweet_id") % 7 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    df.repartition(3).write.format("hadrolog").option("path", d).mode(
+        "append"
+    ).save()
+
+    scan = lambda: _scan(spark, d)
+    cases = [
+        scan().filter(F.col("user_id") == 1),
+        scan().filter((F.col("tweet_id") > 40) & (F.col("user_id") != 2)),
+        scan().filter(F.col("user_id").isin(0, 2)),
+        scan().filter(F.col("text").isNull()),
+        scan().filter(F.col("text").isNotNull() & (F.col("ts_s") <= 1_700_001_800)),
+    ]
+    truth = [tuple(r) for r in _tweets(spark, 60).withColumn(
+        "text", F.when(F.col("tweet_id") % 7 == 0, F.lit(None)).otherwise(F.col("text"))
+    ).collect()]
+    import operator
+    wants = [
+        [t for t in truth if t[1] == 1],
+        [t for t in truth if t[0] > 40 and t[1] != 2],
+        [t for t in truth if t[1] in (0, 2)],
+        [t for t in truth if t[3] is None],
+        [t for t in truth if t[3] is not None and t[2] <= 1_700_001_800],
+    ]
+    for got_df, want in zip(cases, wants):
+        assert sorted(tuple(r) for r in got_df.collect()) == sorted(want)
+
+    # raw-mode planning: segment filters prune files before any read
+    r = HadroLogReader({"path": d})
+    rest = r.pushFilters([EqualTo(("segment",), "00000001.data")])
+    assert rest == []
+    parts = r.partitions()
+    assert [os.path.basename(p.path) for p in parts] == ["00000001.data"]
+
+    r2 = HadroLogReader({"path": d})
+    assert r2.pushFilters([In(("segment",), ("00000000.data", "00000002.data"))]) == []
+    assert len(r2.partitions()) == 2
+
+    # unsupported shapes are returned for Spark to evaluate, not dropped
+    r3 = HadroLogReader({"path": d, "ddl": TWEET_DDL})
+    leftover = r3.pushFilters([GreaterThan(("nope",), 1)])
+    assert len(leftover) == 1 and r3.partitions()
+
+    # end-to-end raw query on one segment still decodes correctly
+    one = (
+        spark.read.format("hadrolog")
+        .option("path", d)
+        .load()
+        .filter(F.col("segment") == "00000001.data")
+    )
+    assert 0 < one.count() < 60
