@@ -17,9 +17,11 @@ fingerprint column — merge-on-read with key pushdown; a state-store keyed
 by fingerprint (``transformWithStateInPandas``) is the alternative when
 the curated set must stay hot in executor memory.
 
-Exactly-once: the same checkpoint-scoped batch-id marker as
-``stream_into_collection`` — replayed micro-batches are skipped, so a
-crash between collection commit and checkpoint write cannot double-ingest.
+Exactly-once: the same (checkpoint, batch id, content fingerprint)
+full-match replay guard as ``stream_into_collection`` — a WAL replay is
+skipped, a checkpoint-loss redelivery falls through and is absorbed by
+the fingerprint anti-join, so a crash can neither double-ingest nor
+silently drop post-crash data.
 """
 
 from __future__ import annotations
@@ -67,6 +69,42 @@ def curate_stream(
         .option("maxFilesPerTrigger", 4)
         .parquet(docs_path)
     )
+    return _start_curation(stream, coll, checkpoint, available_now)
+
+
+def curate_native_stream(
+    spark: SparkSession,
+    native_dir: str,
+    coll: HadroCollection,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full round-trip SURVEY §1.4 hints at: documents living in the
+    reference's NATIVE on-disk format are consumed incrementally through
+    the hadrolog stream reader (frame-aligned offsets — new segments and
+    in-place appends both picked up), pushed through the same gate stack
+    as the batch pipeline, and committed into a curated collection with
+    the same dedup + replay guarantees as :func:`curate_stream`. A user
+    whose appender writes `.tweets`-style logs gets a continuously
+    curated dataset without ever converting the source."""
+    from hadrodb_spark.sources import hadrolog
+
+    hadrolog.register(spark)
+    stream = (
+        spark.readStream.format("hadrolog")
+        .option("path", native_dir)
+        .option("ddl", "doc_id bigint, text string")
+        .load()
+    )
+    return _start_curation(stream, coll, checkpoint, available_now)
+
+
+def _start_curation(
+    stream: DataFrame,
+    coll: HadroCollection,
+    checkpoint: str,
+    available_now: bool,
+) -> StreamingQuery:
     gated = curation_gates(stream).select("doc_id", "quality", "n_tokens", "fp")
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")

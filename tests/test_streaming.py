@@ -505,3 +505,48 @@ def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_
     q2.awaitTermination()
     after = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert after == first  # replayed batch skipped, nothing double-landed
+
+
+def test_native_collection_curation_end_to_end(spark, sf_dir, tmp_path):
+    """The round-5 composition: documents kept in the reference's NATIVE
+    format are streamed through the hadrolog reader into the curation
+    funnel and land in a curated collection — byte-log in, deduplicated
+    gated dataset out, no format conversion. Growth is consumed
+    incrementally: a second native append (originals first ⇒
+    first-batch-wins == keep-lowest-doc_id) triggers a second micro-batch
+    whose planted copies are absorbed by the fingerprint anti-join.
+    Final contents must EXACTLY equal the batch curation_pipeline."""
+    from hadrodb_spark.operators import dedup, pipeline2
+    from hadrodb_spark.sources import hadrolog
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import curation as SC
+
+    hadrolog.register(spark)
+    native = str(tmp_path / ".docs_native")
+    corpus = dedup._with_exact_copies(spark, sf_dir).select("doc_id", "text")
+    corpus.filter(F.col("doc_id") < 200000).coalesce(2).write.format(
+        "hadrolog"
+    ).option("path", native).mode("append").save()
+
+    coll = HadroCollection(spark, str(tmp_path / "curated_nat"), SC.CURATED_SCHEMA)
+    ck = str(tmp_path / "nat_ckpt")
+    SC.curate_native_stream(spark, native, coll, ck).awaitTermination(180)
+    n_first = len(coll)
+    assert n_first > 0
+
+    # the log grows: planted copies appended as NEW native segments
+    corpus.filter(F.col("doc_id") >= 200000).coalesce(1).write.format(
+        "hadrolog"
+    ).option("path", native).mode("append").save()
+    SC.curate_native_stream(spark, native, coll, ck).awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in coll.scan(columns=["doc_id", "quality", "n_tokens"]).collect()
+    }
+    want = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in pipeline2.curation_pipeline(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == n_first  # copies added nothing: dedup held
