@@ -1094,7 +1094,7 @@ class HadroCollection:
         hist = sorted(
             (r[0], r[1])
             for r in live.groupBy(_ZORDER_COL).count().collect()
-            if r[0] is not None
+            if r[0] is not None  # z is never NULL (NULL inputs bucket to 0)
         )
         if not hist:
             return live.withColumn(_ZBUCKET_COL, F.lit(0))
@@ -1110,7 +1110,13 @@ class HadroCollection:
         mdf = self.spark.createDataFrame(
             mapping, f"{_ZORDER_COL} long, {_ZBUCKET_COL} int"
         )
-        return live.join(F.broadcast(mdf), on=_ZORDER_COL, how="inner")
+        # LEFT join + fill, never inner: an optimize() rewrite must be
+        # row-preserving BY CONSTRUCTION — a z value that somehow misses
+        # the mapping (it can't today; defense against any future key
+        # change) lands in the first file rather than vanishing from disk.
+        return live.join(F.broadcast(mdf), on=_ZORDER_COL, how="left").withColumn(
+            _ZBUCKET_COL, F.coalesce(F.col(_ZBUCKET_COL), F.lit(reps[0]))
+        )
 
     def _identity_partition_reps(self, n: int) -> list[int]:
         """For each shuffle partition p in 0..n-1, an int id r with
@@ -1156,7 +1162,13 @@ class HadroCollection:
             *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
         ).first()
-        bits = max(2, 16 // len(cols))
+        bits = 16 // len(cols)
+        if bits < 1:
+            raise HadroError(
+                f"zorder supports at most 16 columns, got {len(cols)} — the "
+                "16-bit z-domain cap is what keeps the placement histogram "
+                "driver-collectible at any data scale"
+            )
         parts = []
         for i, c in enumerate(cols):
             mn = float(bounds[f"mn_{i}"]) if bounds[f"mn_{i}"] is not None else 0.0
@@ -1164,13 +1176,19 @@ class HadroCollection:
             if mx <= mn:
                 mx = mn + 1.0
             # width_bucket → 1..n, with n+1 for values == max; shift to
-            # 0..n-1 and clamp the max-value overflow into the top bucket
-            bucket = F.least(
-                F.width_bucket(
-                    F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(1 << bits)
-                )
-                - 1,
-                F.lit((1 << bits) - 1),
+            # 0..n-1 and clamp the max-value overflow into the top bucket.
+            # A NULL value buckets to 0 (the low corner) — it must map to
+            # SOME z value or the placement join would drop the row, which
+            # for an optimize() rewrite means silent data loss.
+            bucket = F.coalesce(
+                F.least(
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(1 << bits)
+                    )
+                    - 1,
+                    F.lit((1 << bits) - 1),
+                ),
+                F.lit(0),
             )
             parts.append(bucket)
         z = F.lit(0).cast("long")
