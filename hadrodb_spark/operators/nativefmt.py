@@ -55,6 +55,9 @@ def _native_events_dir(sf_dir: str) -> str:
     except OSError:
         ident = src
     tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    # fixture dirs AND their build stagings (tempfile.mkdtemp) both live
+    # under gettempdir(), so the atomic-publish os.rename never crosses a
+    # filesystem boundary (no EXDEV)
     return os.path.join(
         tempfile.gettempdir(), f"hadrolog_events_{_FIXTURE_VERSION}_{tag}"
     )

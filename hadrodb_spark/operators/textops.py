@@ -160,10 +160,21 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact by definition), so novelty-by-source is a second tiny agg
     over the vocab relation, and total-by-source a count over the same
     exploded lineage. The only join is |sources| × |sources|. The ratio
-    is exact integer fixed-point (ppm via DIV), no float division."""
+    is exact integer fixed-point (ppm via DIV), no float division.
+
+    The exploded gram relation feeds BOTH aggregations and Catalyst
+    shares no common subplans, so it is persisted once via the shared
+    registry (the tfidf/dedup-signature discipline) — without it every
+    run tokenizes and shingles the whole corpus twice."""
+    from hadrodb_spark.operators import shared
+
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "source", F.explode(X.shingles(X.tokens(F.col("text")), 3)).alias("g")
+    grams = shared.shared_persist(
+        ("ngram_novelty_grams", spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.select(
+            "source",
+            F.explode(X.shingles(X.tokens(F.col("text")), 3)).alias("g"),
+        ),
     )
     vocab = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("df"),

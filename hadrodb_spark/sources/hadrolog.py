@@ -447,7 +447,17 @@ class HadroLogStreamReader(DataSourceStreamReader):
             if not fn.endswith(".data"):
                 continue
             prev = self._aligned.get(fn, 0)
-            cur = aligned_length(os.path.join(self.dir, fn), prev)
+            path = os.path.join(self.dir, fn)
+            try:
+                if os.path.getsize(path) < prev:
+                    raise RuntimeError(
+                        f"hadrolog stream: segment {fn!r} shrank below its "
+                        f"consumed offset {prev} — the log was rewritten "
+                        "under a live stream; restart from a fresh checkpoint"
+                    )
+            except OSError:
+                pass  # vanished: the `gone` check below reports it
+            cur = aligned_length(path, prev)
             self._aligned[fn] = cur
             segs[fn] = cur
         gone = set(self._aligned) - set(segs)
@@ -464,8 +474,31 @@ class HadroLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         prev = start.get("segs", {})
+        cur = end.get("segs", {})
+        # Validate CHECKPOINTED offsets, not just this driver's cache:
+        # after a restart the in-memory cache is empty, so the
+        # latestOffset() vanished-segment check alone cannot see
+        # compaction that happened while the query was down. A consumed
+        # segment that is now missing or SHORTER than its committed
+        # offset means the log was rewritten under the stream — fail
+        # loudly instead of silently skipping committed data.
+        for seg, s in prev.items():
+            if int(s) <= 0:
+                continue
+            if seg not in cur:
+                raise RuntimeError(
+                    f"hadrolog stream: consumed segment {seg!r} is gone "
+                    "(compaction while the query was stopped?) — restart "
+                    "from a fresh checkpoint against the rewritten log"
+                )
+            if int(cur[seg]) < int(s):
+                raise RuntimeError(
+                    f"hadrolog stream: segment {seg!r} shrank below its "
+                    f"committed offset ({cur[seg]} < {s}) — the log was "
+                    "rewritten; restart from a fresh checkpoint"
+                )
         out = []
-        for seg, e in end.get("segs", {}).items():
+        for seg, e in cur.items():
             s = int(prev.get(seg, 0))
             if int(e) > s:
                 out.append(_SlicePartition(os.path.join(self.dir, seg), s, int(e)))

@@ -111,23 +111,15 @@ def _start_curation(
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        # Skip ONLY a full-match WAL replay (checkpoint + batch id +
-        # all-column content fingerprint — the r5 replay policy shared
-        # with streaming/ingest.py). A renumbered redelivery after
-        # checkpoint loss falls through and is absorbed by the fp
-        # anti-join below, so nothing can double-land OR be dropped.
-        from hadrodb_spark.streaming.sketch import content_fingerprint
+        # Skip ONLY a full-match WAL replay (streaming/replay.py — the r5
+        # policy). A renumbered redelivery after checkpoint loss falls
+        # through and is absorbed by the fp anti-join below, so nothing
+        # can double-land OR be dropped.
+        from hadrodb_spark.streaming import replay
 
-        bfp = content_fingerprint(batch, batch.columns)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
-            if (
-                state.get("checkpoint") == ckpt_id
-                and batch_id == state.get("last_batch")
-                and [bfp[0], bfp[1]] == [state.get("n"), state.get("h")]
-            ):
-                return
+        bfp = replay.batch_fingerprint(batch)
+        if replay.is_wal_replay(marker, ckpt_id, batch_id, bfp):
+            return
         w = Window.partitionBy("fp").orderBy("doc_id")
         deduped = (
             batch.withColumn("rn", F.row_number().over(w))
@@ -139,18 +131,7 @@ def _start_curation(
             "doc_id", "quality", "n_tokens", "fp"
         )
         coll.append_df(fresh, key_col="fp")
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "checkpoint": ckpt_id,
-                    "last_batch": batch_id,
-                    "n": bfp[0],
-                    "h": bfp[1],
-                },
-                f,
-            )
-        os.replace(tmp, marker)
+        replay.stamp_marker(marker, ckpt_id, batch_id, bfp)
 
     writer = (
         gated.writeStream.foreachBatch(commit_batch)

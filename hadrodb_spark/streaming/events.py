@@ -102,50 +102,31 @@ def trending_topk_sink(
     per window); the rank window partitions by window_start — bounded work
     per trigger however large the stream history.
 
-    Delivery contract: a WAL replay (crash between the parquet append and
-    the checkpoint commit) is skipped via the (checkpoint, batch id,
-    content fingerprint) full-match guard, so the emitted log is
-    exactly-once under normal crash recovery. Under CHECKPOINT LOSS the
-    sink is at-least-once by design — an append-only parquet log has no
-    key to dedup on; feed a keyed collection via
-    ``ingest.stream_merge_into_collection`` when redelivery dedup is
-    required."""
-    import json
-    import os
-
+    Delivery contract — STRUCTURALLY idempotent, no marker: each batch
+    OVERWRITES its own ``batch=N`` subdirectory, so a WAL replay (crash
+    anywhere between the write and the checkpoint commit) rewrites the
+    same directory with the same deterministic content instead of
+    double-appending — there is no ordering window at all, unlike a
+    marker written before (loses the batch) or after (double-appends on
+    a crash in between) the data. Read the log back with
+    :func:`read_trending`, which hides the partitioning column. Under
+    CHECKPOINT LOSS the sink is at-least-once by design: renumbered
+    redelivery overwrites low batch dirs but cannot clear stale
+    higher-numbered ones — an unkeyed log has nothing to dedup on; feed
+    a keyed collection via ``ingest.stream_merge_into_collection`` when
+    redelivery dedup is required."""
     from pyspark.sql.window import Window
 
-    from hadrodb_spark.streaming.sketch import content_fingerprint
-
-    marker = os.path.join(out_dir, "_trending_batch.json")
-    ckpt_id = os.path.abspath(checkpoint)
-
     def rank_batch(batch: DataFrame, batch_id: int) -> None:
-        fp = content_fingerprint(batch, batch.columns)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
-            if (
-                state.get("checkpoint") == ckpt_id
-                and batch_id == state.get("last_batch")
-                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
-            ):
-                return  # WAL replay of the marker's own batch
         w = Window.partitionBy("window_start").orderBy(
             F.desc("n_events"), "event_type"
         )
         (
             batch.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= k)
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
         )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"checkpoint": ckpt_id, "last_batch": batch_id, "n": fp[0], "h": fp[1]},
-                f,
-            )
-        os.replace(tmp, marker)
 
     return (
         counts.writeStream.outputMode("append")
@@ -154,6 +135,12 @@ def trending_topk_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_trending(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the trending-top-k log written by :func:`trending_topk_sink`,
+    hiding the per-batch idempotency partitioning."""
+    return spark.read.parquet(out_dir).drop("batch")
 
 
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -71,38 +71,19 @@ def stream_into_collection(
     r1). The fingerprint covers ALL columns: a CDC stream can redeliver
     the same key set with NEW values, which must not look like a
     replay."""
-    import json
     import os
 
-    from hadrodb_spark.streaming.sketch import content_fingerprint
+    from hadrodb_spark.streaming import replay
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        fp = content_fingerprint(batch, batch.columns)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
-            if (
-                state.get("checkpoint") == ckpt_id
-                and batch_id == state.get("last_batch")
-                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
-            ):
-                return  # WAL replay of the marker's own batch
+        fp = replay.batch_fingerprint(batch)
+        if replay.is_wal_replay(marker, ckpt_id, batch_id, fp):
+            return
         coll.append_df(batch, key_col=key_col)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "checkpoint": ckpt_id,
-                    "last_batch": batch_id,
-                    "n": fp[0],
-                    "h": fp[1],
-                },
-                f,
-            )
-        os.replace(tmp, marker)
+        replay.stamp_marker(marker, ckpt_id, batch_id, fp)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)
@@ -133,38 +114,19 @@ def stream_merge_into_collection(
     checkpoint-loss redelivery (renumbered batches, possibly carrying
     NEW values for old keys) is re-merged — deterministic merges applied
     in arrival order converge to the same final state."""
-    import json
     import os
 
-    from hadrodb_spark.streaming.sketch import content_fingerprint
+    from hadrodb_spark.streaming import replay
 
     marker = os.path.join(coll.path, "_hadro_stream_batch.json")
     ckpt_id = os.path.abspath(checkpoint)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        fp = content_fingerprint(batch, batch.columns)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
-            if (
-                state.get("checkpoint") == ckpt_id
-                and batch_id == state.get("last_batch")
-                and [fp[0], fp[1]] == [state.get("n"), state.get("h")]
-            ):
-                return  # WAL replay of the marker's own batch
+        fp = replay.batch_fingerprint(batch)
+        if replay.is_wal_replay(marker, ckpt_id, batch_id, fp):
+            return
         coll.merge_df(batch, key_col=key_col, when_matched=when_matched)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "checkpoint": ckpt_id,
-                    "last_batch": batch_id,
-                    "n": fp[0],
-                    "h": fp[1],
-                },
-                f,
-            )
-        os.replace(tmp, marker)
+        replay.stamp_marker(marker, ckpt_id, batch_id, fp)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

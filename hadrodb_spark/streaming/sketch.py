@@ -128,7 +128,18 @@ def _replay_mode(
     batch_id: int,
     fp: tuple[int, int],
 ) -> str:
-    """'skip' | 'merge' | 'rebuild' per the module-docstring replay policy."""
+    """'skip' | 'merge' | 'rebuild' per the module-docstring replay policy.
+
+    A DIFFERENT checkpoint identity also rebuilds — deliberately: a new
+    query lineage (fresh or relocated checkpoint) consumes its source
+    from offset 0, so merging would double-count the redelivered history
+    while rebuilding yields the exact recount. The flip side is a
+    documented non-feature: TWO live lineages feeding one accumulator
+    collection would reset each other — multi-writer accumulation was
+    never supported (the read-modify-write merge itself races), so the
+    rebuild makes the single-writer contract self-enforcing rather than
+    silently wrong. Legacy (pre-r5) markers parse as a foreign lineage
+    and rebuild the same way — exact recount, not a crash."""
     if meta_ckpt is None:
         return "merge"  # fresh state: merging with nothing == rebuild
     if meta_ckpt == ckpt_id:
@@ -165,7 +176,13 @@ def countmin_stream(
         # 1-row bounded read: the last (checkpoint, batch, fingerprint) this
         # collection applied — committed atomically WITH its counters
         meta = state.filter(F.col("slot") == META_SLOT).select("bucket", "c").collect()
-        m = json.loads(meta[0]["bucket"]) if meta else {}
+        try:
+            m = json.loads(meta[0]["bucket"]) if meta else {}
+        except json.JSONDecodeError:
+            # pre-r5 marker format (raw checkpoint path, no fingerprint):
+            # treated as a foreign lineage → REBUILD, the exact-recount
+            # recovery — never a crash, never a double-count
+            m = {"ckpt": "<legacy-pre-r5-marker>"}
         fp = _fingerprint(batch, key_col)
         mode = _replay_mode(
             m.get("ckpt"),

@@ -211,7 +211,7 @@ def test_trending_topk_matches_batch(spark, sf_dir, event_dir, tmp_path):
         S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
     )
     q.awaitTermination()
-    got = spark.read.parquet(out_dir)
+    got = S.read_trending(spark, out_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("window_start").orderBy(
@@ -475,9 +475,10 @@ def test_accumulators_recover_checkpoint_loss_with_new_data(
 
 
 def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_path):
-    """A WAL replay (checkpoint commit lost AFTER the parquet append) must
-    not double-append the replayed batch's windows — the (batch,
-    fingerprint) guard on the trending sink."""
+    """A WAL replay (checkpoint commit lost AFTER the parquet write) must
+    not duplicate the replayed batch's windows: the sink overwrites its
+    own batch=N directory, so the replay rewrites identical content in
+    place — idempotent with NO marker-ordering window at all."""
     import os
 
     out_dir = str(tmp_path / "tr_out")
@@ -486,7 +487,7 @@ def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_
         S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
     )
     q.awaitTermination()
-    first = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    first = sorted(tuple(r) for r in S.read_trending(spark, out_dir).collect())
     assert first
 
     # crash simulation: sink appended, checkpoint commit didn't land —
@@ -503,8 +504,8 @@ def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_
         S.tumbling_counts(S.stream_events(spark, event_dir)), out_dir, ckpt
     )
     q2.awaitTermination()
-    after = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
-    assert after == first  # replayed batch skipped, nothing double-landed
+    after = sorted(tuple(r) for r in S.read_trending(spark, out_dir).collect())
+    assert after == first  # replayed batch overwrote itself, no duplicates
 
 
 def test_native_collection_curation_end_to_end(spark, sf_dir, tmp_path):
@@ -550,3 +551,90 @@ def test_native_collection_curation_end_to_end(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) == n_first  # copies added nothing: dedup held
+
+
+def test_accumulator_new_lineage_rebuilds_exact(spark, sf_dir, tmp_path):
+    """A NEW checkpoint identity (fresh or relocated checkpoint dir) over
+    the same source must REBUILD the accumulator to an exact recount —
+    merging would double-count the redelivered history. Also covers the
+    legacy pre-r5 marker format (raw path in the meta bucket): it parses
+    as a foreign lineage and rebuilds instead of crashing."""
+    import json as _json
+
+    from hadrodb_spark.sources.collection import HadroCollection
+    from hadrodb_spark.streaming import sketch as SK
+
+    src = str(tmp_path / "ev")
+    load(spark, sf_dir, "events").repartition(8).write.parquet(src)
+    want = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in SK._delta_counts(spark.read.parquet(src), "user_id").collect()
+    }
+
+    cms = HadroCollection(spark, str(tmp_path / "c1"), SK.CMS_SCHEMA)
+
+    def _run(ck):
+        q = SK.countmin_stream(
+            S.stream_events(spark, src), cms, "user_id", str(tmp_path / ck)
+        )
+        assert q.awaitTermination(300)
+
+    _run("ck_a")
+    got = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
+    assert got == want
+
+    # new lineage, same source: rebuild -> exact recount, NOT 2x
+    _run("ck_b")
+    got = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
+    assert got == want
+
+    # legacy marker format: overwrite meta with the pre-r5 raw-path shape
+    legacy = spark.createDataFrame(
+        [(SK.META_SLOT, -1, str(tmp_path / "old_ckpt"), 3)], SK.CMS_SCHEMA
+    )
+    cms.append_df(legacy, key_col="slot")
+    _run("ck_c")
+    got = {(r["j"], r["bucket"]): r["c"] for r in SK.counters(cms).collect()}
+    assert got == want  # parsed as foreign lineage, rebuilt exactly
+
+
+def test_stream_reader_detects_compaction_across_restart(spark, tmp_path):
+    """partitions(start, end) must validate CHECKPOINTED offsets: a
+    consumed segment now missing, or shorter than its committed offset,
+    is a rewritten log — raise, never silently skip committed data. This
+    is the across-restart complement to the live-session guards."""
+    import os
+
+    import pytest as _pytest
+
+    from hadrodb_spark.sources.hadrolog import HadroLogStreamReader
+
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    with open(f"{d}/00000000.data", "wb") as f:
+        f.write(hadrolog_bytes(5))
+
+    r = HadroLogStreamReader({"path": d})
+    # vanished segment: checkpoint says we consumed 00000001 already
+    with _pytest.raises(RuntimeError, match="gone"):
+        r.partitions(
+            {"segs": {"00000001.data": 40}},
+            {"segs": {"00000000.data": 40}},
+        )
+    # shrunken segment: end offset below the committed start
+    with _pytest.raises(RuntimeError, match="shrank"):
+        r.partitions(
+            {"segs": {"00000000.data": 400}},
+            {"segs": {"00000000.data": 40}},
+        )
+    # live-session shrink: cache remembers more bytes than the file has
+    r2 = HadroLogStreamReader({"path": d})
+    r2._aligned["00000000.data"] = 10_000
+    with _pytest.raises(RuntimeError, match="shrank"):
+        r2.latestOffset()
+
+
+def hadrolog_bytes(n):
+    from hadrodb_spark.sources.hadrolog import encode_row_record
+
+    return b"".join(encode_row_record((i, "x")) for i in range(n))
