@@ -1,0 +1,299 @@
+"""Round-6-queue LLM-pipeline operators, batch 1: split-leakage audit,
+exact Kolmogorov–Smirnov distribution shift, and embedding dimension
+statistics.
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+stores documents and defers analytics upstream; these are the
+training-data quality audits SURVEY.md §2.3 scopes on top of that store.
+All three are exact-arithmetic designs (bigint cross-multiplication or
+DECIMAL power sums) so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.dedup import _EXACT_MOD, _EXACT_OFFSET, _with_exact_copies
+from hadrodb_spark.operators.pipeline4 import _TRAIN_HEX, _VAL_HEX
+from hadrodb_spark.operators.relational import load
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit — the hygiene check run after
+    every split: does any held-out document share a canonical fingerprint
+    with a training document?  Uses the SAME md5-prefix split as
+    ``train_val_split`` and the SAME planted exact copies as the dedup
+    family, so leaked pairs exist by construction (a planted copy and its
+    original hash to different splits whenever their doc_ids do).
+
+    Scale shape: fingerprint + split are map-only columns; ONE shuffle
+    groups by fingerprint with map-side-combinable per-split counts; the
+    per-fingerprint relation (≤ |distinct docs| rows, 4 small ints each)
+    feeds a single partially-aggregated global reduce.  No joins, no
+    windows — this survives any corpus size.  Every output is an exact
+    bigint; the leak rates are integer fixed-point (ppm via DIV).
+    """
+    base = _with_exact_copies(spark, sf_dir).select("doc_id", "text")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < F.expr(_TRAIN_HEX), "train")
+        .when(h2 < F.expr(_VAL_HEX), "val")
+        .otherwise("test")
+    )
+    per_fp = (
+        base.select(X.fingerprint(F.col("text")).alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+    )
+    agg = per_fp.agg(
+        F.sum("n_train").cast("bigint").alias("n_train_docs"),
+        F.sum("n_val").cast("bigint").alias("n_val_docs"),
+        F.sum("n_test").cast("bigint").alias("n_test_docs"),
+        F.count(F.when((F.col("n_train") > 0) & (F.col("n_val") > 0), 1))
+        .cast("bigint")
+        .alias("shared_fp_train_val"),
+        F.count(F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1))
+        .cast("bigint")
+        .alias("shared_fp_train_test"),
+        F.count(F.when((F.col("n_val") > 0) & (F.col("n_test") > 0), 1))
+        .cast("bigint")
+        .alias("shared_fp_val_test"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_val")).otherwise(0))
+        .cast("bigint")
+        .alias("leaked_val_docs"),
+        F.sum(
+            F.when((F.col("n_train") > 0) | (F.col("n_val") > 0), F.col("n_test")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_test_docs"),
+    )
+    return agg.select(
+        "*",
+        F.expr("CAST((1000000 * leaked_val_docs) DIV n_val_docs AS BIGINT)").alias(
+            "leak_val_ppm"
+        ),
+        F.expr("CAST((1000000 * leaked_test_docs) DIV n_test_docs AS BIGINT)").alias(
+            "leak_test_ppm"
+        ),
+    )
+
+
+def source_ks_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift as the EXACT two-sample
+    Kolmogorov–Smirnov statistic of document length (``n_chars``) against
+    the whole corpus — the order-statistic complement to
+    ``source_js_divergence``'s binned divergence: KS needs no binning
+    choice and is sensitive to location shifts JS smooths away.
+
+    Exactness: sup|ECDF_s − ECDF_all| over the merged support is attained
+    at corpus-distinct values, and with c_s/c_all the cumulative counts,
+    D = max|c_s·N − c_all·n_s| / (n_s·N) — all-integer until one final
+    fixed-point DIV (ppm).  No float ever enters the comparison.
+
+    Scale shape: per-(source, value) counts are one map-side-combinable
+    shuffle.  The evaluation grid is |sources| × |distinct lengths| —
+    bounded by construction (document lengths are bounded; sources are a
+    catalog), NOT by row count, so the cross join and the per-source
+    cumulative windows run over a relation ~10⁴ rows at ANY corpus scale.
+    The single-partition global-CDF window is over |distinct lengths|
+    rows only.  bigint headroom: 10⁶·n_s·N overflows int64 only past
+    ~10⁹ total docs per 10⁹-doc source — switch the final DIV to
+    DECIMAL(38,0) arithmetic if a corpus ever gets there.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    values = docs.select("n_chars").distinct()
+    gcum = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c_all"))
+        .select(
+            "n_chars",
+            F.sum("c_all").over(Window.orderBy("n_chars")).alias("cum_all"),
+            F.sum("c_all").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_total"),
+        )
+    )
+    grid = (
+        totals.crossJoin(values)
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "n_s",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            "n_s",
+            F.sum("c").over(Window.partitionBy("source").orderBy("n_chars")).alias("cum_s"),
+        )
+        .join(gcum, "n_chars")
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.first("n_s").cast("bigint").alias("n_docs"),
+            F.max(
+                F.abs(F.col("cum_s") * F.col("n_total") - F.col("cum_all") * F.col("n_s"))
+            ).alias("d_num"),
+            F.first("n_total").alias("n_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("d_num").cast("bigint").alias("ks_num"),
+            F.expr("CAST((1000000 * d_num) DIV (n_docs * n_total) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# Variance from DECIMAL power sums — ONE shared text so the three double
+# divisions/multiplies run in the identical op order on both engines.
+_DIM_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_DIM_VAR = f"(CAST(s2 AS DOUBLE) / n - {_DIM_MEAN} * {_DIM_MEAN})"
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (count, mean, population
+    variance) — the dead/degenerate-dimension audit run before trusting a
+    vector column for ANN or semantic dedup (a near-zero-variance
+    dimension carries no signal and wastes index bits).
+
+    Exactness: each float value casts to double (exact) and accumulates
+    as DECIMAL(28,10); its square is one double multiply then
+    DECIMAL(38,18) — both sums order-independent.  mean/variance are the
+    shared fixed-op-order expression over (s1, s2, n), rounded at output.
+    One shuffle on the dimension id (64 groups, map-side combined); the
+    explode is map-only.  At 100 TB the per-dim partials are 64 rows per
+    task — nothing about this plan changes with corpus size.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("vd")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vd").cast("decimal(28,10)")).alias("s1"),
+        F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,18)")).alias("s2"),
+    )
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"ROUND({_DIM_MEAN}, 6)").alias("mean"),
+        F.expr(f"ROUND({_DIM_VAR}, 6)").alias("variance"),
+    ).orderBy("dim")
+
+
+ORACLE: dict[str, str] = {
+    "split_leakage_audit": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_EXACT_OFFSET} AS doc_id, text
+          FROM documents WHERE doc_id % {_EXACT_MOD} = 0
+        ),
+        tagged AS (
+          SELECT {X.sql_fingerprint('text')} AS fp,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_TRAIN_HEX}
+                      THEN 'train'
+                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_VAL_HEX}
+                      THEN 'val' ELSE 'test' END AS split
+          FROM base
+        ),
+        per_fp AS (
+          SELECT fp,
+                 SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+                 SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+                 SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+          FROM tagged GROUP BY fp
+        ),
+        agg AS (
+          SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_docs,
+                 CAST(SUM(n_val) AS BIGINT) AS n_val_docs,
+                 CAST(SUM(n_test) AS BIGINT) AS n_test_docs,
+                 CAST(COUNT(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 END)
+                      AS BIGINT) AS shared_fp_train_val,
+                 CAST(COUNT(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 END)
+                      AS BIGINT) AS shared_fp_train_test,
+                 CAST(COUNT(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 END)
+                      AS BIGINT) AS shared_fp_val_test,
+                 CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                      AS BIGINT) AS leaked_val_docs,
+                 CAST(SUM(CASE WHEN n_train > 0 OR n_val > 0 THEN n_test ELSE 0 END)
+                      AS BIGINT) AS leaked_test_docs
+          FROM per_fp
+        )
+        SELECT *,
+               CAST((1000000 * leaked_val_docs) // n_val_docs AS BIGINT)
+                 AS leak_val_ppm,
+               CAST((1000000 * leaked_test_docs) // n_test_docs AS BIGINT)
+                 AS leak_test_ppm
+        FROM agg
+    """,
+    "source_ks_shift": """
+        WITH counts AS (
+          SELECT source, n_chars, COUNT(*) AS c
+          FROM documents GROUP BY source, n_chars
+        ),
+        totals AS (
+          SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        ),
+        vals AS (SELECT DISTINCT n_chars FROM documents),
+        gcum AS (
+          SELECT n_chars,
+                 SUM(c_all) OVER (ORDER BY n_chars) AS cum_all,
+                 SUM(c_all) OVER () AS n_total
+          FROM (SELECT n_chars, COUNT(*) AS c_all FROM documents GROUP BY n_chars)
+        ),
+        grid AS (
+          SELECT t.source, v.n_chars, t.n_s,
+                 SUM(COALESCE(c.c, 0)) OVER (
+                   PARTITION BY t.source ORDER BY v.n_chars
+                 ) AS cum_s
+          FROM totals t CROSS JOIN vals v
+          LEFT JOIN counts c ON c.source = t.source AND c.n_chars = v.n_chars
+        )
+        SELECT source,
+               CAST(MIN(n_s) AS BIGINT) AS n_docs,
+               CAST(MAX(ABS(cum_s * n_total - cum_all * n_s)) AS BIGINT) AS ks_num,
+               CAST((1000000 * MAX(ABS(cum_s * n_total - cum_all * n_s)))
+                    // (MIN(n_s) * MIN(n_total)) AS BIGINT) AS ks_ppm
+        FROM grid g JOIN gcum USING (n_chars)
+        GROUP BY source
+        ORDER BY source
+    """,
+    "embedding_dim_stats": f"""
+        WITH ex AS (
+          SELECT UNNEST(generate_series(1, len(embedding))) AS dim,
+                 UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vd
+          FROM embeddings
+        ),
+        agg AS (
+          SELECT dim, COUNT(*) AS n,
+                 SUM(CAST(vd AS DECIMAL(28,10))) AS s1,
+                 SUM(CAST(vd * vd AS DECIMAL(38,18))) AS s2
+          FROM ex GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(n AS BIGINT) AS n,
+               ROUND({_DIM_MEAN}, 6) AS mean,
+               ROUND({_DIM_VAR}, 6) AS variance
+        FROM agg
+        ORDER BY dim
+    """,
+}

@@ -26,6 +26,7 @@ from hadrodb_spark.operators import (
     pipeline4,
     pipeline5,
     pipeline6,
+    pipeline7,
     relational,
     relational2,
     relational3,
@@ -86,7 +87,8 @@ def _register(module, only: list[str] | None = None) -> None:
 #
 # ROUND-6 QUEUE (registered below the window this round; rotate them to
 # the window head at r6 START, same procedure): join_interval_overlap, ngram_novelty,
-# csv_roundtrip_scan, jsonl_roundtrip_scan
+# csv_roundtrip_scan, jsonl_roundtrip_scan, split_leakage_audit,
+# source_ks_shift, embedding_dim_stats (pipeline7, session 3)
 # (+ re-check hadrolog_scan_decode — its fixture now builds through the
 # DataSource writer's exclusive-link publish — and anything r6 diffs
 # touch).
@@ -145,6 +147,7 @@ _register(pipeline4)
 _register(relational4)
 _register(relational)
 _register(relational2)
+_register(pipeline7)  # round-6 queue, session-3 additions
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

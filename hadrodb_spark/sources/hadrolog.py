@@ -581,6 +581,7 @@ def register(spark) -> None:
     """Register the source AND ship the package to executors — the reader
     class is pickled by reference, so executor Python workers must be able
     to import ``hadrodb_spark`` regardless of the driver's cwd."""
+    import hashlib
     import tempfile
     import zipfile
 
@@ -588,13 +589,35 @@ def register(spark) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(hadrodb_spark.__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.mkdtemp(prefix="hadrolog_"), "hadrodb_spark.zip")
+    # The zip is named by a digest of its contents, and entry timestamps
+    # are pinned, so identical sources produce byte-identical files:
+    # re-registering in the same session is a SparkContext.addFile no-op,
+    # and a register() after a source edit gets a FRESH name instead of
+    # Spark's "exists and does not match contents" hard error (the
+    # executors' import then still resolves to the first-shipped copy —
+    # mid-session source edits remain unsupported, just non-fatal).
+    entries = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                entries.append((os.path.relpath(full, root), full))
+    entries.sort()
+    h = hashlib.md5()
+    blobs = []
+    for rel, full in entries:
+        with open(full, "rb") as f:
+            data = f.read()
+        h.update(rel.encode())
+        h.update(data)
+        blobs.append((rel, data))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="hadrolog_"),
+        f"hadrodb_spark_{h.hexdigest()[:12]}.zip",
+    )
     with zipfile.ZipFile(zpath, "w") as z:
-        for dirpath, _, files in os.walk(pkg_dir):
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, root))
+        for rel, data in blobs:
+            z.writestr(zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0)), data)
     spark.sparkContext.addPyFile(zpath)
     cls = HadroLogDataSource
     try:
