@@ -199,6 +199,120 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+_FRAG_A = 400000   # first-fragment doc_id offset (planted continuation pairs)
+_FRAG_B = 500000   # second-fragment offset; pair identity: b_id = a_id + 100000
+
+
+def fragment_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-fragment stitching: find document pairs where one document's
+    TAIL equals another's HEAD (16-token boundary windows) — the signal
+    that a source split one page into consecutive crawl records, the
+    complement of dedup (the two halves share almost nothing globally, so
+    MinHash never pairs them).  Fragment pairs are PLANTED by splitting
+    every ``doc_id % 61 == 0`` document (≥ 40 tokens) into two halves
+    overlapping by 16 tokens, so the join is non-vacuous and recall is
+    checkable (``planted`` column).
+
+    Scale shape: head/tail fingerprints are map-only md5s of fixed
+    16-token windows; the candidate join is equi on the fingerprint —
+    collision-bounded, never all-pairs.  The fingerprint relation feeds
+    both sides of the self-join, so it is persisted once via the shared
+    registry; join keys are renamed per side (the ambiguous-self-join
+    discipline)."""
+    from hadrodb_spark.operators import shared
+
+    def build_fps():
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        elig = docs.select(
+            "doc_id", X.tokens(F.col("text")).alias("t")
+        ).withColumn("n", F.size("t")).filter(F.col("n") >= 40)
+        frag_a = elig.filter(F.col("doc_id") % 61 == 0).select(
+            (F.col("doc_id") + _FRAG_A).alias("doc_id"),
+            F.expr("concat_ws(' ', slice(t, 1, CAST(n DIV 2 AS INT) + 8))").alias("text"),
+        )
+        frag_b = elig.filter(F.col("doc_id") % 61 == 0).select(
+            (F.col("doc_id") + _FRAG_B).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', slice(t, CAST(n DIV 2 AS INT) - 7,"
+                " n - CAST(n DIV 2 AS INT) + 8))"
+            ).alias("text"),
+        )
+        corpus = docs.unionByName(frag_a).unionByName(frag_b)
+        tk = corpus.select("doc_id", X.tokens(F.col("text")).alias("tk")).filter(
+            F.size("tk") >= 32
+        )
+        return tk.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("tk", 1, 16))).alias("head_fp"),
+            F.expr("md5(concat_ws(' ', slice(tk, size(tk) - 15, 16)))").alias("tail_fp"),
+        )
+
+    fps = shared.shared_persist(
+        ("fragment_stitch_fps", spark.sparkContext.applicationId, sf_dir),
+        build_fps,
+    )
+    a = fps.select(
+        F.col("doc_id").alias("a_id"), F.col("tail_fp").alias("a_tail")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("b_id"), F.col("head_fp").alias("b_head")
+    )
+    return (
+        a.join(b, (F.col("a_tail") == F.col("b_head")) & (F.col("a_id") != F.col("b_id")))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("b_id") == F.col("a_id") + (_FRAG_B - _FRAG_A)).alias("planted"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SAMPLE_K = 20
+
+
+def group_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform sample: keep the K=20 docs per
+    source with the smallest md5(doc_id) — the reproducible
+    inspection/eval sample every curation run exports (the per-group twin
+    of the global weighted ``weighted_sample_ares``).  md5 order is
+    uniform and engine-stable; doc_id tiebreak makes the total order
+    unique.  One shuffle on source; the rank window never sees more than
+    one group per partition."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank / cume_dist /
+    ntile) over per-customer order values — completes the window-function
+    family next to rank/row_number/ntile-by-metric.  The ORDER BY carries
+    a unique tiebreak (price, orderkey) so every rank-derived value is
+    deterministic; percent_rank and cume_dist are exact rationals from
+    identical formulas in both engines.  Partitioned window — scales with
+    the partition count."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+_T = X.sql_tokens("text")
+
+
 ORACLE: dict[str, str] = {
     "split_leakage_audit": f"""
         WITH base AS (
@@ -276,6 +390,60 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "fragment_stitch": f"""
+        WITH elig AS (
+          SELECT doc_id, {_T} AS t, len({_T}) AS n
+          FROM documents
+        ),
+        frags AS (
+          SELECT doc_id + {_FRAG_A} AS doc_id,
+                 array_to_string(list_slice(t, 1, (n // 2) + 8), ' ') AS text
+          FROM elig WHERE n >= 40 AND doc_id % 61 = 0
+          UNION ALL
+          SELECT doc_id + {_FRAG_B} AS doc_id,
+                 array_to_string(list_slice(t, (n // 2) - 7, n), ' ') AS text
+          FROM elig WHERE n >= 40 AND doc_id % 61 = 0
+        ),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM frags
+        ),
+        fps AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(tk, 1, 16), ' ')) AS head_fp,
+                 md5(array_to_string(list_slice(tk, len(tk) - 15, len(tk)), ' '))
+                   AS tail_fp
+          FROM (SELECT doc_id, {X.sql_tokens('text')} AS tk FROM corpus)
+          WHERE len(tk) >= 32
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               (b.doc_id = a.doc_id + {_FRAG_B - _FRAG_A}) AS planted
+        FROM fps a JOIN fps b
+          ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id
+        ORDER BY a_id, b_id
+    """,
+    "group_uniform_sample": f"""
+        SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents
+        )
+        WHERE rk <= {_SAMPLE_K}
+        ORDER BY source, rk
+    """,
+    "window_percent_rank": """
+        SELECT o_custkey, o_orderkey,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     """,
     "embedding_dim_stats": f"""
         WITH ex AS (
