@@ -528,3 +528,85 @@ def test_interval_overlap_is_equi_banded(spark, sf_dir):
         "ShuffledHashJoin" in plan
     ), plan
     assert "TakeOrderedAndProject" in plan, plan  # top-k never full-sorts
+
+
+def test_fragment_stitch_is_equi_hash_join(spark, sf_dir):
+    """The tail→head candidate join must plan as an equi hash/merge join
+    on the fingerprint — never a nested-loop over the corpus (the
+    all-pairs shape the fingerprint blocking exists to avoid)."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline7 import fragment_stitch
+
+    try:
+        df = fragment_stitch(spark, sf_dir)
+        df.count()  # execute so AQE finalizes strategies
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        ), plan
+    finally:
+        shared.release_shared()
+
+
+def test_group_uniform_sample_rank_prunes_early(spark, sf_dir):
+    """The per-group rank filter must plan as WindowGroupLimit (rank
+    computed and pruned per partition before any downstream work) — not a
+    full-materialize-then-filter window."""
+    from hadrodb_spark.operators.pipeline7 import group_uniform_sample
+
+    df = group_uniform_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_split_leakage_audit_is_pure_aggregation(spark, sf_dir):
+    """The leakage audit must stay join-free with map-side partial
+    aggregation ahead of its one fingerprint exchange — the shape that
+    survives any corpus size."""
+    from hadrodb_spark.operators.pipeline7 import split_leakage_audit
+
+    df = split_leakage_audit(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # plan strings print top-down: the fp exchange's child (the map-side
+    # partial aggregate) appears AFTER it in the text
+    fp_exchange = plan.index("Exchange hashpartitioning(fp")
+    assert "partial_sum" in plan[fp_exchange:], plan
+
+
+def test_embedding_dim_stats_combines_map_side(spark, sf_dir):
+    """The per-dimension power sums must partially aggregate BEFORE the
+    dim exchange — each task emits 64 partial rows, not its exploded
+    input."""
+    from hadrodb_spark.operators.pipeline7 import embedding_dim_stats
+
+    df = embedding_dim_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # top-down print: the dim exchange's map-side partial child follows it
+    dim_exchange = plan.index("Exchange hashpartitioning(dim")
+    assert "partial_count" in plan[dim_exchange:], plan
+
+
+def test_source_ks_shift_aggregates_before_grid(spark, sf_dir):
+    """The KS evaluation grid must be built from POST-aggregation
+    relations (per-source totals × distinct values), never from raw rows:
+    the first partial aggregate has to appear before any join in the
+    plan, keeping the nested-loop grid bounded by |sources|·|values|."""
+    from hadrodb_spark.operators.pipeline7 import source_ks_shift
+
+    df = source_ks_shift(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # top-down print: a join's children (its inputs) follow it in the
+    # text. The grid join's inputs must aggregate before any file scan —
+    # i.e. between the first join node and the first FileScan below it
+    # there is a HashAggregate, proving raw rows never enter the grid.
+    first_join = min(
+        plan.index(j)
+        for j in ("BroadcastNestedLoopJoin", "CartesianProduct", "Join")
+        if j in plan
+    )
+    below = plan[first_join:]
+    first_scan = below.index("FileScan")
+    assert "HashAggregate" in below[:first_scan], plan
