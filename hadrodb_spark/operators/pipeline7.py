@@ -313,6 +313,56 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T = X.sql_tokens("text")
 
 
+def embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation audit: join the text-quality gate to the
+    embedding-norm outlier flag for every document that HAS an embedding
+    (``embeddings.vec_id`` is the doc id of the embedded subset) and
+    report the 2×2 contingency — the check that text filters and vector
+    filters agree before a pipeline trusts either alone.  The only query
+    in the registry joining the two LLM tables.
+
+    Exactness: the quality gate is an integer token-count decision; the
+    norm² is an order-independent DECIMAL sum of per-element double
+    squares; the outlier threshold is the DISCRETE p90 of those exact
+    decimals (pure order statistic, engine-identical); counts and ppm
+    shares are bigint.  Scale shape: norm² is one map-side-combined
+    64-per-row explode agg; the threshold is a 1-row broadcast; the
+    doc⋈vec join is an equi hash join AQE can broadcast (the embedded
+    subset is the small side by construction)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (X.token_count(F.col("text")) >= 40).alias("good")
+    )
+    norm2 = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select("vec_id", F.col("v").cast("double").alias("vd"))
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,18)")).alias("norm2"))
+    )
+    th = norm2.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY norm2)").alias("p90")
+    )
+    flags = norm2.crossJoin(F.broadcast(th)).select(
+        "vec_id", (F.col("norm2") > F.col("p90")).alias("outlier")
+    )
+    cells = (
+        docs.join(flags, docs.doc_id == flags.vec_id)
+        .groupBy("good", "outlier")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("good")
+    return cells.select(
+        "good",
+        "outlier",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_docs").over(w).cast("bigint").alias("good_total"),
+        F.expr(
+            "CAST((1000000 * n_docs) DIV (SUM(n_docs) OVER (PARTITION BY good))"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("good", "outlier")
+
+
 ORACLE: dict[str, str] = {
     "split_leakage_audit": f"""
         WITH base AS (
@@ -390,6 +440,37 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "embedding_quality_join": f"""
+        WITH docs AS (
+          SELECT doc_id, CAST(len({X.sql_tokens('text')}) AS BIGINT) >= 40 AS good
+          FROM documents
+        ),
+        norm2 AS (
+          SELECT vec_id, SUM(CAST(vd * vd AS DECIMAL(38,18))) AS norm2
+          FROM (
+            SELECT vec_id,
+                   UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vd
+            FROM embeddings
+          )
+          GROUP BY vec_id
+        ),
+        th AS (SELECT quantile_disc(norm2, 0.9) AS p90 FROM norm2),
+        flags AS (
+          SELECT vec_id, norm2 > p90 AS outlier FROM norm2, th
+        ),
+        cells AS (
+          SELECT good, outlier, COUNT(*) AS n_docs
+          FROM docs JOIN flags ON docs.doc_id = flags.vec_id
+          GROUP BY good, outlier
+        )
+        SELECT good, outlier,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(SUM(n_docs) OVER (PARTITION BY good) AS BIGINT) AS good_total,
+               CAST((1000000 * n_docs) // (SUM(n_docs) OVER (PARTITION BY good))
+                    AS BIGINT) AS share_ppm
+        FROM cells
+        ORDER BY good, outlier
     """,
     "fragment_stitch": f"""
         WITH elig AS (
