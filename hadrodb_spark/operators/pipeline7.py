@@ -313,6 +313,50 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T = X.sql_tokens("text")
 
 
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mirroring matrix: for every pair of sources, how many
+    duplicate clusters span BOTH — the audit that finds mirror sites and
+    syndication networks so crawl budget isn't spent re-fetching the same
+    content under different hosts (dedup_rate_by_source scores sources
+    in isolation; this is the pairwise structure).  Copies are planted
+    under a synthetic ``mirror`` source (same planted scheme as the dedup
+    family, different source label) so every planted cluster is
+    cross-source by construction; organic cross-source clusters add to it
+    at larger SFs.
+
+    Scale shape: one map-side-combined shuffle groups by fingerprint
+    collecting the DISTINCT source set (bounded by |sources|, a catalog);
+    pair expansion is a map-only double-explode of those tiny arrays
+    (≤ |sources|² per cluster, in practice 2-3); the final (a,b) rollup
+    is over ≤ |sources|² cells.  Exact integers throughout."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = (
+        docs.filter(F.col("doc_id") % _EXACT_MOD == 0)
+        .select(
+            (F.col("doc_id") + _EXACT_OFFSET).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    base = docs.unionByName(planted)
+    clusters = (
+        base.select(X.fingerprint(F.col("text")).alias("fp"), "source")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = (
+        clusters.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .orderBy("src_a", "src_b")
+    )
+
+
 def embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation audit: join the text-quality gate to the
     embedding-norm outlier flag for every document that HAS an embedding
@@ -440,6 +484,29 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "cross_source_duplicate_matrix": f"""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_EXACT_OFFSET} AS doc_id, 'mirror' AS source, text
+          FROM documents WHERE doc_id % {_EXACT_MOD} = 0
+        ),
+        clusters AS (
+          SELECT {X.sql_fingerprint('text')} AS fp,
+                 list_sort(list(DISTINCT source)) AS srcs
+          FROM base GROUP BY 1
+          HAVING len(list(DISTINCT source)) >= 2
+        ),
+        pairs AS (
+          SELECT a.src_a, b.src_b
+          FROM (SELECT UNNEST(srcs) AS src_a, fp FROM clusters) a
+          JOIN (SELECT UNNEST(srcs) AS src_b, fp FROM clusters) b USING (fp)
+          WHERE a.src_a < b.src_b
+        )
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM pairs GROUP BY src_a, src_b
+        ORDER BY src_a, src_b
     """,
     "embedding_quality_join": f"""
         WITH docs AS (
