@@ -1,0 +1,52 @@
+"""Property test for the exact-KS algebra in ``source_ks_shift``: the
+cross-multiplied ECDF grid must equal a direct per-source Kolmogorov–Smirnov
+computation on arbitrary tiny inputs — including sources that are missing
+values present elsewhere (the grid-fill path the fixture barely exercises).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline7 import source_ks_shift
+
+rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _reference_ks(data: list[tuple[str, int]]) -> dict[str, tuple[int, int, int]]:
+    """Brute-force per-source KS vs the whole corpus, all-integer."""
+    n_total = len(data)
+    values = sorted({v for _, v in data})
+    out = {}
+    for s in sorted({s for s, _ in data}):
+        n_s = sum(1 for src, _ in data if src == s)
+        best = 0
+        for v in values:
+            c_s = sum(1 for src, val in data if src == s and val <= v)
+            c_all = sum(1 for _, val in data if val <= v)
+            best = max(best, abs(c_s * n_total - c_all * n_s))
+        out[s] = (n_s, best, (1_000_000 * best) // (n_s * n_total))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=rows)
+def test_ks_shift_matches_bruteforce(spark, tmp_path_factory, data):
+    d = tmp_path_factory.mktemp("ks")
+    spark.createDataFrame(
+        [(s, v) for s, v in data], "source STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["ks_num"], r["ks_ppm"])
+        for r in source_ks_shift(spark, str(d)).collect()
+    }
+    assert got == _reference_ks(data)
