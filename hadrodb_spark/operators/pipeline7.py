@@ -357,6 +357,62 @@ def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_FUZZY_OFFSET = 600000   # planted typo-variant doc_id offset
+_FUZZY_MOD = 41          # doc_id % _FUZZY_MOD == 0 gets a typo variant
+
+
+def fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (edit distance with blocking) over document
+    titles — the entity-resolution primitive none of the hash-based dedup
+    family can express (a one-character typo changes every hash).  Title =
+    first 5 tokens; variants with an appended character are PLANTED
+    (``doc_id % 41``) so distance-1 pairs exist by construction; pairs are
+    emitted when Levenshtein ≤ 2 within a block.
+
+    Blocking contract (the standard entity-resolution trade, stated
+    honestly): candidates share their FIRST-4-TOKEN prefix, so edits
+    inside the prefix are not recalled — recall is guaranteed only for
+    edits in the tail (where the variants are planted).  In exchange the
+    join is equi on the prefix: block sizes are bounded by
+    duplicate-family sizes, never corpus size, so the within-block
+    quadratic never materializes.  Levenshtein runs only on candidate
+    pairs (classic DP, engine-identical); outputs are exact integers."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 5)
+    )
+    titles = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("t", 1, 5)).alias("title"),
+        F.concat_ws(" ", F.slice("t", 1, 4)).alias("blk"),
+    )
+    variants = titles.filter(F.col("doc_id") % _FUZZY_MOD == 0).select(
+        (F.col("doc_id") + _FUZZY_OFFSET).alias("doc_id"),
+        F.concat(F.col("title"), F.lit("x")).alias("title"),
+        "blk",
+    )
+    pool = titles.unionByName(variants)
+    a = pool.select(
+        F.col("doc_id").alias("a_id"), F.col("title").alias("a_title"), "blk"
+    )
+    b = pool.select(
+        F.col("doc_id").alias("b_id"), F.col("title").alias("b_title"),
+        F.col("blk").alias("b_blk"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("b_blk")) & (F.col("a_id") < F.col("b_id")))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_title", "b_title").cast("bigint").alias("dist"),
+            (F.col("b_id") == F.col("a_id") + _FUZZY_OFFSET).alias("planted"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("a_id", "b_id")
+    )
+
+
 def embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation audit: join the text-quality gate to the
     embedding-norm outlier flag for every document that HAS an embedding
@@ -484,6 +540,28 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "fuzzy_title_match": f"""
+        WITH titles AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(tk, 1, 5), ' ') AS title,
+                 array_to_string(list_slice(tk, 1, 4), ' ') AS blk
+          FROM (SELECT doc_id, {X.sql_tokens('text')} AS tk FROM documents)
+          WHERE len(tk) >= 5
+        ),
+        pool AS (
+          SELECT doc_id, title, blk FROM titles
+          UNION ALL
+          SELECT doc_id + {_FUZZY_OFFSET} AS doc_id, title || 'x' AS title, blk
+          FROM titles WHERE doc_id % {_FUZZY_MOD} = 0
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist,
+               (b.doc_id = a.doc_id + {_FUZZY_OFFSET}) AS planted
+        FROM pool a JOIN pool b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.title, b.title) <= 2
+        ORDER BY a_id, b_id
     """,
     "cross_source_duplicate_matrix": f"""
         WITH base AS (
