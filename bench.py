@@ -72,6 +72,13 @@ HEADLINE = [
     "char_entropy_gate",
     "curation_funnel_v2",
     "bitmap_daily_distinct",
+    # round-5 session-3 additions (pipeline7 audit tier) — subtract for
+    # cross-round total comparisons; prefix subtotals stay comparable
+    "split_leakage_audit",
+    "source_ks_shift",
+    "fragment_stitch",
+    "fuzzy_title_match",
+    "embedding_quality_join",
 ]
 
 
