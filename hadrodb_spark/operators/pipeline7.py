@@ -97,23 +97,31 @@ def source_ks_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = max|c_s·N − c_all·n_s| / (n_s·N) — all-integer until one final
     fixed-point DIV (ppm).  No float ever enters the comparison.
 
-    Scale shape: per-(source, value) counts are one map-side-combinable
-    shuffle.  The evaluation grid is |sources| × |distinct lengths| —
-    bounded by construction (document lengths are bounded; sources are a
-    catalog), NOT by row count, so the cross join and the per-source
-    cumulative windows run over a relation ~10⁴ rows at ANY corpus scale.
-    The single-partition global-CDF window is over |distinct lengths|
-    rows only.  bigint headroom: 10⁶·n_s·N overflows int64 only past
-    ~10⁹ total docs per 10⁹-doc source — switch the final DIV to
-    DECIMAL(38,0) arithmetic if a corpus ever gets there.
+    Scale shape: the corpus is scanned ONCE — the per-(source, value)
+    counts aggregate (one map-side-combinable shuffle) is persisted via
+    the shared registry and every other relation (per-source totals,
+    distinct values, the global CDF) derives from it, so the raw table
+    never feeds the grid directly.  The evaluation grid is |sources| ×
+    |distinct lengths| — bounded by construction (document lengths are
+    bounded; sources are a catalog), NOT by row count, so the cross join
+    and the per-source cumulative windows run over a relation ~10⁴ rows
+    at ANY corpus scale.  The single-partition global-CDF window is over
+    |distinct lengths| rows only.  bigint headroom: 10⁶·n_s·N overflows
+    int64 only past ~10⁹ total docs per 10⁹-doc source — switch the
+    final DIV to DECIMAL(38,0) arithmetic if a corpus ever gets there.
     """
+    from hadrodb_spark.operators import shared
+
     docs = load(spark, sf_dir, "documents").select("source", "n_chars")
-    counts = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    values = docs.select("n_chars").distinct()
+    counts = shared.shared_persist(
+        ("source_ks_counts", spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c")),
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    values = counts.select("n_chars").distinct()
     gcum = (
-        docs.groupBy("n_chars")
-        .agg(F.count(F.lit(1)).alias("c_all"))
+        counts.groupBy("n_chars")
+        .agg(F.sum("c").alias("c_all"))
         .select(
             "n_chars",
             F.sum("c_all").over(Window.orderBy("n_chars")).alias("cum_all"),
@@ -225,7 +233,7 @@ def fragment_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         elig = docs.select(
             "doc_id", X.tokens(F.col("text")).alias("t")
-        ).withColumn("n", F.size("t")).filter(F.col("n") >= 40)
+        ).withColumn("n", F.size("t")).filter(F.col("n") >= 48)
         frag_a = elig.filter(F.col("doc_id") % 61 == 0).select(
             (F.col("doc_id") + _FRAG_A).alias("doc_id"),
             F.expr("concat_ws(' ', slice(t, 1, CAST(n DIV 2 AS INT) + 8))").alias("text"),
@@ -426,18 +434,28 @@ def embedding_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares; the outlier threshold is the DISCRETE p90 of those exact
     decimals (pure order statistic, engine-identical); counts and ppm
     shares are bigint.  Scale shape: norm² is one map-side-combined
-    64-per-row explode agg; the threshold is a 1-row broadcast; the
-    doc⋈vec join is an equi hash join AQE can broadcast (the embedded
-    subset is the small side by construction)."""
+    64-per-row explode agg, persisted via the shared registry because
+    BOTH the threshold aggregate and the flag projection consume it
+    (Catalyst shares no common subplans — unpersisted, the explode runs
+    twice); the threshold is a 1-row broadcast; the doc⋈vec join is an
+    equi hash join AQE can broadcast (the embedded subset is the small
+    side by construction)."""
+    from hadrodb_spark.operators import shared
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", (X.token_count(F.col("text")) >= 40).alias("good")
     )
-    norm2 = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .select("vec_id", F.col("v").cast("double").alias("vd"))
-        .groupBy("vec_id")
-        .agg(F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,18)")).alias("norm2"))
+    norm2 = shared.shared_persist(
+        ("embedding_norm2", spark.sparkContext.applicationId, sf_dir),
+        lambda: (
+            load(spark, sf_dir, "embeddings")
+            .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+            .select("vec_id", F.col("v").cast("double").alias("vd"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,18)")).alias("norm2")
+            )
+        ),
     )
     th = norm2.agg(
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY norm2)").alias("p90")
@@ -625,11 +643,11 @@ ORACLE: dict[str, str] = {
         frags AS (
           SELECT doc_id + {_FRAG_A} AS doc_id,
                  array_to_string(list_slice(t, 1, (n // 2) + 8), ' ') AS text
-          FROM elig WHERE n >= 40 AND doc_id % 61 = 0
+          FROM elig WHERE n >= 48 AND doc_id % 61 = 0
           UNION ALL
           SELECT doc_id + {_FRAG_B} AS doc_id,
                  array_to_string(list_slice(t, (n // 2) - 7, n), ' ') AS text
-          FROM elig WHERE n >= 40 AND doc_id % 61 = 0
+          FROM elig WHERE n >= 48 AND doc_id % 61 = 0
         ),
         corpus AS (
           SELECT doc_id, text FROM documents

@@ -596,17 +596,26 @@ def test_source_ks_shift_aggregates_before_grid(spark, sf_dir):
     plan, keeping the nested-loop grid bounded by |sources|·|values|."""
     from hadrodb_spark.operators.pipeline7 import source_ks_shift
 
-    df = source_ks_shift(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # top-down print: a join's children (its inputs) follow it in the
-    # text. The grid join's inputs must aggregate before any file scan —
-    # i.e. between the first join node and the first FileScan below it
-    # there is a HashAggregate, proving raw rows never enter the grid.
-    first_join = min(
-        plan.index(j)
-        for j in ("BroadcastNestedLoopJoin", "CartesianProduct", "Join")
-        if j in plan
-    )
-    below = plan[first_join:]
-    first_scan = below.index("FileScan")
-    assert "HashAggregate" in below[:first_scan], plan
+    from hadrodb_spark.operators import shared
+
+    try:
+        df = source_ks_shift(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # top-down print: a join's children (its inputs) follow it in the
+        # text. The grid join's inputs must aggregate before any leaf scan
+        # (FileScan, or the persisted counts' InMemoryTableScan) — proving
+        # raw rows never enter the grid.
+        first_join = min(
+            plan.index(j)
+            for j in ("BroadcastNestedLoopJoin", "CartesianProduct", "Join")
+            if j in plan
+        )
+        below = plan[first_join:]
+        first_scan = min(
+            below.index(s)
+            for s in ("FileScan", "InMemoryTableScan", "TableCacheQueryStage")
+            if s in below
+        )
+        assert "HashAggregate" in below[:first_scan], plan
+    finally:
+        shared.release_shared()
