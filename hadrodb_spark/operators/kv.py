@@ -165,3 +165,88 @@ ORACLE: dict[str, str] = {
     """,
     "compact_equivalence": _FINAL_STATE,
 }
+
+
+def kv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_at(0)`` returns the state BEFORE the update and tombstone
+    commits — time travel (Delta AS OF analog over the ``_seq`` log;
+    the reference's byte-offset ordering could have supported this but
+    never exposed it). The oracle is the raw commit-0 input, so the
+    hash-match proves later commits are fully excluded."""
+    return (
+        _collection(spark, sf_dir)
+        .read_at(0)
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def kv_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``diff(0, 2)`` — key-level change feed between two snapshots via
+    content-hash full-outer join. The oracle derives each key's expected
+    change LOGICALLY from the build recipe (tombstoned → removed, updated
+    and still live → updated), so a hash-compare false-negative or a
+    leaked unchanged key would mismatch."""
+    d = _collection(spark, sf_dir).diff(0, 2)
+    return d.select(F.col("key").cast("bigint").alias("o_orderkey"), "change")
+
+
+_MERGE_LO = 900
+_MERGE_HI = 1100
+
+
+def kv_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (``merge_df``: update-when-matched + insert-unmatched in
+    ONE commit) — final state must equal the logical upsert the oracle
+    computes directly from ``orders``: keys 900-1000 updated (+500 exact
+    decimal), 1001-1100 inserted, everything else untouched."""
+    key = "merge:" + sf_dir
+    if key not in _cache:
+        path = tempfile.mkdtemp(prefix="hadro_merge_") + "/orders_merge"
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= _KEY_MAX)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        )
+        coll = HadroCollection(spark, path, _SCHEMA)
+        coll.append_df(orders, key_col="o_orderkey")
+        source = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey").between(_MERGE_LO, _MERGE_HI))
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .withColumn(
+                "o_totalprice",
+                (F.col("o_totalprice").cast("decimal(18,2)") + 500).cast("double"),
+            )
+        )
+        coll.merge_df(source, key_col="o_orderkey")
+        _cache[key] = coll
+    return (
+        _cache[key]
+        .scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+ORACLE["kv_time_travel"] = f"""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey <= {_KEY_MAX}
+"""
+ORACLE["kv_snapshot_diff"] = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {_DEL_MOD} = 0 THEN 'removed'
+                ELSE 'updated' END AS change
+    FROM orders
+    WHERE o_orderkey <= {_KEY_MAX}
+      AND (o_orderkey % {_DEL_MOD} = 0 OR o_orderkey <= {_UPD_MAX})
+"""
+ORACLE["kv_merge_equivalence"] = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey BETWEEN {_MERGE_LO} AND {_MERGE_HI}
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 500 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= {_MERGE_HI}
+"""
