@@ -250,3 +250,25 @@ ORACLE["kv_merge_equivalence"] = f"""
     FROM orders
     WHERE o_orderkey <= {_MERGE_HI}
 """
+
+
+def kv_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``optimize(zorder)`` (S17) must be read-equivalent to the
+    un-optimized view: z-order-cluster a COPY on (o_orderkey,
+    o_totalprice) and return its scan against the same final-state oracle
+    as ``kv_delete_tombstone`` — the driver row that would have caught
+    the r5 regression where NULL-keyed rows were silently dropped by the
+    placement join."""
+    src = _collection(spark, sf_dir)
+    copy_path = tempfile.mkdtemp(prefix="hadro_opt_") + "/orders_kv"
+    shutil.copytree(src.path, copy_path)
+    copy = HadroCollection(spark, copy_path)
+    copy.optimize(["o_orderkey", "o_totalprice"], zorder=True, target_files=4)
+    return (
+        copy.scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+ORACLE["kv_optimize_equivalence"] = _FINAL_STATE
