@@ -272,3 +272,28 @@ def kv_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["kv_optimize_equivalence"] = _FINAL_STATE
+
+
+def kv_export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``export()`` → ``import_file()`` round-trip: the live view exported
+    as plain parquet and bulk-loaded into a FRESH collection must scan
+    identically to the source's merge-on-read view — the data-interchange
+    contract (a non-Hadro consumer reads exactly the live state; a
+    re-import loses nothing)."""
+    key = "exim:" + sf_dir
+    if key not in _cache:
+        src = _collection(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="hadro_exim_")
+        src.export(base + "/export.parquet")
+        fresh = HadroCollection(spark, base + "/fresh", _SCHEMA)
+        fresh.import_file(base + "/export.parquet", key_col="o_orderkey")
+        _cache[key] = fresh
+    return (
+        _cache[key]
+        .scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+ORACLE["kv_export_import_roundtrip"] = _FINAL_STATE
