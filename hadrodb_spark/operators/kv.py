@@ -297,3 +297,32 @@ def kv_export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["kv_export_import_roundtrip"] = _FINAL_STATE
+
+
+def kv_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``history()`` (DESCRIBE HISTORY analog) — the manifest's per-commit
+    row/tombstone statistics must equal the counts the build recipe
+    implies, proving the write paths record stats rather than degrading
+    to the null fallback."""
+    return (
+        _collection(spark, sf_dir)
+        .history()
+        .select(
+            "commit",
+            F.col("rows").cast("bigint").alias("n_rows"),
+            F.col("tombstones").cast("bigint").alias("n_tombstones"),
+        )
+    )
+
+
+ORACLE["kv_history"] = f"""
+    SELECT CAST(0 AS BIGINT) AS commit,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_tombstones
+    FROM orders WHERE o_orderkey <= {_KEY_MAX}
+    UNION ALL
+    SELECT 1, COUNT(*), 0 FROM orders WHERE o_orderkey <= {_UPD_MAX}
+    UNION ALL
+    SELECT 2, COUNT(*), COUNT(*) FROM orders
+    WHERE o_orderkey <= {_KEY_MAX} AND o_orderkey % {_DEL_MOD} = 0
+"""

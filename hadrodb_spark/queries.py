@@ -92,9 +92,9 @@ def _register(module, only: list[str] | None = None) -> None:
 # group_uniform_sample, window_percent_rank, embedding_quality_join,
 # cross_source_duplicate_matrix, fuzzy_title_match (pipeline7, session 3),
 # kv_time_travel, kv_snapshot_diff, kv_merge_equivalence,
-# kv_optimize_equivalence, kv_export_import_roundtrip (kv tier: time
-# travel / diff / MERGE INTO / z-order optimize / export-import get
-# driver-checkable rows)
+# kv_optimize_equivalence, kv_export_import_roundtrip, kv_history (kv
+# tier: time travel / diff / MERGE INTO / z-order optimize /
+# export-import / history-stats get driver-checkable rows)
 # (+ re-check hadrolog_scan_decode — its fixture now builds through the
 # DataSource writer's exclusive-link publish — and anything r6 diffs
 # touch).

@@ -50,3 +50,24 @@ def test_ks_shift_matches_bruteforce(spark, tmp_path_factory, data):
         for r in source_ks_shift(spark, str(d)).collect()
     }
     assert got == _reference_ks(data)
+
+
+def test_fragment_stitch_planted_recall_is_total(spark, sf_dir):
+    """Every eligible planted split pair must be recalled: the 48-token
+    eligibility bound guarantees both fragments pass the 32-token
+    fingerprint gate, so planted-pair count == eligible-doc count (the
+    contract the code review tightened)."""
+    from pyspark.sql import functions as F
+
+    from hadrodb_spark.functions import text as X
+    from hadrodb_spark.operators.pipeline7 import fragment_stitch
+    from hadrodb_spark.operators.relational import load
+
+    eligible = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(X.tokens(F.col("text"))).alias("n"), "doc_id")
+        .filter((F.col("n") >= 48) & (F.col("doc_id") % 61 == 0))
+        .count()
+    )
+    planted = fragment_stitch(spark, sf_dir).filter("planted").count()
+    assert planted == eligible and eligible > 0
