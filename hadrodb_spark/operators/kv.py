@@ -259,13 +259,16 @@ def kv_optimize_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``kv_delete_tombstone`` — the driver row that would have caught
     the r5 regression where NULL-keyed rows were silently dropped by the
     placement join."""
-    src = _collection(spark, sf_dir)
-    copy_path = tempfile.mkdtemp(prefix="hadro_opt_") + "/orders_kv"
-    shutil.copytree(src.path, copy_path)
-    copy = HadroCollection(spark, copy_path)
-    copy.optimize(["o_orderkey", "o_totalprice"], zorder=True, target_files=4)
+    key = "opt:" + sf_dir
+    if key not in _cache:
+        src = _collection(spark, sf_dir)
+        copy_path = tempfile.mkdtemp(prefix="hadro_opt_") + "/orders_kv"
+        shutil.copytree(src.path, copy_path)
+        copy = HadroCollection(spark, copy_path)
+        copy.optimize(["o_orderkey", "o_totalprice"], zorder=True, target_files=4)
+        _cache[key] = copy
     return (
-        copy.scan()
+        _cache[key].scan()
         .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
