@@ -207,6 +207,69 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+# Covariance from DECIMAL power sums — ONE shared text (cols: s, n, s1a, s1b)
+_DIM_COV = (
+    "(CAST(s AS DOUBLE) / n"
+    " - (CAST(s1a AS DOUBLE) / n) * (CAST(s1b AS DOUBLE) / n))"
+)
+
+
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundant-dimension audit: the top-20 most-correlated embedding
+    dimension pairs by |covariance| — two dimensions that co-vary carry
+    duplicated signal, the complement of ``embedding_dim_stats``'s
+    dead-dimension check (PCA would rotate these away; this reports them).
+
+    Exactness: pair products are one double multiply then DECIMAL(38,18)
+    sums (order-independent); per-dim means come from DECIMAL(28,10)
+    sums; the covariance is a shared fixed-op-order expression rounded at
+    output, and the top-20 ranks on the ROUNDED value with (dim_a, dim_b)
+    tiebreak.  Scale shape: the d²/2 pair explode is map-only and the
+    aggregation partials are ≤ d²/2 = 2016 cells per task regardless of
+    corpus size; the means relation is 64 rows broadcast twice.  At
+    d ≫ 64 the swap is sampling dims or a block-wise pass — documented,
+    not needed at this width."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.select("vec_id", "embedding", F.posexplode("embedding").alias("i", "vi"))
+        .select(
+            "vec_id", "i", "vi", F.posexplode("embedding").alias("j", "vj")
+        )
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            (F.col("i") + 1).alias("dim_a"),
+            (F.col("j") + 1).alias("dim_b"),
+            (F.col("vi").cast("double") * F.col("vj").cast("double")).alias("p"),
+        )
+    )
+    prods = pairs.groupBy("dim_a", "dim_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast("decimal(38,18)")).alias("s"),
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(F.sum(F.col("v").cast("double").cast("decimal(28,10)")).alias("s1"))
+    )
+    joined = (
+        prods.join(
+            F.broadcast(means.select(F.col("dim").alias("dim_a"), F.col("s1").alias("s1a"))),
+            "dim_a",
+        )
+        .join(
+            F.broadcast(means.select(F.col("dim").alias("dim_b"), F.col("s1").alias("s1b"))),
+            "dim_b",
+        )
+    )
+    out = joined.select(
+        F.col("dim_a").cast("bigint").alias("dim_a"),
+        F.col("dim_b").cast("bigint").alias("dim_b"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"ROUND({_DIM_COV}, 6)").alias("cov"),
+    )
+    return out.orderBy(F.abs(F.col("cov")).desc(), "dim_a", "dim_b").limit(20)
+
+
 _FRAG_A = 400000   # first-fragment doc_id offset (planted continuation pairs)
 _FRAG_B = 500000   # second-fragment offset; pair identity: b_id = a_id + 100000
 
@@ -558,6 +621,44 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "embedding_dim_covariance": f"""
+        WITH ex AS (
+          SELECT i, j,
+                 CAST(embedding[i] AS DOUBLE) AS vi,
+                 CAST(embedding[j] AS DOUBLE) AS vj
+          FROM (SELECT embedding, len(embedding) AS L FROM embeddings) e,
+               LATERAL (SELECT UNNEST(generate_series(1, e.L)) AS i) t1,
+               LATERAL (SELECT UNNEST(generate_series(1, e.L)) AS j) t2
+          WHERE i < j
+        ),
+        prods AS (
+          SELECT i AS dim_a, j AS dim_b, COUNT(*) AS n,
+                 SUM(CAST(vi * vj AS DECIMAL(38,18))) AS s
+          FROM ex GROUP BY i, j
+        ),
+        means AS (
+          SELECT dim, SUM(CAST(vd AS DECIMAL(28,10))) AS s1
+          FROM (
+            SELECT UNNEST(generate_series(1, len(embedding))) AS dim,
+                   UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vd
+            FROM embeddings
+          )
+          GROUP BY dim
+        )
+        SELECT CAST(dim_a AS BIGINT) AS dim_a,
+               CAST(dim_b AS BIGINT) AS dim_b,
+               CAST(n AS BIGINT) AS n,
+               ROUND({_DIM_COV}, 6) AS cov
+        FROM (
+          SELECT p.dim_a, p.dim_b, p.n, p.s,
+                 a.s1 AS s1a, b.s1 AS s1b
+          FROM prods p
+          JOIN means a ON a.dim = p.dim_a
+          JOIN means b ON b.dim = p.dim_b
+        )
+        ORDER BY ABS(ROUND({_DIM_COV}, 6)) DESC, dim_a, dim_b
+        LIMIT 20
     """,
     "fuzzy_title_match": f"""
         WITH titles AS (
