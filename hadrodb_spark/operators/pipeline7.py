@@ -207,6 +207,81 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+_HEAPS_NUM = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_HEAPS_DEN = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β measured at 10
+    corpus-prefix checkpoints (doc_id order) and fit by log-log OLS — the
+    corpus-health twin of ``zipf_slope``: natural text grows vocabulary
+    sub-linearly (β ≈ 0.4-0.6); templated corpora flatten β toward 0 and
+    synthetic noise pushes it toward 1.
+
+    Exactness: a term's checkpoint is its FIRST document (min doc_id —
+    exact); cumulative token/vocab counts are bigint window sums over a
+    10-row relation; both logs are rounded per-row to 6 decimals and
+    accumulated as DECIMAL power sums (the zipf_slope/regression_line
+    engine-proof algebra), one double division at the end.  Scale shape:
+    one term-keyed map-side-combined shuffle for first-occurrences, one
+    doc-bucket aggregate for token mass; everything after is a 10-row
+    relation."""
+    docs = load(spark, sf_dir, "documents")
+    maxd = docs.agg(F.max("doc_id").alias("mx"))
+    terms = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab_b = (
+        terms.crossJoin(F.broadcast(maxd))
+        .select(F.expr("LEAST((fd * 10) DIV (mx + 1), 9)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    tokens_b = (
+        docs.select("doc_id", X.token_count(F.col("text")).alias("nt"))
+        .crossJoin(F.broadcast(maxd))
+        .select(F.expr("LEAST((doc_id * 10) DIV (mx + 1), 9)").alias("bucket"), "nt")
+        .groupBy("bucket")
+        .agg(F.sum("nt").alias("toks"))
+    )
+    w = Window.orderBy("bucket")
+    pts = (
+        tokens_b.join(vocab_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_terms", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .select(
+            F.expr("CAST(ROUND(LN(cum_tokens), 6) AS DECIMAL(18,6))").alias("x"),
+            F.expr("CAST(ROUND(LN(cum_vocab), 6) AS DECIMAL(18,6))").alias("y"),
+            "cum_tokens",
+            "cum_vocab",
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("total_vocab"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_points",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(total_vocab AS BIGINT) AS total_vocab",
+        f"CASE WHEN {_HEAPS_DEN} = 0 THEN NULL"
+        f" ELSE ROUND({_HEAPS_NUM} / {_HEAPS_DEN}, 6) END AS beta",
+        f"CASE WHEN {_HEAPS_DEN} = 0 THEN NULL"
+        f" ELSE ROUND((CAST(sy AS DOUBLE) - {_HEAPS_NUM} / {_HEAPS_DEN}"
+        f" * CAST(sx AS DOUBLE)) / n, 6) END AS log_k",
+    )
+
+
 # Covariance from DECIMAL power sums — ONE shared text (cols: s, n, s1a, s1b)
 _DIM_COV = (
     "(CAST(s AS DOUBLE) / n"
@@ -621,6 +696,52 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "heaps_law_fit": f"""
+        WITH maxd AS (SELECT MAX(doc_id) AS mx FROM documents),
+        terms AS (
+          SELECT term, MIN(doc_id) AS fd
+          FROM (SELECT doc_id, UNNEST({_T}) AS term FROM documents)
+          GROUP BY term
+        ),
+        vocab_b AS (
+          SELECT LEAST((fd * 10) // (mx + 1), 9) AS bucket,
+                 COUNT(*) AS new_terms
+          FROM terms, maxd GROUP BY 1
+        ),
+        tokens_b AS (
+          SELECT LEAST((doc_id * 10) // (mx + 1), 9) AS bucket,
+                 SUM(len({_T})) AS toks
+          FROM documents, maxd GROUP BY 1
+        ),
+        pts AS (
+          SELECT CAST(ROUND(LN(cum_tokens), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(ROUND(LN(cum_vocab), 6) AS DECIMAL(18,6)) AS y,
+                 cum_tokens, cum_vocab
+          FROM (
+            SELECT t.bucket,
+                   SUM(t.toks) OVER (ORDER BY t.bucket) AS cum_tokens,
+                   SUM(COALESCE(v.new_terms, 0)) OVER (ORDER BY t.bucket)
+                     AS cum_vocab
+            FROM tokens_b t LEFT JOIN vocab_b v ON t.bucket = v.bucket
+          )
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                 MAX(cum_tokens) AS total_tokens,
+                 MAX(cum_vocab) AS total_vocab
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST(total_vocab AS BIGINT) AS total_vocab,
+               CASE WHEN {_HEAPS_DEN} = 0 THEN NULL
+                    ELSE ROUND({_HEAPS_NUM} / {_HEAPS_DEN}, 6) END AS beta,
+               CASE WHEN {_HEAPS_DEN} = 0 THEN NULL
+                    ELSE ROUND((CAST(sy AS DOUBLE) - {_HEAPS_NUM} / {_HEAPS_DEN}
+                         * CAST(sx AS DOUBLE)) / n, 6) END AS log_k
+        FROM agg
     """,
     "embedding_dim_covariance": f"""
         WITH ex AS (
