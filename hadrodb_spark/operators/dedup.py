@@ -599,3 +599,128 @@ ORACLE: dict[str, str] = {
               >= {_NGRAM_JACCARD_MIN}
     """,
 }
+
+
+_INC_BOUNDARY = 100000  # organic ids < boundary; every planted incoming id >=
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the shape every GROWING corpus runs:
+    an INCOMING batch (planted exact copies, near-mutants, and
+    genuinely novel synthetic docs)
+    is checked against the EXISTING corpus (the organic docs), not
+    against itself.  Verdict per incoming doc: ``dup_exact`` (canonical
+    fingerprint already present), else ``dup_near`` (shares an LSH band
+    bucket with an existing doc AND verified token-Jaccard ≥ 0.5), else
+    ``new``.  Asymmetry is the point: candidate pairs pair an existing
+    doc with an incoming doc only — incoming×incoming and
+    existing×existing pairs are never generated, so a big backfill batch
+    can't quadratically self-join.
+
+    Reuses the dedup family's persisted signature relation and band
+    discipline (one band-bucket shuffle, Jaccard verify on candidates
+    only); the exact check is one fingerprint semi-join."""
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
+    cand = _band_candidates(sig).filter(
+        (F.col("id_a") < _INC_BOUNDARY) & (F.col("id_b") >= _INC_BOUNDARY)
+    )
+    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
+    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    near_hits = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.round(inter.cast("double") / union, 6) >= _JACCARD_MIN)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nh", F.lit(True))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    near_in = (
+        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
+        .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
+        .withColumn("doc_id", F.col("doc_id") + _INC_BOUNDARY)
+    )
+    exact_in = docs.filter(F.col("doc_id") % _EXACT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + _EXACT_OFFSET
+    )
+    new_in = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 7 * _INC_BOUNDARY).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zzz"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("qqq"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("www"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    incoming = near_in.unionByName(exact_in).unionByName(new_in).select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+    existing_fp = (
+        docs.select(X.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("ex", F.lit(True))
+    )
+    return (
+        incoming.join(existing_fp, "fp", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex"), "dup_exact")
+            .when(F.col("nh"), "dup_near")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["dedup_incremental"] = f"""
+    WITH base AS ({_NEAR_BASE}),
+    sig AS (
+      SELECT doc_id, {_DTOKS} AS dtoks,
+             {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+      FROM base
+      WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+    ),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < {_INC_BOUNDARY} AND b.doc_id >= {_INC_BOUNDARY}
+    ),
+    near_hits AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM cand
+      JOIN sig ta ON ta.doc_id = id_a
+      JOIN sig tb ON tb.doc_id = id_b
+      WHERE ROUND(CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)
+                  / (len(ta.dtoks) + len(tb.dtoks)
+                     - len(list_intersect(ta.dtoks, tb.dtoks))), 6)
+            >= {_JACCARD_MIN}
+    ),
+    incoming AS (
+      SELECT doc_id + {_INC_BOUNDARY} AS doc_id,
+             {X.sql_fingerprint(f"array_to_string(({_TOKS})[1:len({_TOKS}) - 1], ' ')")} AS fp
+      FROM documents WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
+      UNION ALL
+      SELECT doc_id + {_EXACT_OFFSET} AS doc_id, {X.sql_fingerprint('text')} AS fp
+      FROM documents WHERE doc_id % {_EXACT_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {7 * _INC_BOUNDARY} AS doc_id,
+             {X.sql_fingerprint("'zzz' || CAST(doc_id AS VARCHAR) || ' ' || 'qqq' || CAST(doc_id AS VARCHAR) || ' ' || 'www' || CAST(doc_id AS VARCHAR)")} AS fp
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    existing AS (SELECT DISTINCT {X.sql_fingerprint('text')} AS fp FROM documents)
+    SELECT i.doc_id,
+           CASE WHEN e.fp IS NOT NULL THEN 'dup_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+                ELSE 'new' END AS verdict
+    FROM incoming i
+    LEFT JOIN existing e ON i.fp = e.fp
+    LEFT JOIN near_hits n ON i.doc_id = n.doc_id
+    ORDER BY i.doc_id
+"""
