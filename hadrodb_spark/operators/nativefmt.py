@@ -191,6 +191,10 @@ def _interchange_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             )
             if kind == "csv":
                 ev.write.mode("overwrite").option("header", "true").csv(target)
+            elif kind == "xml":
+                ev.write.mode("overwrite").format("xml").option(
+                    "rowTag", "event"
+                ).save(target)
             else:
                 ev.write.mode("overwrite").json(target)
             os.rename(staging, dest)
@@ -245,6 +249,30 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange tier (Spark 4 built-in, the spark-xml merge):
+    events → XML write (rowTag=event) → schema-explicit XML scan →
+    filtered aggregate vs the parquet-direct oracle. Same contract as
+    CSV/JSONL (declared schema, parser has no predicate pushdown —
+    interchange, not storage); XML is what legacy enterprise feeds and
+    sitemap/feed crawls deliver. Completes the format matrix: parquet,
+    ORC, CSV, JSONL, XML, native hadrolog (Avro absent in this
+    environment — probed, documented)."""
+    src = _interchange_fixture(spark, sf_dir, "xml")
+    scanned = (
+        spark.read.schema(_EV_DDL).format("xml").option("rowTag", "event").load(src)
+    )
+    return (
+        scanned.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "csv_roundtrip_scan": """
         SELECT event_type,
@@ -252,6 +280,16 @@ ORACLE: dict[str, str] = {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  AS total_cents,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+    "xml_roundtrip_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
         FROM events
         WHERE event_type <> 'error'
         GROUP BY event_type
