@@ -30,7 +30,9 @@ from hadrodb_spark.operators.relational import load
 _EXACT_MOD = 50        # doc_id % _EXACT_MOD == 0 → planted exact copy
 _EXACT_OFFSET = 200000  # … at doc_id + _EXACT_OFFSET (interpolated into every
 #                         oracle that replants the scheme — never hardcode)
-_NEAR_MOD = 10       # doc_id % 10 == 0 → planted near-dup at +100000
+_NEAR_MOD = 10       # doc_id % 10 == 0 → planted near-dup at +_NEAR_OFFSET
+_NEAR_OFFSET = 100000  # near-mutant doc_id offset — ALSO the organic/incoming
+#                        boundary dedup_incremental splits on (never hardcode)
 _MINHASH_SEEDS = 8   # 2 bands × 4 rows
 _BAND_ROWS = 4       # rows per band: P(candidate) = 1-(1-j^4)^2 — steep
                      # threshold curve so ordinary pairs (j≈0.3 on this tiny
@@ -47,15 +49,22 @@ def _with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
-def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+def _near_mutants(docs: DataFrame) -> DataFrame:
+    """The planted near-dup batch: eligible docs with the last token
+    dropped, re-id'd at +_NEAR_OFFSET. THE single construction — every
+    consumer (self-dedup base, truth sets, incremental incoming batch)
+    derives from here so ids and text stay aligned by construction."""
     toks = X.tokens(F.col("text"))
-    mutants = (
+    return (
         docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
         .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
-        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("doc_id", F.col("doc_id") + _NEAR_OFFSET)
     )
-    return docs.unionByName(mutants)
+
+
+def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(_near_mutants(docs))
 
 
 # ----------------------------------------------------------------- queries
@@ -280,7 +289,7 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
         .select(
             F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 100000).alias("id_b"),
+            (F.col("doc_id") + _NEAR_OFFSET).alias("id_b"),
         )
     )
 
@@ -371,7 +380,7 @@ def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
         .select(
             F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 100000).alias("id_b"),
+            (F.col("doc_id") + _NEAR_OFFSET).alias("id_b"),
         )
     )
     rec = truth.join(pairs, ["id_a", "id_b"], "left_semi").agg(
@@ -407,7 +416,7 @@ _EXACT_BASE = f"""
 _NEAR_BASE = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT doc_id + {_NEAR_OFFSET} AS doc_id,
            array_to_string(({_TOKS})[1:len({_TOKS}) - 1], ' ') AS text
     FROM documents WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
 """
@@ -478,7 +487,7 @@ ORACLE: dict[str, str] = {
     "dedup_method_eval": f"""
         WITH base AS ({_NEAR_BASE}),
         truth AS (
-          SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+          SELECT doc_id AS id_a, doc_id + {_NEAR_OFFSET} AS id_b
           FROM documents
           WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
         ),
@@ -601,7 +610,7 @@ ORACLE: dict[str, str] = {
 }
 
 
-_INC_BOUNDARY = 100000  # organic ids < boundary; every planted incoming id >=
+_INC_BOUNDARY = _NEAR_OFFSET  # organic ids < boundary; planted incoming ids >=
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,12 +646,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nh", F.lit(True))
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = X.tokens(F.col("text"))
-    near_in = (
-        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
-        .withColumn("text", F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)))
-        .withColumn("doc_id", F.col("doc_id") + _INC_BOUNDARY)
-    )
+    near_in = _near_mutants(docs)
     exact_in = docs.filter(F.col("doc_id") % _EXACT_MOD == 0).withColumn(
         "doc_id", F.col("doc_id") + _EXACT_OFFSET
     )

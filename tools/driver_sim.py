@@ -33,6 +33,9 @@ def norm(v):
 names = sys.argv[1:] or sorted(osql)
 fails, ok = [], 0
 for name in names:
+    if name not in qs:
+        fails.append((name, "not in queries() registry"))
+        continue
     fn = qs[name]
     try:
         sdf = fn(spark, SF); scols = sdf.columns; srows = [tuple(r) for r in sdf.collect()]
