@@ -207,6 +207,47 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto-optimal set): parts not dominated on
+    (minimize price, maximize size) — the multi-objective shortlist query
+    (catalog curation, plan selection) that no single ORDER BY expresses.
+
+    Spark side is the ONE-PASS windowed formulation — the shape that
+    survives any group size, unlike the naive quadratic self-join: a part
+    is dominated iff a strictly cheaper part has size ≥ its size
+    (``max(size) RANGE UNBOUNDED PRECEDING TO 1 PRECEDING`` over cents)
+    or an equal-priced part has strictly larger size (``max(size)`` over
+    the (brand, cents) frame).  The ORACLE deliberately uses the NOT
+    EXISTS dominance *specification* instead — value equality across the
+    two algebras proves the window derivation, not just the arithmetic.
+    Prices compare as exact integer cents."""
+    p = load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_price = Window.partitionBy("p_brand", "cents")
+    flagged = p.select(
+        "*",
+        F.max("size").over(cheaper).alias("m1"),
+        F.max("size").over(same_price).alias("m2"),
+    )
+    return (
+        flagged.filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("size")))
+            & (F.col("m2") == F.col("size"))
+        )
+        .select("p_brand", "p_partkey", "cents", "size")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
 _HEAPS_NUM = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
 _HEAPS_DEN = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
 
@@ -696,6 +737,23 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "skyline_parts": """
+        WITH p AS (
+          SELECT p_brand, p_partkey,
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+                 CAST(p_size AS BIGINT) AS size
+          FROM part
+        )
+        SELECT a.p_brand, a.p_partkey, a.cents, a.size
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.p_brand = a.p_brand
+            AND b.cents <= a.cents AND b.size >= a.size
+            AND (b.cents < a.cents OR b.size > a.size)
+        )
+        ORDER BY a.p_brand, a.p_partkey
     """,
     "heaps_law_fit": f"""
         WITH maxd AS (SELECT MAX(doc_id) AS mx FROM documents),
