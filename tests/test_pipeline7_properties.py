@@ -71,3 +71,50 @@ def test_fragment_stitch_planted_recall_is_total(spark, sf_dir):
     )
     planted = fragment_stitch(spark, sf_dir).filter("planted").count()
     assert planted == eligible and eligible > 0
+
+
+skyline_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["b1", "b2"]),
+        st.integers(0, 8),   # cents — small domain forces ties
+        st.integers(0, 8),   # size
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _reference_skyline(data):
+    """Dominance by the NOT EXISTS specification, brute force."""
+    out = []
+    for i, (br, c, sz) in enumerate(data):
+        dominated = any(
+            b2 == br and c2 <= c and s2 >= sz and (c2 < c or s2 > sz)
+            for j, (b2, c2, s2) in enumerate(data)
+            if j != i
+        )
+        if not dominated:
+            out.append((br, i, c, sz))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=skyline_rows)
+def test_skyline_window_matches_bruteforce(spark, tmp_path_factory, data):
+    """The one-pass windowed dominance formulation must equal the NOT
+    EXISTS specification on arbitrary tiny inputs — including duplicate
+    (cents, size) points and equal-price chains, the tie cases the
+    fixtures barely exercise."""
+    from hadrodb_spark.operators.pipeline7 import skyline_parts
+
+    d = tmp_path_factory.mktemp("sky")
+    spark.createDataFrame(
+        [(br, i, float(c) / 100.0, sz) for i, (br, c, sz) in enumerate(data)],
+        "p_brand STRING, p_partkey LONG, p_retailprice DOUBLE, p_size INT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "part.parquet"))
+    got = sorted(tuple(r) for r in skyline_parts(spark, str(d)).collect())
+    assert got == _reference_skyline(data)
