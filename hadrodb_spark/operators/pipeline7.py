@@ -207,6 +207,61 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+# Lag-1 Pearson autocorrelation from exact DECIMAL moments — ONE shared
+# text over (n, sx, sy, sxx, syy, sxy) so the float tail runs in the
+# identical op order on both engines.
+_AC_NUM = "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_AC_DEN = (
+    "(SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue per event type — the
+    time-series health signal (strong positive r = momentum/trend, near
+    zero = memoryless noise, negative = oscillation) that decides whether
+    yesterday's volume predicts today's in capacity planning.
+
+    Exactness: daily totals are exact integer cents; (prev, cur) pairs
+    come from a lag window with a total day order; all five moments
+    accumulate as exact DECIMAL sums, and the Pearson tail is the shared
+    fixed-op-order expression, NULL when a series is constant (zero
+    variance) instead of an ANSI divide-by-zero.  Scale shape: one keyed
+    aggregate to |types|×|days| rows; the lag window and moment
+    aggregation run on that tiny relation."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.lag("total").over(w).alias("x"),
+        F.col("total").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_pairs",
+        f"CASE WHEN {_AC_DEN} = 0 THEN NULL"
+        f" ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS r",
+    ).orderBy("event_type")
+
+
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand skyline (Pareto-optimal set): parts not dominated on
     (minimize price, maximize size) — the multi-objective shortlist query
@@ -737,6 +792,35 @@ ORACLE: dict[str, str] = {
         FROM grid g JOIN gcum USING (n_chars)
         GROUP BY source
         ORDER BY source
+    """,
+    "autocorr_daily": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT event_type,
+                 LAG(total) OVER (PARTITION BY event_type ORDER BY day) AS x,
+                 total AS y
+          FROM daily
+        ),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+          FROM pairs WHERE x IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN {_AC_DEN} = 0 THEN NULL
+                    ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS r
+        FROM agg
+        ORDER BY event_type
     """,
     "skyline_parts": """
         WITH p AS (

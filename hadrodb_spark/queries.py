@@ -92,8 +92,8 @@ def _register(module, only: list[str] | None = None) -> None:
 # group_uniform_sample, window_percent_rank, embedding_quality_join,
 # cross_source_duplicate_matrix, fuzzy_title_match,
 # embedding_dim_covariance, heaps_law_fit, dedup_incremental
-# xml_roundtrip_scan, skyline_parts (pipeline7/dedup/nativefmt,
-# session 3),
+# xml_roundtrip_scan, skyline_parts, autocorr_daily
+# (pipeline7/dedup/nativefmt, session 3),
 # kv_time_travel, kv_snapshot_diff, kv_merge_equivalence,
 # kv_optimize_equivalence, kv_export_import_roundtrip, kv_history (kv
 # tier: time travel / diff / MERGE INTO / z-order optimize /
