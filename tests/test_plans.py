@@ -619,3 +619,28 @@ def test_source_ks_shift_aggregates_before_grid(spark, sf_dir):
         assert "HashAggregate" in below[:first_scan], plan
     finally:
         shared.release_shared()
+
+
+def test_skyline_is_join_free_single_pass(spark, sf_dir):
+    """The windowed skyline must stay the one-pass shape: no join of any
+    kind (the naive dominance formulation is a quadratic self-join) —
+    just window evaluation over one scan."""
+    from hadrodb_spark.operators.pipeline7 import skyline_parts
+
+    df = skyline_parts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_autocorr_aggregates_before_window(spark, sf_dir):
+    """The lag window must run over the per-(type, day) aggregate (a
+    |types|x|days| relation), never raw events: the daily partial
+    aggregate has to appear below the Window node in the plan."""
+    from hadrodb_spark.operators.pipeline7 import autocorr_daily
+
+    df = autocorr_daily(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    win = plan.index("Window")
+    assert "partial_sum" in plan[win:], plan
