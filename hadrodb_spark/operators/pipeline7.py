@@ -606,7 +606,12 @@ _FUZZY_MOD = 41          # doc_id % _FUZZY_MOD == 0 gets a typo variant
 def fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching (edit distance with blocking) over document
     titles — the entity-resolution primitive none of the hash-based dedup
-    family can express (a one-character typo changes every hash).  Title =
+    family can express (a one-character typo changes every hash).  The
+    second of the repo's two blocking strategies: relational3's
+    ``fuzzy_pairs_levenshtein`` uses SymSpell deletion neighborhoods
+    (COMPLETE recall, but only for distance ≤ 1 and ×(L+1) candidate
+    blow-up); this one trades recall (prefix edits missed) for distance
+    ≤ 2 at constant per-row cost.  Title =
     first 5 tokens; variants with an appended character are PLANTED
     (``doc_id % 41``) so distance-1 pairs exist by construction; pairs are
     emitted when Levenshtein ≤ 2 within a block.
