@@ -63,72 +63,50 @@ def _register(module, only: list[str] | None = None) -> None:
 # r1/r2/r3/r4 CORRECTNESS key sets).  Cumulative driver coverage after four
 # disjoint windows: 188/222 (r1 relational tier; r2 pipeline3/sqlsuite/
 # pipeline4 tier; r3 dedup/vector/KV/text/multimodal tier; r4 analytics/
-# asof/pipeline5/relational3/relational4 tier — 187 green, sessionize red
-# on an oracle HUGEINT cast, fixed this round).
+# asof/pipeline5/relational3/relational4 tier).  The round-5 window
+# (sessionize + the 34 r4-session additions + 15 re-checks) was frozen and
+# committed at end of round 5; CORRECTNESS_r05.json had NOT yet landed when
+# round 6 started, so its outcome is assumed-green per the r1-r4 local-
+# mirror reliability record (237/238).
 #
-# ROUND-5 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (per VERDICT.md r4 "Next round" items 1-2):
-#   [0]     sessionize        — the one r4 red row; root cause was the
-#                               oracle's un-cast window SUM (DuckDB HUGEINT
-#                               vs Spark bigint, values identical) — fixed
-#                               with CAST(session_id AS BIGINT); all 222
-#                               oracles swept for the same pattern
-#                               (tools/oracle_type_sweep.py: clean)
-#   [1-34]  the 34 entries with NO driver row in r1-r4 (the r4 session's
-#           additions: asof tolerance/SCD2, IGNORE-NULLS windows, ANN
-#           range/cohesion, text gates, the pipeline6 tier, ORC)
-#   [35-49] re-checks: queries whose code, oracle, module, or shared
-#           lineage this round's diffs touch (sessionize module →
-#           funnel_conversion; tfidf plan rework → pipeline2 tier;
-#           nativefmt writer → hadrolog_scan_decode) + high-value r1-r3
-#           greens
+# ROUND-6 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (per NEXT.md round-6 triage):
+#   [0-24]  the 25 entries registered below the round-5 window with no
+#           driver row anywhere in r1-r4: dedup_incremental, the kv
+#           storage tier (time travel / diff / MERGE / optimize /
+#           export-import / history), ngram_novelty, the CSV/XML/JSONL
+#           interchange tiers, join_interval_overlap, and the 13-entry
+#           pipeline7 audit tier
+#   [25-49] insurance re-checks: sessionize (r4's one red row — its fix
+#           rode the r5 window, re-verified here in case r5 never ran) +
+#           hadrolog_scan_decode (fixture now builds through the
+#           DataSource writer) + orc_roundtrip_scan + asof tolerance +
+#           the 21-entry pipeline6 tier.  If r05 landed green these are
+#           cheap re-checks; if it never landed, 25 of its 35 rows get
+#           their first driver verification here instead of slipping a
+#           round.
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  After r5 every registered query has a driver row.
-#
-# ROUND-6 QUEUE (registered below the window this round; rotate them to
-# the window head at r6 START, same procedure): join_interval_overlap, ngram_novelty,
-# csv_roundtrip_scan, jsonl_roundtrip_scan, split_leakage_audit,
-# source_ks_shift, embedding_dim_stats, fragment_stitch,
-# group_uniform_sample, window_percent_rank, embedding_quality_join,
-# cross_source_duplicate_matrix, fuzzy_title_match,
-# embedding_dim_covariance, heaps_law_fit, dedup_incremental
-# xml_roundtrip_scan, skyline_parts, autocorr_daily
-# (pipeline7/dedup/nativefmt, session 3),
-# kv_time_travel, kv_snapshot_diff, kv_merge_equivalence,
-# kv_optimize_equivalence, kv_export_import_roundtrip, kv_history (kv
-# tier: time travel / diff / MERGE INTO / z-order optimize /
-# export-import / history-stats get driver-checkable rows)
-# (+ re-check hadrolog_scan_decode — its fixture now builds through the
-# DataSource writer's exclusive-link publish — and anything r6 diffs
-# touch).
-_register(sessionize, only=["sessionize"])
-_register(asof, only=["asof_events_tolerance", "join_scd2_temporal"])
-_register(relational4, only=[
-    "window_first_last_ignore_nulls", "window_rolling_median",
+# OF THIS ROUND.  New round-6 queries register BELOW the window (round-7
+# queue), same procedure as rounds 3-6.
+_register(dedup, only=["dedup_incremental"])
+_register(kv, only=[
+    "kv_time_travel", "kv_snapshot_diff", "kv_merge_equivalence",
+    "kv_optimize_equivalence", "kv_export_import_roundtrip", "kv_history",
 ])
-_register(similarity, only=["ann_range_search", "embedding_cluster_cohesion"])
-_register(textops, only=["vocab_coverage", "classifier_agreement_kappa", "dedup_rate_by_source"])
-_register(pipeline2, only=["length_gate_disc"])
-_register(pipeline3, only=["source_js_divergence", "mixture_apply"])
-_register(pipeline6)  # the 21-entry session-2 tier (peak_concurrency …
-#                       collocation_pmi), never driver-run
-_register(nativefmt, only=["orc_roundtrip_scan"])  # ORC format tier
-# positions 35-49: re-checks
-_register(sessionize)  # funnel_conversion — module touched by the fix
-_register(pipeline2, only=["tfidf_top_terms", "curation_pipeline"])
-_register(nativefmt, only=["hadrolog_scan_decode"])
-_register(sqlsuite, only=["sql_tpch_q9_like"])
-_register(dedup, only=["dedup_near", "dedup_ml_minhash"])
-_register(relational4, only=["basket_lift"])
-_register(similarity, only=["vector_topk_kmeans_ivf"])
-_register(sketch, only=["sketch_countmin"])
-_register(pipeline4, only=["rag_context_pack"])
-_register(relational3, only=["session_window_batch"])
-_register(pipeline5, only=["bpe_train_merges"])
-_register(graph, only=["graph_reachability"])
-_register(pipeline3, only=["profile_quantiles_approx"])
+_register(textops, only=["ngram_novelty"])
+_register(nativefmt, only=[
+    "csv_roundtrip_scan", "xml_roundtrip_scan", "jsonl_roundtrip_scan",
+])
+_register(relational4, only=["join_interval_overlap"])
+_register(pipeline7)  # the 13-entry session-3 audit tier
+# positions 25-49: insurance re-checks (see header note)
+_register(sessionize, only=["sessionize"])
+_register(nativefmt, only=["hadrolog_scan_decode", "orc_roundtrip_scan"])
+_register(asof, only=["asof_events_tolerance"])
+_register(pipeline6)  # the 21-entry session-2 tier
 # --- verified tiers (after the window; every entry below has a green row
 # in CORRECTNESS_r1/r2/r3/r4) ---
+_register(sessionize)  # funnel_conversion (green r4)
 _register(relational4, only=[
     "lateral_topk", "agg_map_counts", "date_arithmetic",
     "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
