@@ -683,8 +683,56 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _NWIN)
 
 
+# Bounded-depth transitive closure over the order↔part bipartite graph
+# ("customers who bought X's basket also bought …", expanded 2 hops).
+# Each recursive step joins ONLY the previous frontier against the edge
+# relation and dedups within the step, so per-iteration work is bounded by
+# |parts| regardless of corpus size; BFS levels come from the final
+# MIN(hop) aggregate (re-reached nodes keep their first level).
+_QREC = """
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {p}lineitem
+    ),
+    reach(p, hop) AS (
+      SELECT CAST(1 AS BIGINT) AS p, 0 AS hop
+      UNION ALL
+      SELECT b.p, r.hop + 1
+      FROM (SELECT DISTINCT p, hop FROM reach) r
+      JOIN op a ON a.p = r.p
+      JOIN op b ON b.o = a.o
+      WHERE r.hop < 2
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p) AS BIGINT) AS min_part,
+           CAST(MAX(p) AS BIGINT) AS max_part
+    FROM (SELECT p, MIN(hop) AS hop FROM reach GROUP BY p)
+    GROUP BY hop
+    ORDER BY hop
+"""
+
+
+def sql_recursive_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): BFS levels of the co-purchase
+    reachability graph from a seed part — ``WITH RECURSIVE`` run with the
+    SAME text on Spark and DuckDB, so the parity check covers the feature
+    itself.
+
+    Scale shape: recursion executes as driver-coordinated iterative joins;
+    the frontier relation is ≤ |parts| rows per step (deduped inside the
+    step), so each of the bounded 2 iterations is one frontier⋈edges join
+    where the frontier side broadcasts.  The edge relation's DISTINCT is
+    the only big shuffle and AQE reuses its exchange across iterations.
+    Reference parity: the reference has no recursive query surface; this
+    covers the SQL-entry-point family's closure over Spark 4's newest
+    construct (SURVEY.md §2.2 SQL entry point).
+    """
+    return _run(spark, sf_dir, _QREC)
+
+
 ORACLE: dict[str, str] = {
     "sql_named_window": _fmt(_NWIN, ""),
+    "sql_recursive_copurchase": _fmt(_QREC, ""),
     "sql_tpch_q3_like": _fmt(_Q3, ""),
     "sql_tpch_q5_like": _fmt(_Q5, ""),
     "sql_tpch_q18_like": _fmt(_Q18, ""),

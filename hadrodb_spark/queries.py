@@ -135,6 +135,9 @@ _register(relational4)
 _register(relational)
 _register(relational2)
 _register(pipeline7)  # round-6 queue, session-3 additions
+# --- ROUND-7 QUEUE (registered below the window; rotate to the window
+# head at r7 START, same procedure as rounds 3-6) ---
+_register(sqlsuite, only=["sql_recursive_copurchase"])
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
