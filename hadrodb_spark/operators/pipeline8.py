@@ -1,0 +1,343 @@
+"""Round-7-queue pipeline operators, batch 1: PSI drift monitoring,
+k-anonymity audit, and leakage-safe temporal splitting.
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+stores records and defers analytics upstream; these are the dataset-health
+/ governance audits SURVEY.md §2.3 scopes on top of that store — the
+checks a training-data pipeline runs before every refresh: "did this
+month's data drift from the reference window?", "do the quasi-identifier
+combinations expose individuals?", "is the time-based split free of
+entity leakage?".
+
+All three follow the exact-arithmetic discipline: integer counts
+throughout, any transcendental evaluated once per row under ONE shared
+op-order text and rounded before the (exact DECIMAL) sum, fixed-point
+ppm ratios via integer DIV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+
+# --- drift_psi_monthly -------------------------------------------------
+# Fixed, data-independent bin edges; bucket 13 is the overflow bin.  The
+# bucket expression is ONE shared text (DuckDB has no width_bucket) — the
+# subtraction/division/multiply/floor chain runs identically on both
+# engines.  Laplace-smoothed Population Stability Index term over exact
+# integer counts — ONE shared text so the two divisions, the subtraction,
+# and the single LN run in the identical op order on both engines,
+# rounded at 6 before the exact DECIMAL sum.
+_PSI_BINS = 12
+_PSI_LO = 0.0
+_PSI_HI = 600000.0
+_PSI_BIN = (
+    f"CASE WHEN o_totalprice < {_PSI_LO} THEN 0"
+    f" WHEN o_totalprice >= {_PSI_HI} THEN {_PSI_BINS + 1}"
+    f" ELSE CAST(FLOOR((o_totalprice - {_PSI_LO})"
+    f" / ({_PSI_HI} - {_PSI_LO}) * {_PSI_BINS}) AS BIGINT) + 1 END"
+)
+_PSI_P = "((cm + 1.0) / (nm + nb))"
+_PSI_Q = "((cq + 1.0) / (nq + nb))"
+_PSI_TERM = (
+    f"CAST(ROUND(({_PSI_P} - {_PSI_Q}) * LN({_PSI_P} / {_PSI_Q}), 6)"
+    " AS DECIMAL(18,6))"
+)
+
+
+def drift_psi_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution, per
+    month, against the FIRST month as the reference window — the
+    industry-standard "did my feature drift?" monitor (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 major shift).  Complements the KS
+    (``source_ks_shift``) and JS (``source_js_divergence``) families:
+    PSI is the binned, smoothed variant ops teams alert on.
+
+    Exactness: bin counts are exact integers from ONE map-side-combined
+    (month, bin) aggregate; Laplace smoothing ((c+1)/(n+B)) keeps every
+    ratio well-defined on empty bins; each bin's term is the shared
+    fixed-op-order float text rounded at 6, summed as exact DECIMAL.
+
+    Scale shape: the corpus is scanned once into a (month, bin) count
+    relation — bounded by |months| × 13 rows at ANY corpus size; the
+    reference-month distribution and the bin grid are tiny broadcasts;
+    everything downstream of the first aggregate runs on catalog-sized
+    relations.  No windows, no self-joins.
+    """
+    orders = load(spark, sf_dir, "orders")
+    counts = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.expr(_PSI_BIN).alias("bin"),
+        )
+        .groupBy("month", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    months = counts.groupBy("month").agg(F.sum("c").alias("nm"))
+    bins = counts.select("bin").distinct()
+    nb = bins.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    ref_month = months.agg(F.min("month").alias("ref_month"))
+    ref = (
+        counts.join(F.broadcast(ref_month), counts.month == F.col("ref_month"))
+        .select(F.col("bin").alias("qbin"), F.col("c").alias("cq_raw"))
+    )
+    ref_total = ref.agg(F.sum("cq_raw").cast("double").alias("nq"))
+    grid = (
+        months.crossJoin(F.broadcast(bins))
+        .join(counts, ["month", "bin"], "left")
+        .join(F.broadcast(ref), F.col("bin") == F.col("qbin"), "left")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ref_total))
+        .select(
+            "month",
+            F.col("nm").cast("double").alias("nm"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("cm"),
+            F.coalesce(F.col("cq_raw"), F.lit(0)).cast("double").alias("cq"),
+            "nb",
+            "nq",
+        )
+    )
+    return (
+        grid.groupBy("month")
+        .agg(
+            F.first("nm").cast("bigint").alias("n_orders"),
+            F.sum(F.expr(_PSI_TERM)).alias("psi_sum"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            F.expr("ROUND(CAST(psi_sum AS DOUBLE), 6)").alias("psi"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- k_anonymity_audit -------------------------------------------------
+_KS = (2, 5, 10)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier combination
+    (market segment, nation, account-balance bucket) — the governance
+    check run before releasing a dataset: how many equivalence classes
+    (and how many individuals) fall below k ∈ {2, 5, 10}?  A group of
+    size 1 is a unique, re-identifiable individual.
+
+    Exactness: group sizes are exact integers from one map-side-combined
+    aggregate; the three k-threshold rows are emitted from ONE reduced
+    lineage via ``inline(array(...))`` (the ``curation_funnel_v2``
+    pattern — a 3-way union would re-run the pipeline per row); risk
+    ratios are integer fixed-point ppm.
+
+    Scale shape: one shuffle to the equivalence-class relation (bounded
+    by the QID-combination cardinality, not row count), one global
+    reduce over it.  At 100 TB nothing changes: the class relation is
+    |segments| × |nations| × |balance buckets|.
+    """
+    cust = load(spark, sf_dir, "customer")
+    sizes = (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("bal_bucket"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("min_group_size"),
+        *[
+            F.count(F.when(F.col("sz") < k, 1)).alias(f"g{k}")
+            for k in _KS
+        ],
+        *[
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(f"r{k}")
+            for k in _KS
+        ],
+    )
+    rows = ", ".join(
+        f"struct(CAST({k} AS BIGINT), CAST(g{k} AS BIGINT), CAST(r{k} AS BIGINT))"
+        for k in _KS
+    )
+    return agg.select(
+        F.expr(
+            f"inline(array({rows}))"
+        ).alias("k", "groups_below_k", "rows_at_risk"),
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("min_group_size").cast("bigint").alias("min_group_size"),
+    ).select(
+        "k",
+        "groups_below_k",
+        "rows_at_risk",
+        F.expr("CAST((1000000 * rows_at_risk) DIV n_rows AS BIGINT)").alias(
+            "risk_ppm"
+        ),
+        "n_groups",
+        "n_rows",
+        "min_group_size",
+    ).orderBy("k")
+
+
+# --- temporal_split_embargo --------------------------------------------
+_EMBARGO_S = 3 * 86400  # 3-day embargo between train cutoff and test start
+
+
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap — the
+    leakage-safe protocol for temporally-correlated data (as used in
+    financial backtesting: rows inside ``cutoff + embargo`` are DROPPED
+    so near-boundary correlation can't leak labels).  Cutoff = the
+    discrete 80th percentile of event time, truncated to seconds so the
+    order-statistic aggregate buffers a bounded domain.  Also reports
+    entity-level leakage: users appearing on BOTH sides of the split
+    (the signal that a per-user split is needed instead).
+
+    Exactness: the cutoff is a data-valued discrete percentile (exact on
+    both engines); every count is an exact bigint from one per-user
+    aggregate + one global reduce; the overlap rate is integer ppm.
+
+    Scale shape: the cutoff aggregate buffers per-second counts (bounded
+    by the time range, not row count) map-side; the 1-row cutoff
+    broadcasts; the per-user conditional counts are ONE map-side-combined
+    shuffle on user_id; the final reduce sees |users| rows.  No windows,
+    no joins on the big side.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 1000000").alias("s")
+    )
+    cut = ev.agg(
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY s)").alias("cut_s")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("s") <= F.col("cut_s"), 1)).alias("n_tr"),
+            F.count(
+                F.when(
+                    (F.col("s") > F.col("cut_s"))
+                    & (F.col("s") <= F.col("cut_s") + _EMBARGO_S),
+                    1,
+                )
+            ).alias("n_em"),
+            F.count(
+                F.when(F.col("s") > F.col("cut_s") + _EMBARGO_S, 1)
+            ).alias("n_te"),
+        )
+    )
+    return per_user.agg(
+        F.sum("n_tr").cast("bigint").alias("n_train"),
+        F.sum("n_em").cast("bigint").alias("n_embargoed"),
+        F.sum("n_te").cast("bigint").alias("n_test"),
+        F.count(F.when(F.col("n_tr") > 0, 1)).cast("bigint").alias("users_train"),
+        F.count(F.when(F.col("n_te") > 0, 1)).cast("bigint").alias("users_test"),
+        F.count(F.when((F.col("n_tr") > 0) & (F.col("n_te") > 0), 1))
+        .cast("bigint")
+        .alias("users_overlap"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST((1000000 * users_overlap) DIV users_test AS BIGINT)"
+        ).alias("overlap_ppm"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "drift_psi_monthly": f"""
+        WITH counts AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 {_PSI_BIN} AS bin,
+                 COUNT(*) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        months AS (SELECT month, SUM(c) AS nm FROM counts GROUP BY month),
+        bins AS (SELECT DISTINCT bin FROM counts),
+        nbv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM bins),
+        refm AS (SELECT MIN(month) AS ref_month FROM months),
+        ref AS (
+          SELECT bin AS qbin, c AS cq_raw FROM counts, refm
+          WHERE month = ref_month
+        ),
+        reft AS (SELECT CAST(SUM(cq_raw) AS DOUBLE) AS nq FROM ref),
+        grid AS (
+          SELECT m.month,
+                 CAST(m.nm AS DOUBLE) AS nm,
+                 CAST(COALESCE(c.c, 0) AS DOUBLE) AS cm,
+                 CAST(COALESCE(r.cq_raw, 0) AS DOUBLE) AS cq,
+                 nb, nq
+          FROM months m
+          CROSS JOIN bins b
+          LEFT JOIN counts c ON c.month = m.month AND c.bin = b.bin
+          LEFT JOIN ref r ON r.qbin = b.bin
+          CROSS JOIN nbv CROSS JOIN reft
+        )
+        SELECT month,
+               CAST(MIN(nm) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM({_PSI_TERM}) AS DOUBLE), 6) AS psi
+        FROM grid GROUP BY month ORDER BY month
+    """,
+    "k_anonymity_audit": f"""
+        WITH sizes AS (
+          SELECT c_mktsegment, c_nationkey,
+                 CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                 COUNT(*) AS sz
+          FROM customer GROUP BY 1, 2, 3
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n_groups, SUM(sz) AS n_rows,
+                 MIN(sz) AS min_group_size,
+                 {", ".join(f"COUNT(CASE WHEN sz < {k} THEN 1 END) AS g{k}" for k in _KS)},
+                 {", ".join(f"SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS r{k}" for k in _KS)}
+          FROM sizes
+        ),
+        ks AS (
+          {" UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS k, CAST(g{k} AS BIGINT) AS groups_below_k, CAST(r{k} AS BIGINT) AS rows_at_risk FROM agg" for k in _KS)}
+        )
+        SELECT k, groups_below_k, rows_at_risk,
+               CAST((1000000 * rows_at_risk) // (SELECT n_rows FROM agg)
+                    AS BIGINT) AS risk_ppm,
+               (SELECT CAST(n_groups AS BIGINT) FROM agg) AS n_groups,
+               (SELECT CAST(n_rows AS BIGINT) FROM agg) AS n_rows,
+               (SELECT CAST(min_group_size AS BIGINT) FROM agg)
+                 AS min_group_size
+        FROM ks ORDER BY k
+    """,
+    "temporal_split_embargo": f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events
+        ),
+        cut AS (
+          SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY s) AS cut_s
+          FROM ev
+        ),
+        per_user AS (
+          SELECT user_id,
+                 COUNT(CASE WHEN s <= cut_s THEN 1 END) AS n_tr,
+                 COUNT(CASE WHEN s > cut_s AND s <= cut_s + {_EMBARGO_S}
+                       THEN 1 END) AS n_em,
+                 COUNT(CASE WHEN s > cut_s + {_EMBARGO_S} THEN 1 END) AS n_te
+          FROM ev, cut GROUP BY user_id
+        ),
+        agg AS (
+          SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+                 CAST(SUM(n_em) AS BIGINT) AS n_embargoed,
+                 CAST(SUM(n_te) AS BIGINT) AS n_test,
+                 CAST(COUNT(CASE WHEN n_tr > 0 THEN 1 END) AS BIGINT)
+                   AS users_train,
+                 CAST(COUNT(CASE WHEN n_te > 0 THEN 1 END) AS BIGINT)
+                   AS users_test,
+                 CAST(COUNT(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 END)
+                      AS BIGINT) AS users_overlap
+          FROM per_user
+        )
+        SELECT *,
+               CAST((1000000 * users_overlap) // users_test AS BIGINT)
+                 AS overlap_ppm
+        FROM agg
+    """,
+}

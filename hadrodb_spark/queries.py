@@ -27,6 +27,7 @@ from hadrodb_spark.operators import (
     pipeline5,
     pipeline6,
     pipeline7,
+    pipeline8,
     relational,
     relational2,
     relational3,
@@ -138,6 +139,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # --- ROUND-7 QUEUE (registered below the window; rotate to the window
 # head at r7 START, same procedure as rounds 3-6) ---
 _register(sqlsuite, only=["sql_recursive_copurchase"])
+_register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
