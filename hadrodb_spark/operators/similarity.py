@@ -204,27 +204,14 @@ def _pq_sq_l2(a, b):
     return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization ANN: 16 subspaces × 16 codewords (4-bit codes,
-    16 bytes/vector = 16× smaller than float32), ADC lookup-table search,
-    exact rerank.
-
-    Index build: per-subspace codebooks via 3 deterministic Lloyd steps —
-    init cells = ``vec_id % 16``, centroid updates with EXACT decimal
-    element sums (the ``vector_topk_ivf`` trick), assignments = argmin
-    squared L2 with cell-id tiebreak. Everything — codebooks, codes, ADC
-    scores, the preselect set — is bit-reproducible in the DuckDB oracle
-    (same CTE chain, unrolled).
-
-    Scale shape: codebooks are 256 tiny rows (broadcast); encoding and the
-    ADC probe join broadcast them against the subvector relation (16 rows
-    per vector, map-only explode); the per-vector score re-assembles with
-    one groupBy and ranks via TakeOrdered. The big side shuffles once per
-    Lloyd step plus once for the score groupBy — at 100 TB the index build
-    trains on a sample, codes are precomputed at write time, and the query
-    path is just the broadcast ADC table + one agg."""
-    emb = load(spark, sf_dir, "embeddings")
-    # (vec_id, s, sub) — 8 subvector rows per vector, map-only
+def _pq_adc_scored(emb: DataFrame, member: DataFrame | None = None) -> DataFrame:
+    """Deterministic PQ index build + ADC scoring, shared by
+    ``vector_topk_pq`` (full scan) and ``vector_topk_ivfpq`` (scan pruned
+    to the IVF inverted lists): returns (vec_id, adc_d2) for the query
+    vector.  ``member`` — a (vec_id) relation — restricts which codes are
+    scored; in a real deployment codes live bucketed per cell so this
+    prune is a partition prune, not a join."""
+    # (vec_id, s, sub) — subvector rows per vector, map-only
     sub = emb.select(
         "vec_id",
         F.explode(
@@ -281,6 +268,8 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = centroids_of(assign).localCheckpoint()
         assign = assign_to(cent, train)
     codes = assign_to(cent, sub).select("vec_id", "s", "cell")
+    if member is not None:
+        codes = codes.join(member, "vec_id")
 
     # ADC lookup table: 128 rows of (s, cell, qd2) for the query vector
     qsub = sub.filter(F.col("vec_id") == _QUERY_ID).select(
@@ -290,7 +279,7 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.join(F.broadcast(qsub), "s")
         .select("s", "cell", _pq_sq_l2(F.col("qsub"), F.col("centroid")).alias("qd2"))
     )
-    scored = (
+    return (
         codes.filter(F.col("vec_id") != _QUERY_ID)
         .join(F.broadcast(adc), ["s", "cell"])
         .groupBy("vec_id")
@@ -304,7 +293,10 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_d2"),
         )
     )
-    pre = scored.orderBy(F.col("adc_d2").asc(), F.col("vec_id")).limit(_PQ_PRESELECT)
+
+
+def _pq_rerank(pre: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of an ADC preselect set → final top-k."""
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
     )
@@ -319,6 +311,80 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(_TOPK)
     )
+
+
+def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN: 16 subspaces × 16 codewords (4-bit codes,
+    16 bytes/vector = 16× smaller than float32), ADC lookup-table search,
+    exact rerank.
+
+    Index build: per-subspace codebooks via 3 deterministic Lloyd steps —
+    init cells = ``vec_id % 16``, centroid updates with EXACT decimal
+    element sums (the ``vector_topk_ivf`` trick), assignments = argmin
+    squared L2 with cell-id tiebreak. Everything — codebooks, codes, ADC
+    scores, the preselect set — is bit-reproducible in the DuckDB oracle
+    (same CTE chain, unrolled).
+
+    Scale shape: codebooks are 256 tiny rows (broadcast); encoding and the
+    ADC probe join broadcast them against the subvector relation (16 rows
+    per vector, map-only explode); the per-vector score re-assembles with
+    one groupBy and ranks via TakeOrdered. The big side shuffles once per
+    Lloyd step plus once for the score groupBy — at 100 TB the index build
+    trains on a sample, codes are precomputed at write time, and the query
+    path is just the broadcast ADC table + one agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = _pq_adc_scored(emb)
+    pre = scored.orderBy(F.col("adc_d2").asc(), F.col("vec_id")).limit(_PQ_PRESELECT)
+    return _pq_rerank(pre, emb)
+
+
+def vector_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN with exact re-rank — the production index
+    shape (FAISS ``IVFx,PQy`` + refine): a coarse inverted-file partition
+    prunes the scan to the probed cells, PQ asymmetric-distance codes
+    score only those vectors from a broadcast lookup table, and the
+    preselect set gets an exact-cosine rerank.
+
+    Composition is exactly the two already-verified halves: the
+    decimal-exact label-cell probe of ``vector_topk_ivf`` (3 of 8 cells)
+    and the deterministic PQ codebook chain of ``vector_topk_pq`` — so
+    the full pipeline, probe included, is value-checkable in DuckDB.
+
+    Scale shape: centroids and the ADC table broadcast; the membership
+    prune is an inverted-list partition prune in a real deployment
+    (expressed here as a join AQE broadcasts at small SF); the big side
+    is scanned once, and only ncells/nprobe of it is ever scored — the
+    plan a 100 TB ANN service actually runs, with per-query work
+    independent of corpus size once codes are precomputed at write time."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    # coarse quantizer: decimal-exact per-label centroids, 3-cell probe
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("label"))
+        .limit(3)
+        .select("label")
+    )
+    member = emb.join(F.broadcast(probed), "label").select("vec_id")
+    scored = _pq_adc_scored(emb, member=member)
+    pre = scored.orderBy(F.col("adc_d2").asc(), F.col("vec_id")).limit(_PQ_PRESELECT)
+    return _pq_rerank(pre, emb)
 
 
 def _kmeans_cells(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
@@ -783,10 +849,14 @@ def _dedup_embedding_oracle() -> str:
 ORACLE["dedup_embedding"] = _dedup_embedding_oracle()
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(ivf_prune: bool = False) -> str:
     """Mirror of vector_topk_pq's deterministic Lloyd loop, unrolled as a
     CTE chain: assign0 (vec_id % K) → [cent_i → assign_i] × _PQ_ITERS →
-    codes/ADC from the final pair."""
+    codes/ADC from the final pair.  With ``ivf_prune`` (the
+    vector_topk_ivfpq composite) the label-cell probe CTEs of
+    ``vector_topk_ivf`` are prepended and the scored set is restricted to
+    members of the 3 probed cells; without it the emitted text is
+    byte-identical to the round-4 vector_topk_pq oracle."""
 
     def d2(a: str, b: str) -> str:
         return (
@@ -866,11 +936,49 @@ def _pq_oracle() -> str:
           FROM cent{last} JOIN qsub USING (s)
         )"""
     )
+    member_join = ""
+    if ivf_prune:
+        ctes.append(
+            """ivf_exploded AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        )"""
+        )
+        ctes.append(
+            """ivf_cent AS (
+          SELECT label, pos,
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM ivf_exploded GROUP BY label, pos
+        )"""
+        )
+        ctes.append(
+            """ivf_centv AS (
+          SELECT label, array_agg(m ORDER BY pos) AS centroid
+          FROM ivf_cent GROUP BY label
+        )"""
+        )
+        ctes.append(
+            f"""ivf_probed AS (
+          SELECT label FROM ivf_centv,
+               (SELECT embedding AS q_emb FROM embeddings
+                WHERE vec_id = {_QUERY_ID}) iq
+          ORDER BY {V.sql_cosine('centroid', 'q_emb')} DESC, label
+          LIMIT 3
+        )"""
+        )
+        ctes.append(
+            """member AS (
+          SELECT vec_id FROM embeddings JOIN ivf_probed USING (label)
+        )"""
+        )
+        member_join = " JOIN member USING (vec_id)"
     ctes.append(
         f"""scored AS (
           SELECT codes.vec_id,
                  list_sum(array_agg(adc.qd2 ORDER BY codes.s)) AS adc_d2
-          FROM codes JOIN adc USING (s, cell)
+          FROM codes JOIN adc USING (s, cell){member_join}
           WHERE codes.vec_id <> {_QUERY_ID}
           GROUP BY codes.vec_id
         )"""
@@ -894,3 +1002,4 @@ def _pq_oracle() -> str:
 
 
 ORACLE["vector_topk_pq"] = _pq_oracle()
+ORACLE["vector_topk_ivfpq"] = _pq_oracle(ivf_prune=True)

@@ -140,6 +140,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # head at r7 START, same procedure as rounds 3-6) ---
 _register(sqlsuite, only=["sql_recursive_copurchase"])
 _register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split
+_register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
