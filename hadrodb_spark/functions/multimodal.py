@@ -181,6 +181,54 @@ def sample_frames(media: DataFrame, frame_chars: int = 64, every_n: int = 4) -> 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("tiles", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+N_TILES = 8
+
+
+def tile_hashes(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual tile fingerprints: the decoded blob is cut
+    into ``N_TILES`` equal character tiles and each tile is content-hashed
+    — the deterministic stand-in for a perceptual tile hash (real image
+    near-dup systems match per-tile DCT/aHash signatures the same way;
+    the codec swap-in point is ``decode_image``).  1→1 rows, emitting an
+    8-element hash array per asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        n_tiles = 8
+        for pdf in batches:
+            ids, tile_lists = [], []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                ids.append(mid)
+                if b is None:
+                    tile_lists.append(None)
+                    continue
+                text = bytes(b).decode("utf-8")
+                width = (len(text) + n_tiles - 1) // n_tiles
+                tile_lists.append(
+                    [
+                        _hashlib.md5(
+                            text[i * width : (i + 1) * width].encode("utf-8")
+                        ).hexdigest()
+                        for i in range(n_tiles)
+                    ]
+                )
+            yield _pd.DataFrame(
+                {"media_id": _pd.array(ids, dtype="int64"), "tiles": tile_lists}
+            )
+
+    return media.mapInPandas(run, schema=TILE_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text as an opaque utf-8 blob — the fixture for
     multimodal plumbing tests (no real media in the test data)."""

@@ -13,8 +13,19 @@ from hadrodb_spark.functions.multimodal import (
     extract_features,
     resize_media,
     sample_frames,
+    tile_hashes,
 )
 from hadrodb_spark.operators.relational import load
+
+# Same-length single-character mutation for the planted perceptual
+# near-dups — ONE shared text so Spark and the oracle mutate identically;
+# preserving length keeps tile boundaries stable, so exactly one tile's
+# fingerprint changes.
+_MUT = (
+    "CASE WHEN length(text) >= 10"
+    " THEN substr(text, 1, 9) || '~' || substr(text, 11)"
+    " ELSE text END"
+)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +69,132 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over opaque media blobs: the Arrow
+    UDF computes 8 per-tile content fingerprints per asset (the
+    decode+tile-hash step a real image near-dup system runs over DCT/aHash
+    signatures — codec swap-in point ``decode_image``), then a banded
+    self-join (4 bands × 2 tiles) blocks candidates and an exact tile
+    comparison keeps pairs differing in ≤ 1 tile.  Complements
+    ``multimodal_dedup``'s byte-exact matching: a re-encoded or
+    slightly-edited asset changes its md5 but not 7 of its 8 tiles.
+
+    Planted same-length single-char mutants at media_id+300000 (shared
+    mutation text with the oracle) guarantee true near-dups exist and
+    differ in EXACTLY one tile.
+
+    Scale shape: tile hashing is one Arrow pass (map-only); blocking is
+    the LSH band discipline — candidates only ever come from shared-band
+    buckets (a ≤1-tile difference forces ≥3 of 4 bands identical, so
+    recall on true near-dups is structural, pigeonhole, not
+    probabilistic); the verify step joins the 8-hash arrays back for
+    candidates only.  No all-pairs anywhere.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    mutants = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("text", F.expr(_MUT))
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+    )
+    media = documents_as_media(docs.unionByName(mutants))
+    tl = tile_hashes(media)
+    bands = tl.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "|", F.col("tiles")[2 * i], F.col("tiles")[2 * i + 1]
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    left = bands.select(
+        F.col("media_id").alias("id_a"), "band_idx", "band_val"
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_b"), "band_idx", "band_val"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tl.select(F.col("media_id").alias("id_a"), F.col("tiles").alias("tiles_a"))
+    tb = tl.select(F.col("media_id").alias("id_b"), F.col("tiles").alias("tiles_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "tiles_a",
+                    "tiles_b",
+                    lambda x, y: F.when(x != y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("bigint").alias("n_diff_tiles"),
+        )
+        .filter(F.col("n_diff_tiles") <= 1)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _phash_tiles_sql() -> str:
+    """The oracle's tile array: 8 md5(substr(...)) entries over the SAME
+    ceil-width character tiling the Arrow UDF computes."""
+    tiles = ", ".join(
+        f"md5(substr(text, {i} * w + 1, w))" for i in range(8)
+    )
+    return f"[{tiles}]"
+
+
 ORACLE: dict[str, str] = {
+    "multimodal_phash_neardup": f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, {_MUT} FROM documents WHERE doc_id % 50 = 0
+        ),
+        tl AS (
+          SELECT media_id, {_phash_tiles_sql()} AS tiles
+          FROM (SELECT media_id, text,
+                       CAST(CEIL(length(text) / 8.0) AS BIGINT) AS w
+                FROM m)
+        ),
+        bands AS (
+          SELECT media_id,
+                 b.i AS band_idx,
+                 tiles[2 * b.i + 1] || '|' || tiles[2 * b.i + 2] AS band_val
+          FROM tl, (SELECT UNNEST(generate_series(0, 3)) AS i) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band_idx = b.band_idx
+                      AND a.band_val = b.band_val
+                      AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b,
+               CAST(len(list_filter(list_zip(ta.tiles, tb.tiles),
+                                    t -> t[1] <> t[2])) AS BIGINT)
+                 AS n_diff_tiles
+        FROM cand
+        JOIN tl ta ON ta.media_id = cand.id_a
+        JOIN tl tb ON tb.media_id = cand.id_b
+        WHERE len(list_filter(list_zip(ta.tiles, tb.tiles),
+                              t -> t[1] <> t[2])) <= 1
+        ORDER BY id_a, id_b
+    """,
     "multimodal_dedup": """
         WITH media AS (
           SELECT doc_id AS media_id, text FROM documents

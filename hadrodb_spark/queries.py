@@ -141,6 +141,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 _register(sqlsuite, only=["sql_recursive_copurchase"])
 _register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split
 _register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
+_register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-dup
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
