@@ -242,7 +242,8 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*",
         F.expr(
-            "CAST((1000000 * users_overlap) DIV users_test AS BIGINT)"
+            "CASE WHEN users_test = 0 THEN NULL"
+            " ELSE CAST((1000000 * users_overlap) DIV users_test AS BIGINT) END"
         ).alias("overlap_ppm"),
     )
 
@@ -336,8 +337,9 @@ ORACLE: dict[str, str] = {
           FROM per_user
         )
         SELECT *,
-               CAST((1000000 * users_overlap) // users_test AS BIGINT)
-                 AS overlap_ppm
+               CASE WHEN users_test = 0 THEN NULL
+                    ELSE CAST((1000000 * users_overlap) // users_test AS BIGINT)
+                    END AS overlap_ppm
         FROM agg
     """,
 }

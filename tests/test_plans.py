@@ -644,3 +644,67 @@ def test_autocorr_aggregates_before_window(spark, sf_dir):
     assert "Join" not in plan, plan
     win = plan.index("Window")
     assert "partial_sum" in plan[win:], plan
+
+
+def test_drift_psi_grid_from_aggregates(spark, sf_dir):
+    """PSI's grid must be built from POST-aggregation relations (months x
+    bins, both catalog-sized) with the raw orders scan feeding exactly one
+    map-side-combined (month, bin) aggregate; reference-month counts and
+    the bin grid join back by broadcast."""
+    from hadrodb_spark.operators.pipeline8 import drift_psi_monthly
+
+    df = drift_psi_monthly(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    first_join = plan.index("Join")
+    assert "partial_count" in plan[first_join:], plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_k_anonymity_is_pure_aggregation(spark, sf_dir):
+    """The k-anonymity audit is two stacked aggregates — no join may
+    appear, and the equivalence-class exchange must carry map-side
+    partial counts."""
+    from hadrodb_spark.operators.pipeline8 import k_anonymity_audit
+
+    df = k_anonymity_audit(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    cls_exchange = plan.index("Exchange hashpartitioning(c_mktsegment")
+    assert "partial_count" in plan[cls_exchange:], plan
+
+
+def test_temporal_split_single_user_shuffle(spark, sf_dir):
+    """The embargo split's only row-scale exchange is the user_id
+    aggregate (map-side combined); the cutoff is a broadcast 1-row
+    relation, never a join key on the big side."""
+    from hadrodb_spark.operators.pipeline8 import temporal_split_embargo
+
+    df = temporal_split_embargo(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    user_exchange = plan.index("Exchange hashpartitioning(user_id")
+    assert "partial_count" in plan[user_exchange:], plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_broadcasts_index_structures(spark, sf_dir):
+    """The composite ANN's query path must broadcast every index
+    structure (probe set, ADC table, codebooks) and rank via TakeOrdered
+    — the big side is scanned, never shuffled for a sort."""
+    from hadrodb_spark.operators.similarity import vector_topk_ivfpq
+
+    df = vector_topk_ivfpq(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phash_neardup_is_equi_banded(spark, sf_dir):
+    """The perceptual near-dup self-join must be an equi-join on the band
+    key — a nested-loop or cartesian pairing is the all-pairs shape the
+    banding exists to avoid."""
+    from hadrodb_spark.operators.multimodal_ops import multimodal_phash_neardup
+
+    df = multimodal_phash_neardup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
