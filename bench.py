@@ -79,6 +79,13 @@ HEADLINE = [
     "fragment_stitch",
     "fuzzy_title_match",
     "embedding_quality_join",
+    # round-6 additions — subtract for cross-round total comparisons;
+    # prefix subtotals stay comparable
+    "sql_recursive_copurchase",
+    "drift_psi_monthly",
+    "temporal_split_embargo",
+    "vector_topk_ivfpq",
+    "multimodal_phash_neardup",
 ]
 
 
