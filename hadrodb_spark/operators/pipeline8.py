@@ -248,7 +248,310 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- embedding_pca_top -------------------------------------------------
+# Fixed-point power iteration (the graph_pagerank discipline): covariance
+# entries scale to 1e9 integers, eigenvector components to 1e6, and every
+# iteration is exact bigint arithmetic — no float accumulates across a
+# shuffle, so the result is bit-reproducible on any engine.  The signed
+# truncating division factors the sign out because Spark's DIV truncates
+# while DuckDB's // floors (they agree only on non-negatives).
+_PCA_CSCALE = 1_000_000_000
+_PCA_XSCALE = 1_000_000
+_PCA_ITERS = 3
+_PCA_TOP = 8
+_PCA_COV = (
+    "(CAST(s AS DOUBLE) / n"
+    " - (CAST(s1a AS DOUBLE) / n) * (CAST(s1b AS DOUBLE) / n))"
+)
+
+
+def _sdiv(a: str, b: str, div: str) -> str:
+    """sign(a) * (|a| div b) — truncating signed integer division spelled
+    so both engines' positive-operand division (where floor == trunc)
+    does the work."""
+    return f"((CASE WHEN {a} < 0 THEN -1 ELSE 1 END) * (ABS({a}) {div} {b}))"
+
+
+def _pca_norm(ys: str, m: str, div: str) -> str:
+    """Max-norm renormalization to _PCA_XSCALE, zero-safe."""
+    scaled = f"(ABS({ys}) * {_PCA_XSCALE}) {div} {m}"
+    return (
+        f"CASE WHEN {m} = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE (CASE WHEN {ys} < 0 THEN -1 ELSE 1 END) * ({scaled}) END"
+    )
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via fixed-point
+    power iteration — the PCA audit behind ``embedding_dim_covariance``:
+    instead of reporting co-varying dimension pairs, actually compute the
+    direction that carries the most variance (its eigenvalue = how much
+    redundancy one rotation could remove, its loadings = which dims).
+
+    Algorithm: exact DECIMAL covariance moments → 1e9-scaled integer
+    covariance matrix (d² = 4096 tiny rows) → 3 power-iteration steps
+    x ← C·x with exact bigint mat-vec products and max-norm fixed-point
+    renormalization → Rayleigh quotient from DECIMAL sums.  Every
+    intermediate is an integer; the one float division happens once at
+    output under a shared text.
+
+    Scale shape: ONE corpus scan feeds the d²/2 map-side pair explode
+    (aggregation partials bounded at 2080 cells per task); everything
+    after the moments aggregate runs on catalog-sized relations (4096-row
+    matrix, 64-row vectors, broadcast joins).  Iteration count is fixed,
+    not data-dependent.  At d ≫ 64 the swap is a blocked/sampled
+    covariance — documented at ``embedding_dim_covariance``.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    nrow = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ex = emb.select("vec_id", "embedding", F.posexplode("embedding").alias("i", "vi"))
+    pairs = (
+        ex.select("vec_id", "i", "vi", F.posexplode("embedding").alias("j", "vj"))
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            (F.col("i") + 1).alias("dim_a"),
+            (F.col("j") + 1).alias("dim_b"),
+            (F.col("vi").cast("double") * F.col("vj").cast("double")).alias("p"),
+        )
+    )
+    prods = pairs.groupBy("dim_a", "dim_b").agg(
+        F.sum(F.col("p").cast("decimal(38,18)")).alias("s")
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(F.sum(F.col("v").cast("double").cast("decimal(28,10)")).alias("s1"))
+    )
+    half = (
+        prods.join(
+            F.broadcast(means.select(F.col("dim").alias("dim_a"), F.col("s1").alias("s1a"))),
+            "dim_a",
+        )
+        .join(
+            F.broadcast(means.select(F.col("dim").alias("dim_b"), F.col("s1").alias("s1b"))),
+            "dim_b",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "dim_a",
+            "dim_b",
+            F.expr(
+                f"CAST(ROUND({_PCA_COV} * {_PCA_CSCALE}) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    full = half.select(
+        F.col("dim_a").alias("i"), F.col("dim_b").alias("j"), "c"
+    ).unionAll(
+        half.filter(F.col("dim_a") < F.col("dim_b")).select(
+            F.col("dim_b").alias("i"), F.col("dim_a").alias("j"), "c"
+        )
+    )
+    x = means.select(
+        F.col("dim").alias("j"),
+        F.lit(_PCA_XSCALE).cast("bigint").alias("x"),
+    )
+
+    def matvec(xv: DataFrame) -> DataFrame:
+        return (
+            full.join(F.broadcast(xv), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+        )
+
+    for _ in range(_PCA_ITERS):
+        ys = matvec(x).select(
+            "i", F.expr(_sdiv("y", str(_PCA_XSCALE), "DIV")).alias("ys")
+        )
+        m = ys.agg(F.max(F.abs(F.col("ys"))).alias("m"))
+        x = ys.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            F.expr(_pca_norm("ys", "m", "DIV")).alias("x"),
+        )
+    y4 = matvec(x)
+    ray = (
+        x.join(y4, x.j == y4.i)
+        .agg(
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+            ).alias("sxy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = x.crossJoin(F.broadcast(ray)).select(
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("x")).desc(), F.col("j").asc()))
+        .cast("bigint")
+        .alias("rank"),
+        F.col("j").cast("bigint").alias("dim"),
+        F.col("x").cast("bigint").alias("loading_fp"),
+        F.expr(
+            "CASE WHEN sxx = 0 THEN NULL ELSE"
+            f" ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) / {_PCA_CSCALE}.0, 6)"
+            " END"
+        ).alias("eigenvalue"),
+    )
+    return ranked.filter(F.col("rank") <= _PCA_TOP).orderBy("rank")
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain (the vector_topk_pq oracle
+    discipline applied to linear algebra)."""
+    div = "//"
+    ctes = [
+        "nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)",
+        """ex AS (
+          SELECT vec_id, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        )""",
+        """pr AS (
+          SELECT a.pos AS dim_a, b.pos AS dim_b,
+                 SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+                     AS DECIMAL(38,18))) AS s
+          FROM ex a JOIN ex b
+            ON a.vec_id = b.vec_id AND a.pos <= b.pos
+          GROUP BY 1, 2
+        )""",
+        """means AS (
+          SELECT pos AS dim, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS s1
+          FROM ex GROUP BY pos
+        )""",
+        f"""half AS (
+          SELECT dim_a, dim_b,
+                 CAST(ROUND({_PCA_COV} * {_PCA_CSCALE}) AS BIGINT) AS c
+          FROM (
+            SELECT dim_a, dim_b, s, ma.s1 AS s1a, mb.s1 AS s1b, n
+            FROM pr
+            JOIN means ma ON ma.dim = pr.dim_a
+            JOIN means mb ON mb.dim = pr.dim_b
+            CROSS JOIN nrow
+          )
+        )""",
+        """fullm AS (
+          SELECT dim_a AS i, dim_b AS j, c FROM half
+          UNION ALL
+          SELECT dim_b AS i, dim_a AS j, c FROM half WHERE dim_a < dim_b
+        )""",
+        f"x0 AS (SELECT dim AS j, CAST({_PCA_XSCALE} AS BIGINT) AS x FROM means)",
+    ]
+    prev = "x0"
+    for it in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""y{it} AS (
+          SELECT i, SUM(c * x) AS y FROM fullm JOIN {prev} USING (j) GROUP BY i
+        )"""
+        )
+        ctes.append(
+            f"""ys{it} AS (
+          SELECT i, {_sdiv('y', str(_PCA_XSCALE), div)} AS ys FROM y{it}
+        )"""
+        )
+        ctes.append(f"m{it} AS (SELECT MAX(ABS(ys)) AS m FROM ys{it})")
+        ctes.append(
+            f"""x{it} AS (
+          SELECT i AS j, {_pca_norm('ys', 'm', div)} AS x FROM ys{it}, m{it}
+        )"""
+        )
+        prev = f"x{it}"
+    last = _PCA_ITERS
+    ctes.append(
+        f"""yf AS (
+          SELECT i, SUM(c * x) AS y FROM fullm JOIN x{last} USING (j) GROUP BY i
+        )"""
+    )
+    ctes.append(
+        f"""ray AS (
+          SELECT SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+          FROM x{last} JOIN yf ON x{last}.j = yf.i
+        )"""
+    )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT rank, dim, loading_fp,
+               CASE WHEN sxx = 0 THEN NULL ELSE
+                 ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)
+                       / {_PCA_CSCALE}.0, 6) END AS eigenvalue
+        FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(x) DESC, j ASC)
+                      AS BIGINT) AS rank,
+                 CAST(j AS BIGINT) AS dim,
+                 CAST(x AS BIGINT) AS loading_fp
+          FROM x{last}
+        ), ray
+        WHERE rank <= {_PCA_TOP}
+        ORDER BY rank
+    """
+
+
+# --- event_transition_matrix -------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's time-ordered
+    event stream — the behavioral fingerprint behind ``event_paths``'s
+    top journeys: P(next event type | current event type), with exact
+    bigram counts and ppm probabilities.  Watching this matrix drift
+    between releases is the classic product-analytics regression check.
+
+    Exactness: the successor comes from a lag window under the total
+    (ts, event_id) order; counts are exact bigints; row probabilities are
+    integer fixed-point ppm.  Scale shape: one user_id window shuffle on
+    the raw stream, then a map-side-combined |types|² aggregate; the row
+    totals come from a window over the tiny matrix itself."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wrow).cast("bigint").alias("row_total"),
+        F.expr(
+            "CAST((1000000 * n) DIV (SUM(n) OVER (PARTITION BY from_type))"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
 ORACLE: dict[str, str] = {
+    "embedding_pca_top": _pca_oracle(),
+    "event_transition_matrix": """
+        WITH trans AS (
+          SELECT from_type, to_type, COUNT(*) AS n FROM (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+          )
+          WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+               CAST((1000000 * n) // (SUM(n) OVER (PARTITION BY from_type))
+                    AS BIGINT) AS p_ppm
+        FROM trans
+        ORDER BY from_type, to_type
+    """,
     "drift_psi_monthly": f"""
         WITH counts AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -139,7 +139,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # --- ROUND-7 QUEUE (registered below the window; rotate to the window
 # head at r7 START, same procedure as rounds 3-6) ---
 _register(sqlsuite, only=["sql_recursive_copurchase"])
-_register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split
+_register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split,
+#                       fixed-point power-iteration PCA, Markov transitions
 _register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
 _register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-dup
 
