@@ -128,6 +128,82 @@ def hadrolog_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_native_collection(
+    spark: SparkSession, src: str, dest: str, ddl: str | None = None
+) -> None:
+    """Native-format log compaction: typed-scan the LIVE records of
+    ``src`` (tombstones skipped at scan, ``hadro/engine.py:169-170``
+    semantics) and rewrite them as a fresh segment log at ``dest``
+    through the DataSource writer's two-phase commit — the maintenance
+    operation that reclaims the space an append-only tombstone log can
+    only mark dead.  The distributed shape mirrors the write path: one
+    reader task per source segment streams straight into one staged
+    output segment, no shuffle, no driver data path; all-tombstone
+    segments produce no output file (the writer skips empty tasks)."""
+    hadrolog.register(spark)
+    live = (
+        spark.read.format("hadrolog")
+        .option("path", src)
+        .option("ddl", ddl or _EV_DDL)
+        .load()
+    )
+    staging = tempfile.mkdtemp(prefix="hadrolog_compact_")
+    live.write.format("hadrolog").option("path", staging).mode("append").save()
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+
+
+def hadrolog_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction equivalence for the NATIVE format (the S19 story told
+    on the reference's own on-disk layout, not the parquet collection):
+    events → segment log with real tombstones → ``compact_native_collection``
+    → typed scan of the compacted log.  Outputs the per-type live
+    aggregate FROM THE COMPACTED collection plus the physical tombstone
+    count a raw ``include_deleted`` scan finds there.  The oracle
+    aggregates the live set straight from parquet with a literal 0 — a
+    hash match proves the compacted log (a) preserved exactly the live
+    records and (b) physically dropped every tombstone, not merely kept
+    skipping them."""
+    hadrolog.register(spark)
+    src = _native_events_dir(sf_dir)
+    if not os.path.isdir(src):
+        _build_native_collection(spark, sf_dir, src)
+    dest = src + "_compacted"
+    if not os.path.isdir(dest):
+        compact_native_collection(spark, src, dest)
+    scanned = (
+        spark.read.format("hadrolog")
+        .option("path", dest)
+        .option("ddl", _EV_DDL)
+        .load()
+    )
+    raw = (
+        spark.read.format("hadrolog")
+        .option("path", dest)
+        .option("include_deleted", "true")
+        .load()
+    )
+    tomb = raw.agg(
+        F.count(F.when(F.col("flags").bitwiseAND(hadrolog.DELETED_FLAG) != 0, 1))
+        .cast("bigint")
+        .alias("compacted_tombstones")
+    )
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(tomb))
+        .orderBy("event_type")
+    )
+
+
 def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar-format interchange: events → ORC write → ORC scan →
     filtered aggregate. ORC is the other first-class columnar format a
@@ -323,5 +399,16 @@ ORACLE: dict[str, str] = {
         FROM events
         WHERE event_type <> 'error'
         GROUP BY event_type
+    """,
+    "hadrolog_compact_roundtrip": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(0 AS BIGINT) AS compacted_tombstones
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

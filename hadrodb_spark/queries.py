@@ -143,6 +143,7 @@ _register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split,
 #                       fixed-point power-iteration PCA, Markov transitions
 _register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
 _register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-dup
+_register(nativefmt, only=["hadrolog_compact_roundtrip"])  # native-log compaction
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -429,3 +429,41 @@ def test_reader_filter_pushdown_and_segment_pruning(spark, tmp_path):
         .filter(F.col("segment") == "00000001.data")
     )
     assert 0 < one.count() < 60
+
+
+def test_compact_native_collection_drops_tombstones_and_shrinks(spark, tmp_path):
+    """Compaction must preserve exactly the live set, physically remove
+    every tombstone, and shrink the on-disk log."""
+    from hadrodb_spark.operators.nativefmt import compact_native_collection
+
+    hadrolog.register(spark)
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "compacted")
+    df = _tweets(spark, 30).withColumn("gone", F.col("tweet_id") % 3 == 0)
+    df.repartition(3).write.format("hadrolog").option("path", src).option(
+        "deleted_col", "gone"
+    ).mode("append").save()
+
+    compact_native_collection(spark, src, dest, ddl=TWEET_DDL)
+
+    live_src = {tuple(r) for r in _scan(spark, src).collect()}
+    live_dst = {tuple(r) for r in _scan(spark, dest).collect()}
+    assert live_dst == live_src and len(live_dst) == 20
+
+    raw = (
+        spark.read.format("hadrolog")
+        .option("path", dest)
+        .option("include_deleted", "true")
+        .load()
+    )
+    assert raw.count() == 20
+    assert raw.filter(F.col("flags") == hadrolog.DELETED_FLAG).count() == 0
+
+    def log_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".data")
+        )
+
+    assert log_bytes(dest) < log_bytes(src)
