@@ -86,6 +86,13 @@ HEADLINE = [
     "temporal_split_embargo",
     "vector_topk_ivfpq",
     "multimodal_phash_neardup",
+    # round-6 session-2 additions (pipeline9 tier) — subtract for
+    # cross-round total comparisons; prefix subtotals stay comparable
+    "seasonal_dow_index",
+    "winsorized_stats",
+    "source_concentration",
+    "gate_mutual_information",
+    "upsample_epochs",
 ]
 
 

@@ -28,6 +28,7 @@ from hadrodb_spark.operators import (
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
     relational,
     relational2,
     relational3,
@@ -144,6 +145,8 @@ _register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split,
 _register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
 _register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-dup
 _register(nativefmt, only=["hadrolog_compact_roundtrip"])  # native-log compaction
+_register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
+#                       gate mutual information, epoch upsampling
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -708,3 +708,46 @@ def test_phash_neardup_is_equi_banded(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winsorized_thresholds_broadcast(spark, sf_dir):
+    """The winsorize clamp must join the tiny per-priority threshold
+    relation by broadcast — a sort-merge join would shuffle the full
+    orders scan on a |priorities|-cardinality key."""
+    from hadrodb_spark.operators.pipeline9 import winsorized_stats
+
+    df = winsorized_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_concentration_windows_post_aggregation(spark, sf_dir):
+    """The Gini rank window must run AFTER the groupBy(source) reduce:
+    the corpus scan feeds exactly one map-side-combined aggregate, and
+    every Window/Sort in the plan sits downstream of it."""
+    from hadrodb_spark.operators.pipeline9 import source_concentration
+
+    df = source_concentration(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg = plan.index("partial_count")
+    # the only window sort is over the aggregated |sources|-row relation:
+    # it must appear BEFORE (downstream of, in toString order) the scan's
+    # partial aggregate, and there must be no join at all
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan[: agg + 2000], plan
+
+
+def test_upsample_expansion_is_map_side(spark, sf_dir):
+    """The epoch expansion must be generate-after-broadcast-join: the
+    corpus scan joins the |sources|-row factor relation by broadcast and
+    explodes map-side — no shuffle may carry expanded rows (the final
+    aggregate's exchange carries map-side-combined partials only)."""
+    from hadrodb_spark.operators.pipeline9 import upsample_epochs
+
+    df = upsample_epochs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    gen = plan.index("Generate explode")
+    assert "partial_count" in plan[:gen], plan
