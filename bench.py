@@ -93,6 +93,9 @@ HEADLINE = [
     "source_concentration",
     "gate_mutual_information",
     "upsample_epochs",
+    "ranker_overlap_topk",
+    "shard_balance",
+    "seasonal_decompose_daily",
 ]
 
 

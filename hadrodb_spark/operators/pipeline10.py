@@ -1,0 +1,317 @@
+"""Round-7-queue pipeline operators, batch 3: ranking agreement, shard
+balance, and classical seasonal decomposition.
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+stores records and defers analytics upstream; these extend the SURVEY.md
+§2.3 dataset-ops tier: "do my two term-importance rankers agree?", "are
+my training shards balanced?", "split the daily series into
+trend/seasonal/residual".
+
+Exact-arithmetic discipline throughout: integer counts, fixed-point ppm
+scores via integer DIV over non-negative operands (Spark DIV truncates,
+DuckDB ``//`` floors — identical only there), rank determinism via unique
+tiebreaks, md5 hex as the cross-engine hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.relational import load
+
+# --- ranker_overlap_topk ---------------------------------------------------
+# Two term-importance rankers over the same corpus: RAW frequency (total
+# tf) vs a rarity-weighted score.  The rarity score is fixed-point integer
+# — score = (1e6 * tf) DIV df — so BOTH rankings are engine-exact (a float
+# idf would expose ln() rounding to the rank boundary).  Ties break on the
+# term string; K values fixed.
+_RANK_KS = (5, 10, 20)
+_RANK_TOP = 20
+
+
+def ranker_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between two term-importance rankers — top-K overlap and
+    Jaccard at K ∈ {5, 10, 20}: the sanity check before swapping the
+    scoring function of a keyword extractor (``tfidf_top_terms``'s float
+    scores are for consumption; this comparison runs on the integer
+    twin so the ranking itself is cross-engine exact).
+
+    Exactness: tf/df are exact integers from one grouped aggregate over
+    exploded tokens; the rarity score is fixed-point ppm; both top-20
+    lists rank on (score, term) — total orders, no float anywhere.
+
+    Scale shape: one token explode feeds ONE map-side-combined
+    groupBy(term) producing (tf, df) together; both rankings are
+    TakeOrdered-style limits over that single vocab relation (bounded by
+    |vocab|, not corpus size); the overlap join is 20×20 broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(vocab, "term").select(
+        "term",
+        "tf",
+        "df",
+        F.expr("CAST((1000000 * tf) DIV df AS BIGINT)").alias("score_ppm"),
+    )
+    top_freq = (
+        scored.orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(_RANK_TOP)
+        .select("term", F.expr("ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)").alias("r"))
+    )
+    top_rare = (
+        scored.orderBy(F.col("score_ppm").desc(), F.col("term").asc())
+        .limit(_RANK_TOP)
+        .select(
+            "term",
+            F.expr(
+                "ROW_NUMBER() OVER (ORDER BY score_ppm DESC, term ASC)"
+            ).alias("r"),
+        )
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _RANK_KS])).alias("k")
+    )
+    joined = (
+        ks.join(F.broadcast(top_freq.alias("f")), F.col("f.r") <= F.col("k"))
+        .join(
+            F.broadcast(top_rare.alias("g")),
+            (F.col("g.r") <= F.col("k")) & (F.col("f.term") == F.col("g.term")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count(F.col("g.term")).cast("bigint").alias("n_overlap"))
+    )
+    return joined.select(
+        "k",
+        "n_overlap",
+        F.expr(
+            "CAST((1000000 * n_overlap) DIV (2 * k - n_overlap) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    ).orderBy("k")
+
+
+# --- shard_balance ---------------------------------------------------------
+_N_SHARDS = 64
+
+
+def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment audit: assign every document to one of
+    64 shards by md5(doc_id) and report the balance — max/min/expected
+    shard size and the max shard's overshoot in ppm.  Shard skew is
+    straggler time on the training cluster; md5 gives the uniformity a
+    naive ``doc_id % 64`` (sequential ids → correlated shards under
+    range-partitioned writes) does not guarantee.
+
+    Exactness: the shard id is the first 4 md5 hex digits (engine-
+    identical string md5) mod 64 via integer arithmetic; all outputs are
+    exact integers over non-negative operands.
+
+    Scale shape: map-only assignment into ONE map-side-combined
+    groupBy(shard) — 64 rows out regardless of corpus size; the final
+    reduce runs on those 64 rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shards = (
+        docs.select(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                f" AS BIGINT) % {_N_SHARDS}"
+            ).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return shards.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_used"),
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.min("c").cast("bigint").alias("min_shard"),
+        F.max("c").cast("bigint").alias("max_shard"),
+    ).select(
+        "n_shards_used",
+        "n_docs",
+        "min_shard",
+        "max_shard",
+        F.expr(
+            f"CAST((1000000 * {_N_SHARDS} * max_shard) DIV n_docs AS BIGINT)"
+        ).alias("max_load_ppm"),
+    )
+
+
+# --- seasonal_decompose_daily -----------------------------------------------
+# Classical additive decomposition on the DAILY revenue series: trend = the
+# 7-day centered moving average (full windows only — edges emit NULL trend
+# and are excluded from the seasonal means, the textbook convention),
+# detrended = value − trend, seasonal(dow) = mean of detrended over that
+# weekday, residual = detrended − seasonal.  Every mean is an integer-cents
+# floor division of a sum that can be negative — so the shared division
+# factors the sign out (the pipeline8 _sdiv discipline) instead of relying
+# on DIV/// agreement.
+# {div} is the engine's integer-division spelling (Spark "DIV", DuckDB
+# "//") — the sign-factored form makes truncation vs flooring identical.
+_SDIV = "(CASE WHEN {num} < 0 THEN -((-({num})) {div} {den}) ELSE ({num}) {div} {den} END)"
+_DOW = "((CAST(FLOOR({epoch} / 86400) AS BIGINT) + 3) % 7)"
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/seasonal/residual decomposition of daily event
+    revenue — the first diagnostic on any business time series, and the
+    additive counterpart of ``seasonal_dow_index``'s multiplicative
+    profile (``autocorr_daily`` measures what's left in the residual).
+
+    Exactness: daily totals are exact integer cents; the centered MA is
+    a 7-value integer sum floor-divided (truncation sign-factored — see
+    header); seasonal means divide exact sums of possibly-negative
+    detrended cents the same way.  No floats anywhere.
+
+    Scale shape: the corpus reduces to one row per DAY in ONE map-side-
+    combined aggregate; every window (centered MA, seasonal mean) runs
+    over that bounded daily relation — days, not rows, bound all
+    downstream work exactly as in ``autocorr_daily``.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "CAST(FLOOR((unix_micros(ts) DIV 1000000) / 86400) AS BIGINT)"
+            ).alias("day"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        "SUM(rev_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    )
+    n = "COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    trended = daily.select(
+        "day",
+        "rev_cents",
+        F.expr(
+            f"CASE WHEN {n} = 7 THEN "
+            + _SDIV.format(num=f"({w})", den="7", div="DIV")
+            + " ELSE NULL END"
+        ).alias("trend_cents"),
+    ).select(
+        "*",
+        F.expr(f"(day + 3) % 7").alias("dow"),
+        F.expr("rev_cents - trend_cents").alias("detr_cents"),
+    )
+    seas = trended.filter(F.col("trend_cents").isNotNull()).groupBy("dow").agg(
+        F.sum("detr_cents").alias("s_sum"),
+        F.count(F.lit(1)).alias("s_n"),
+    ).select(
+        "dow",
+        F.expr(_SDIV.format(num="s_sum", den="s_n", div="DIV")).alias("seasonal_cents"),
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .filter(F.col("trend_cents").isNotNull())
+        .select(
+            "day",
+            "rev_cents",
+            "trend_cents",
+            "seasonal_cents",
+            F.expr("detr_cents - seasonal_cents").alias("residual_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "ranker_overlap_topk": f"""
+        WITH vocab AS (
+          SELECT term, COUNT(*) AS df FROM (
+            SELECT doc_id, unnest(list_distinct({X.sql_tokens("text")})) AS term
+            FROM documents
+          ) GROUP BY term
+        ),
+        tf AS (
+          SELECT term, COUNT(*) AS tf FROM (
+            SELECT unnest({X.sql_tokens("text")}) AS term FROM documents
+          ) GROUP BY term
+        ),
+        scored AS (
+          SELECT t.term, t.tf, v.df,
+                 CAST((1000000 * t.tf) // v.df AS BIGINT) AS score_ppm
+          FROM tf t JOIN vocab v USING (term)
+        ),
+        top_freq AS (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS r
+          FROM scored ORDER BY tf DESC, term ASC LIMIT {_RANK_TOP}
+        ),
+        top_rare AS (
+          SELECT term,
+                 ROW_NUMBER() OVER (ORDER BY score_ppm DESC, term ASC) AS r
+          FROM scored ORDER BY score_ppm DESC, term ASC LIMIT {_RANK_TOP}
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in _RANK_KS)}]) AS k)
+        SELECT k,
+               CAST(COUNT(g.term) AS BIGINT) AS n_overlap,
+               CAST((1000000 * COUNT(g.term))
+                    // (2 * k - COUNT(g.term)) AS BIGINT) AS jaccard_ppm
+        FROM ks
+        JOIN top_freq f ON f.r <= k
+        LEFT JOIN top_rare g ON g.r <= k AND f.term = g.term
+        GROUP BY k
+        ORDER BY k
+    """,
+    "shard_balance": f"""
+        WITH shards AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % {_N_SHARDS} AS shard,
+                 COUNT(*) AS c
+          FROM documents
+          GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shards_used,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(MIN(c) AS BIGINT) AS min_shard,
+               CAST(MAX(c) AS BIGINT) AS max_shard,
+               CAST((1000000 * {_N_SHARDS} * MAX(c)) // SUM(c) AS BIGINT)
+                 AS max_load_ppm
+        FROM shards
+    """,
+    "seasonal_decompose_daily": f"""
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+          FROM events GROUP BY 1
+        ),
+        trended AS (
+          SELECT day, rev_cents,
+                 CASE WHEN COUNT(*) OVER w = 7 THEN
+                   {_SDIV.format(num="(SUM(rev_cents) OVER w)", den="7", div="//")}
+                 ELSE NULL END AS trend_cents,
+                 (day + 3) % 7 AS dow
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        detr AS (
+          SELECT *, rev_cents - trend_cents AS detr_cents FROM trended
+        ),
+        seas AS (
+          SELECT dow,
+                 {_SDIV.format(num="SUM(detr_cents)", den="COUNT(*)", div="//")}
+                   AS seasonal_cents
+          FROM detr WHERE trend_cents IS NOT NULL GROUP BY dow
+        )
+        SELECT day, rev_cents, trend_cents, seasonal_cents,
+               detr_cents - seasonal_cents AS residual_cents
+        FROM detr JOIN seas USING (dow)
+        WHERE trend_cents IS NOT NULL
+        ORDER BY day
+    """,
+}

@@ -29,6 +29,7 @@ from hadrodb_spark.operators import (
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
     relational,
     relational2,
     relational3,
@@ -147,6 +148,8 @@ _register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-d
 _register(nativefmt, only=["hadrolog_compact_roundtrip"])  # native-log compaction
 _register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
 #                       gate mutual information, epoch upsampling
+_register(pipeline10)  # ranker top-k agreement, shard balance,
+#                        classical seasonal decomposition
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,162 @@
+"""Property tests for the round-7-queue batch-3 additions: ranker top-K
+agreement, md5 shard balance, and the classical seasonal decomposition —
+each checked against a brute-force Python reference on arbitrary tiny
+inputs (the pipeline7/8/9 discipline)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline10 import (
+    _N_SHARDS,
+    _RANK_KS,
+    _RANK_TOP,
+    ranker_overlap_topk,
+    seasonal_decompose_daily,
+    shard_balance,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TERMS = [f"t{i}" for i in range(30)]
+
+
+def _sdiv(num: int, den: int) -> int:
+    return -((-num) // den) if num < 0 else num // den
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_TERMS), min_size=1, max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ranker_overlap_matches_bruteforce(spark, tmp_path_factory, docs):
+    d = tmp_path_factory.mktemp("rank")
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    tf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for toks in docs:
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scored = [
+        (t, tf[t], (1_000_000 * tf[t]) // df[t]) for t in tf
+    ]
+    top_freq = sorted(scored, key=lambda x: (-x[1], x[0]))[:_RANK_TOP]
+    top_rare = sorted(scored, key=lambda x: (-x[2], x[0]))[:_RANK_TOP]
+    want = {}
+    for k in _RANK_KS:
+        fset = {t for t, _, _ in top_freq[:k]}
+        gset = {t for t, _, _ in top_rare[:k]}
+        ov = len(fset & gset)
+        want[k] = (ov, (1_000_000 * ov) // (2 * k - ov))
+    got = {
+        r["k"]: (r["n_overlap"], r["jaccard_ppm"])
+        for r in ranker_overlap_topk(spark, str(d)).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(n_docs=st.integers(1, 120), offset=st.integers(0, 1 << 40))
+def test_shard_balance_matches_bruteforce(spark, tmp_path_factory, n_docs, offset):
+    d = tmp_path_factory.mktemp("shard")
+    ids = [offset + i * 3 for i in range(n_docs)]
+    spark.createDataFrame(
+        [(i,) for i in ids], "doc_id LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    counts: dict[int, int] = {}
+    for i in ids:
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % _N_SHARDS
+        counts[sh] = counts.get(sh, 0) + 1
+    want = (
+        len(counts),
+        n_docs,
+        min(counts.values()),
+        max(counts.values()),
+        (1_000_000 * _N_SHARDS * max(counts.values())) // n_docs,
+    )
+    row = shard_balance(spark, str(d)).collect()[0]
+    assert (
+        row["n_shards_used"],
+        row["n_docs"],
+        row["min_shard"],
+        row["max_shard"],
+        row["max_load_ppm"],
+    ) == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50_000, 50_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_seasonal_decompose_matches_bruteforce(spark, tmp_path_factory, data):
+    d = tmp_path_factory.mktemp("stl")
+    epoch = datetime.datetime(2024, 1, 1)  # Monday; day numbering shared
+    spark.createDataFrame(
+        [
+            (i, epoch + datetime.timedelta(days=dd, hours=7), c / 100.0)
+            for i, (dd, c) in enumerate(data)
+        ],
+        "event_id LONG, ts TIMESTAMP, value DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    base_day = (epoch - datetime.datetime(1970, 1, 1)).days
+    daily: dict[int, int] = {}
+    for dd, c in data:
+        day = base_day + dd
+        # mirror the engines: cents = round(value*100) over the double
+        cents = round((c / 100.0) * 100)
+        daily[day] = daily.get(day, 0) + cents
+    days = sorted(daily)
+    trend: dict[int, int] = {}
+    for idx in range(len(days)):
+        if idx >= 3 and idx + 3 < len(days):
+            win = [daily[days[j]] for j in range(idx - 3, idx + 4)]
+            trend[days[idx]] = _sdiv(sum(win), 7)
+    seas_acc: dict[int, tuple[int, int]] = {}
+    for day, tr in trend.items():
+        dow = (day + 3) % 7
+        s, n = seas_acc.get(dow, (0, 0))
+        seas_acc[dow] = (s + (daily[day] - tr), n + 1)
+    seasonal = {dow: _sdiv(s, n) for dow, (s, n) in seas_acc.items()}
+    want = {
+        day: (
+            daily[day],
+            tr,
+            seasonal[(day + 3) % 7],
+            (daily[day] - tr) - seasonal[(day + 3) % 7],
+        )
+        for day, tr in trend.items()
+    }
+    got = {
+        r["day"]: (
+            r["rev_cents"],
+            r["trend_cents"],
+            r["seasonal_cents"],
+            r["residual_cents"],
+        )
+        for r in seasonal_decompose_daily(spark, str(d)).collect()
+    }
+    assert got == want

@@ -751,3 +751,42 @@ def test_upsample_expansion_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     gen = plan.index("Generate explode")
     assert "partial_count" in plan[:gen], plan
+
+
+def test_ranker_overlap_ranks_via_takeordered(spark, sf_dir):
+    """Both top-20 rankings must be TakeOrdered-style limits over the
+    aggregated vocab relation — never a full sort of it — and the tiny
+    ranked lists join by broadcast."""
+    from hadrodb_spark.operators.pipeline10 import ranker_overlap_topk
+
+    df = ranker_overlap_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_balance_is_pure_aggregation(spark, sf_dir):
+    """The shard audit is two stacked aggregates — no join may appear,
+    and the 64-key exchange must carry map-side partial counts."""
+    from hadrodb_spark.operators.pipeline10 import shard_balance
+
+    df = shard_balance(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning(shard")
+    assert "partial_count" in plan[ex:], plan
+
+
+def test_seasonal_decompose_windows_post_aggregation(spark, sf_dir):
+    """The decomposition's windows (centered MA, seasonal mean) must run
+    over the per-day aggregate, never raw events: the raw scan feeds
+    exactly one map-side-combined (day) aggregate, and the seasonal
+    relation joins back by broadcast."""
+    from hadrodb_spark.operators.pipeline10 import seasonal_decompose_daily
+
+    df = seasonal_decompose_daily(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    day_exchange = plan.index("Exchange hashpartitioning(day")
+    assert "partial_sum" in plan[day_exchange:], plan
