@@ -96,6 +96,8 @@ HEADLINE = [
     "ranker_overlap_topk",
     "shard_balance",
     "seasonal_decompose_daily",
+    "score_calibration_bins",
+    "poisson_bootstrap_ci",
 ]
 
 

@@ -230,7 +230,214 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- score_calibration_bins --------------------------------------------------
+# Decile assignment via the score HISTOGRAM (the score_auc_dup discipline):
+# bin(s) = (10 * cum_rows_below_s) DIV N, so tied scores share a bin and the
+# boundary is pure integer arithmetic — no global rank window over raw rows.
+_CAL_BINS = 10
+
+
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a curation score: bucket the corpus into
+    score deciles and report the observed positive (planted-duplicate)
+    rate per bucket — the calibration companion to ``score_auc_dup``
+    (AUC says *discrimination*; this says whether the score's LEVELS
+    mean anything).  Score and label deliberately mirror score_auc_dup
+    so the two reports describe the same classifier.
+
+    Exactness: deciles come from integer cumulative counts over the
+    score histogram (ties share a bin — the only convention that is
+    total-order-free); rates and mean scores are fixed-point floor
+    divisions of non-negative bigints.
+
+    Scale shape: one keyed aggregate reduces the corpus to the score
+    histogram (bounded by |distinct scores|, not rows); the cumulative
+    window and the decile re-aggregate run on that relation.  No global
+    rank over raw rows, no joins.
+    """
+    from pyspark.sql.window import Window
+
+    scored = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n1")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    binned = hist.select(
+        "score",
+        "n",
+        "n1",
+        F.expr(f"SUM(n) OVER ()").alias("total"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum"),
+    ).select(
+        "score",
+        "n",
+        "n1",
+        F.expr(f"CAST(({_CAL_BINS} * cum) DIV total AS BIGINT)").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("n1").cast("bigint").alias("n_pos"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum(F.expr("score * n")).alias("s_sum"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "min_score",
+            "max_score",
+            F.expr("CAST((1000000 * n_pos) DIV n_rows AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+            F.expr("CAST(s_sum DIV n_rows AS BIGINT)").alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- poisson_bootstrap_ci ----------------------------------------------------
+# The scalable bootstrap: per (row, replicate) weight ~ Poisson(1) drawn
+# DETERMINISTICALLY from md5(row:replicate) via the inverse CDF on a 65536
+# grid (thresholds below are round(CDF(k) * 65536) for k = 0..5; mass above
+# is capped at 6 — P(w > 6) < 1e-4 at the grid's resolution).  Every weight
+# is therefore identical on any engine, partitioning, or retry — the
+# weighted_sample_ares determinism discipline applied to resampling.
+_BOOT_B = 32
+_BOOT_THRESH = (24109, 48219, 60273, 64292, 65296, 65497)
+_BOOT_W = (
+    "CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1 WHEN u < 60273 THEN 2"
+    " WHEN u < 64292 THEN 3 WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5"
+    " ELSE 6 END"
+)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value via the
+    Poisson bootstrap — the resampling scheme that works on data too
+    large to sample n-out-of-n (each row contributes an independent
+    Poisson(1) count per replicate, so no replicate ever needs a global
+    view).  Reports the point mean and the [p05, p95] band over 32
+    replicate means.
+
+    Exactness: weights are md5-derived integers (header note) — fully
+    deterministic; replicate means are floor divisions of non-negative
+    integer-cents sums; the band is a data-valued discrete percentile
+    over the 32-row replicate relation.  Replicates that drew total
+    weight 0 (possible only on toy inputs) are excluded, documented.
+
+    Scale shape: the 32× expansion is map-side explode feeding ONE
+    map-side-combined groupBy(replicate) — 32 groups out regardless of
+    corpus size; no shuffle carries expanded rows.  At 100 TB this is
+    32 passes' worth of map work in one scan and a 32-row reduce — the
+    textbook reason the Poisson bootstrap exists.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),"
+            " ':', CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+        ).alias("u"),
+    )
+    means = (
+        reps.select("b", "cents", F.expr(_BOOT_W).alias("w"))
+        .groupBy("b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.expr("w * cents")).alias("swc"))
+        .filter(F.col("sw") > 0)
+        .select(F.expr("CAST(swc DIV sw AS BIGINT)").alias("rep_mean"))
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("mean_cents"),
+    )
+    band = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.expr(
+            "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY rep_mean)"
+            " AS BIGINT)"
+        ).alias("ci_lo_cents"),
+        F.expr(
+            "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY rep_mean)"
+            " AS BIGINT)"
+        ).alias("ci_hi_cents"),
+    )
+    return point.crossJoin(F.broadcast(band))
+
+
 ORACLE: dict[str, str] = {
+    "score_calibration_bins": f"""
+        WITH scored AS (
+          SELECT CAST(n_chars AS BIGINT) AS score,
+                 CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        hist AS (
+          SELECT score, COUNT(*) AS n, SUM(y) AS n1 FROM scored GROUP BY score
+        ),
+        binned AS (
+          SELECT score, n, n1,
+                 CAST(({_CAL_BINS} * COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                      // (SUM(n) OVER ()) AS BIGINT) AS bin
+          FROM hist
+        )
+        SELECT bin,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(n1) AS BIGINT) AS n_pos,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST((1000000 * SUM(n1)) // SUM(n) AS BIGINT) AS pos_rate_ppm,
+               CAST(SUM(score * n) // SUM(n) AS BIGINT) AS mean_score
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    "poisson_bootstrap_ci": f"""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        reps AS (
+          SELECT b, cents,
+                 CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                        || ':' || CAST(b AS VARCHAR)), 1, 4)) AS BIGINT) AS u
+          FROM o, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+        ),
+        means AS (
+          SELECT CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS rep_mean
+          FROM (SELECT b, cents, {_BOOT_W} AS w FROM reps)
+          GROUP BY b HAVING SUM(w) > 0
+        ),
+        point AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+          FROM o
+        ),
+        band AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+                 CAST(quantile_disc(rep_mean, 0.05) AS BIGINT) AS ci_lo_cents,
+                 CAST(quantile_disc(rep_mean, 0.95) AS BIGINT) AS ci_hi_cents
+          FROM means
+        )
+        SELECT * FROM point, band
+    """,
+
     "ranker_overlap_topk": f"""
         WITH vocab AS (
           SELECT term, COUNT(*) AS df FROM (

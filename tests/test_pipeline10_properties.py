@@ -160,3 +160,105 @@ def test_seasonal_decompose_matches_bruteforce(spark, tmp_path_factory, data):
         for r in seasonal_decompose_daily(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 400)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_score_calibration_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline10 import (
+        _CAL_BINS,
+        score_calibration_bins,
+    )
+
+    d = tmp_path_factory.mktemp("cal")
+    spark.createDataFrame(
+        [(did, nc) for did, nc in docs], "doc_id LONG, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    hist: dict[int, tuple[int, int]] = {}
+    for did, nc in docs:
+        n, n1 = hist.get(nc, (0, 0))
+        hist[nc] = (n + 1, n1 + (1 if did % 50 == 0 else 0))
+    total = len(docs)
+    cum = 0
+    bins: dict[int, list[tuple[int, int, int]]] = {}
+    for score in sorted(hist):
+        n, n1 = hist[score]
+        b = (_CAL_BINS * cum) // total
+        bins.setdefault(b, []).append((score, n, n1))
+        cum += n
+    want = {}
+    for b, rows in bins.items():
+        n_rows = sum(n for _, n, _ in rows)
+        n_pos = sum(n1 for _, _, n1 in rows)
+        want[b] = (
+            n_rows,
+            n_pos,
+            min(s for s, _, _ in rows),
+            max(s for s, _, _ in rows),
+            (1_000_000 * n_pos) // n_rows,
+            sum(s * n for s, n, _ in rows) // n_rows,
+        )
+    got = {
+        r["bin"]: (
+            r["n_rows"],
+            r["n_pos"],
+            r["min_score"],
+            r["max_score"],
+            r["pos_rate_ppm"],
+            r["mean_score"],
+        )
+        for r in score_calibration_bins(spark, str(d)).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(st.integers(0, 100_000), min_size=1, max_size=40),
+)
+def test_poisson_bootstrap_matches_bruteforce(spark, tmp_path_factory, cents):
+    from hadrodb_spark.operators.pipeline10 import (
+        _BOOT_B,
+        _BOOT_THRESH,
+        poisson_bootstrap_ci,
+    )
+    from tests.test_pipeline9_properties import _quantile_disc
+
+    d = tmp_path_factory.mktemp("boot")
+    spark.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(cents)],
+        "o_orderkey LONG, o_totalprice DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    def weight(key: int, b: int) -> int:
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:4], 16)
+        for w, th in enumerate(_BOOT_THRESH):
+            if u < th:
+                return w
+        return 6
+
+    exact = [round((c / 100.0) * 100) for c in cents]
+    rep_means = []
+    for b in range(_BOOT_B):
+        sw = sum(weight(i, b) for i in range(len(exact)))
+        if sw == 0:
+            continue
+        swc = sum(weight(i, b) * c for i, c in enumerate(exact))
+        rep_means.append(swc // sw)
+    rep_means.sort()
+    row = poisson_bootstrap_ci(spark, str(d)).collect()[0]
+    assert row["n_orders"] == len(exact)
+    assert row["mean_cents"] == sum(exact) // len(exact)
+    assert row["n_replicates"] == len(rep_means)
+    if rep_means:
+        assert row["ci_lo_cents"] == _quantile_disc(rep_means, 0.05)
+        assert row["ci_hi_cents"] == _quantile_disc(rep_means, 0.95)
+    else:
+        assert row["ci_lo_cents"] is None and row["ci_hi_cents"] is None

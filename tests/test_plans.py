@@ -790,3 +790,29 @@ def test_seasonal_decompose_windows_post_aggregation(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     day_exchange = plan.index("Exchange hashpartitioning(day")
     assert "partial_sum" in plan[day_exchange:], plan
+
+
+def test_score_calibration_windows_over_histogram(spark, sf_dir):
+    """The calibration deciles must derive from the score HISTOGRAM: the
+    raw scan feeds one map-side-combined (score) aggregate and every
+    window sits downstream of it; no joins."""
+    from hadrodb_spark.operators.pipeline10 import score_calibration_bins
+
+    df = score_calibration_bins(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning(score")
+    assert "partial_count" in plan[ex:], plan
+
+
+def test_poisson_bootstrap_expansion_is_map_side(spark, sf_dir):
+    """The 32x replicate expansion must be a map-side Generate feeding a
+    map-side-combined groupBy(b) — no shuffle may carry expanded rows,
+    and the only join is the broadcast of the two 1-row reports."""
+    from hadrodb_spark.operators.pipeline10 import poisson_bootstrap_ci
+
+    df = poisson_bootstrap_ci(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    gen = plan.index("Generate explode")
+    assert "partial_sum" in plan[:gen], plan
