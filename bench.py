@@ -86,8 +86,9 @@ HEADLINE = [
     "temporal_split_embargo",
     "vector_topk_ivfpq",
     "multimodal_phash_neardup",
-    # round-6 session-2 additions (pipeline9 tier) — subtract for
-    # cross-round total comparisons; prefix subtotals stay comparable
+    # round-6 session-2 additions (pipeline9 + pipeline10 tiers) —
+    # subtract for cross-round total comparisons; prefix subtotals stay
+    # comparable
     "seasonal_dow_index",
     "winsorized_stats",
     "source_concentration",

@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators.pipeline8 import _sdiv as _p8_sdiv
 from hadrodb_spark.operators.relational import load
+from hadrodb_spark.operators.shared import shared_persist
 
 # --- ranker_overlap_topk ---------------------------------------------------
 # Two term-importance rankers over the same corpus: RAW frequency (total
@@ -38,38 +40,43 @@ def ranker_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are for consumption; this comparison runs on the integer
     twin so the ranking itself is cross-engine exact).
 
-    Exactness: tf/df are exact integers from one grouped aggregate over
-    exploded tokens; the rarity score is fixed-point ppm; both top-20
-    lists rank on (score, term) — total orders, no float anywhere.
+    Exactness: tf/df are exact integers from ONE grouped aggregate over
+    a single token explode (tf = count, df = distinct doc count); the
+    rarity score is fixed-point ppm; both top-20 lists rank on
+    (score, term) — total orders, no float anywhere.  The Jaccard
+    denominator is the TRUE union size (n_f + n_g − overlap), so the
+    metric stays correct even when the vocabulary is smaller than K.
 
-    Scale shape: one token explode feeds ONE map-side-combined
-    groupBy(term) producing (tf, df) together; both rankings are
-    TakeOrdered-style limits over that single vocab relation (bounded by
-    |vocab|, not corpus size); the overlap join is 20×20 broadcast.
+    Scale shape: one token explode feeds ONE groupBy(term) producing
+    (tf, df) together, PERSISTED via the shared registry — without the
+    persist, Catalyst plans each TakeOrdered ranking as its own corpus
+    scan (two tokenizations of 100 TB); with it, both rankings are
+    TakeOrdered limits over the one materialized vocab relation
+    (bounded by |vocab|, not corpus size).  The two ≤20-row ranked
+    lists full-outer-join on term and broadcast onto the 3-row K
+    relation.
     """
     docs = load(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("term")
+    scored = shared_persist(
+        ("ranker_vocab_scored", sf_dir),
+        lambda: docs.select(
+            "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
         )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    tf = (
-        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scored = tf.join(vocab, "term").select(
-        "term",
-        "tf",
-        "df",
-        F.expr("CAST((1000000 * tf) DIV df AS BIGINT)").alias("score_ppm"),
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .select(
+            "term",
+            "tf",
+            F.expr("CAST((1000000 * tf) DIV df AS BIGINT)").alias("score_ppm"),
+        ),
     )
     top_freq = (
         scored.orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(_RANK_TOP)
-        .select("term", F.expr("ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)").alias("r"))
+        .select("term", F.expr("ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC)").alias("rf"))
     )
     top_rare = (
         scored.orderBy(F.col("score_ppm").desc(), F.col("term").asc())
@@ -78,27 +85,33 @@ def ranker_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.expr(
                 "ROW_NUMBER() OVER (ORDER BY score_ppm DESC, term ASC)"
-            ).alias("r"),
+            ).alias("rg"),
         )
     )
+    both = top_freq.join(top_rare, "term", "full_outer")
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _RANK_KS])).alias("k")
     )
     joined = (
-        ks.join(F.broadcast(top_freq.alias("f")), F.col("f.r") <= F.col("k"))
-        .join(
-            F.broadcast(top_rare.alias("g")),
-            (F.col("g.r") <= F.col("k")) & (F.col("f.term") == F.col("g.term")),
-            "left",
-        )
+        ks.crossJoin(F.broadcast(both))
         .groupBy("k")
-        .agg(F.count(F.col("g.term")).cast("bigint").alias("n_overlap"))
+        .agg(
+            F.sum(F.expr("CASE WHEN rf <= k THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_f"),
+            F.sum(F.expr("CASE WHEN rg <= k THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_g"),
+            F.sum(F.expr("CASE WHEN rf <= k AND rg <= k THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
     )
     return joined.select(
         "k",
         "n_overlap",
         F.expr(
-            "CAST((1000000 * n_overlap) DIV (2 * k - n_overlap) AS BIGINT)"
+            "CAST((1000000 * n_overlap) DIV (n_f + n_g - n_overlap) AS BIGINT)"
         ).alias("jaccard_ppm"),
     ).orderBy("k")
 
@@ -117,7 +130,10 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the shard id is the first 4 md5 hex digits (engine-
     identical string md5) mod 64 via integer arithmetic; all outputs are
-    exact integers over non-negative operands.
+    exact integers over non-negative operands.  ``min_shard`` is 0 when
+    any of the 64 shards is EMPTY (the occupied-only minimum would hide
+    exactly the imbalance the audit exists to surface);
+    ``expected_shard`` is the uniform n_docs DIV 64 target.
 
     Scale shape: map-only assignment into ONE map-side-combined
     groupBy(shard) — 64 rows out regardless of corpus size; the final
@@ -137,13 +153,19 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shards_used"),
         F.sum("c").cast("bigint").alias("n_docs"),
-        F.min("c").cast("bigint").alias("min_shard"),
+        F.min("c").cast("bigint").alias("min_occupied"),
         F.max("c").cast("bigint").alias("max_shard"),
     ).select(
         "n_shards_used",
         "n_docs",
-        "min_shard",
+        F.expr(
+            f"CAST(CASE WHEN n_shards_used < {_N_SHARDS} THEN 0"
+            " ELSE min_occupied END AS BIGINT)"
+        ).alias("min_shard"),
         "max_shard",
+        F.expr(f"CAST(n_docs DIV {_N_SHARDS} AS BIGINT)").alias(
+            "expected_shard"
+        ),
         F.expr(
             f"CAST((1000000 * {_N_SHARDS} * max_shard) DIV n_docs AS BIGINT)"
         ).alias("max_load_ppm"),
@@ -152,17 +174,15 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- seasonal_decompose_daily -----------------------------------------------
 # Classical additive decomposition on the DAILY revenue series: trend = the
-# 7-day centered moving average (full windows only — edges emit NULL trend
-# and are excluded from the seasonal means, the textbook convention),
+# 7-CALENDAR-day centered moving average — a RANGE window on the day
+# number, so a gap in the series shrinks the window instead of silently
+# stretching it across more than 7 calendar days; trend is emitted only
+# where all 7 days are present (the textbook full-window convention) —
 # detrended = value − trend, seasonal(dow) = mean of detrended over that
 # weekday, residual = detrended − seasonal.  Every mean is an integer-cents
-# floor division of a sum that can be negative — so the shared division
-# factors the sign out (the pipeline8 _sdiv discipline) instead of relying
-# on DIV/// agreement.
-# {div} is the engine's integer-division spelling (Spark "DIV", DuckDB
-# "//") — the sign-factored form makes truncation vs flooring identical.
-_SDIV = "(CASE WHEN {num} < 0 THEN -((-({num})) {div} {den}) ELSE ({num}) {div} {den} END)"
-_DOW = "((CAST(FLOOR({epoch} / 86400) AS BIGINT) + 3) % 7)"
+# division of a sum that can be negative, spelled via pipeline8's _sdiv
+# (sign-factored, so Spark's truncating DIV ≡ DuckDB's flooring //).
+_MA_WIN = "(ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
 
 
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,9 +192,11 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile (``autocorr_daily`` measures what's left in the residual).
 
     Exactness: daily totals are exact integer cents; the centered MA is
-    a 7-value integer sum floor-divided (truncation sign-factored — see
-    header); seasonal means divide exact sums of possibly-negative
-    detrended cents the same way.  No floats anywhere.
+    a 7-value integer sum over a CALENDAR-day RANGE window (gaps shrink
+    the window — days spanning a gap emit NULL trend rather than a
+    stretched average), divided sign-factored; seasonal means divide
+    exact sums of possibly-negative detrended cents the same way.  No
+    floats anywhere.
 
     Scale shape: the corpus reduces to one row per DAY in ONE map-side-
     combined aggregate; every window (centered MA, seasonal mean) runs
@@ -192,21 +214,19 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("cents").alias("rev_cents"))
     )
-    w = (
-        "SUM(rev_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
-    )
-    n = "COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    w = f"SUM(rev_cents) OVER {_MA_WIN}"
+    n = f"COUNT(*) OVER {_MA_WIN}"
     trended = daily.select(
         "day",
         "rev_cents",
         F.expr(
             f"CASE WHEN {n} = 7 THEN "
-            + _SDIV.format(num=f"({w})", den="7", div="DIV")
+            + _p8_sdiv(f"({w})", "7", "DIV")
             + " ELSE NULL END"
         ).alias("trend_cents"),
     ).select(
         "*",
-        F.expr(f"(day + 3) % 7").alias("dow"),
+        F.expr("(day + 3) % 7").alias("dow"),
         F.expr("rev_cents - trend_cents").alias("detr_cents"),
     )
     seas = trended.filter(F.col("trend_cents").isNotNull()).groupBy("dow").agg(
@@ -214,7 +234,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("s_n"),
     ).select(
         "dow",
-        F.expr(_SDIV.format(num="s_sum", den="s_n", div="DIV")).alias("seasonal_cents"),
+        F.expr(_p8_sdiv("s_sum", "s_n", "DIV")).alias("seasonal_cents"),
     )
     return (
         trended.join(F.broadcast(seas), "dow")
@@ -439,40 +459,42 @@ ORACLE: dict[str, str] = {
     """,
 
     "ranker_overlap_topk": f"""
-        WITH vocab AS (
-          SELECT term, COUNT(*) AS df FROM (
-            SELECT doc_id, unnest(list_distinct({X.sql_tokens("text")})) AS term
+        WITH scored AS (
+          SELECT term, COUNT(*) AS tf,
+                 CAST((1000000 * COUNT(*)) // COUNT(DISTINCT doc_id)
+                      AS BIGINT) AS score_ppm
+          FROM (
+            SELECT doc_id, unnest({X.sql_tokens("text")}) AS term
             FROM documents
           ) GROUP BY term
         ),
-        tf AS (
-          SELECT term, COUNT(*) AS tf FROM (
-            SELECT unnest({X.sql_tokens("text")}) AS term FROM documents
-          ) GROUP BY term
-        ),
-        scored AS (
-          SELECT t.term, t.tf, v.df,
-                 CAST((1000000 * t.tf) // v.df AS BIGINT) AS score_ppm
-          FROM tf t JOIN vocab v USING (term)
-        ),
         top_freq AS (
-          SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS r
+          SELECT term, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS rf
           FROM scored ORDER BY tf DESC, term ASC LIMIT {_RANK_TOP}
         ),
         top_rare AS (
           SELECT term,
-                 ROW_NUMBER() OVER (ORDER BY score_ppm DESC, term ASC) AS r
+                 ROW_NUMBER() OVER (ORDER BY score_ppm DESC, term ASC) AS rg
           FROM scored ORDER BY score_ppm DESC, term ASC LIMIT {_RANK_TOP}
         ),
-        ks AS (SELECT unnest([{", ".join(str(k) for k in _RANK_KS)}]) AS k)
+        merged AS (
+          SELECT COALESCE(f.term, g.term) AS term, f.rf, g.rg
+          FROM top_freq f FULL OUTER JOIN top_rare g ON f.term = g.term
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in _RANK_KS)}]) AS k),
+        agg AS (
+          SELECT k,
+                 SUM(CASE WHEN rf <= k THEN 1 ELSE 0 END) AS n_f,
+                 SUM(CASE WHEN rg <= k THEN 1 ELSE 0 END) AS n_g,
+                 SUM(CASE WHEN rf <= k AND rg <= k THEN 1 ELSE 0 END) AS ov
+          FROM ks CROSS JOIN merged
+          GROUP BY k
+        )
         SELECT k,
-               CAST(COUNT(g.term) AS BIGINT) AS n_overlap,
-               CAST((1000000 * COUNT(g.term))
-                    // (2 * k - COUNT(g.term)) AS BIGINT) AS jaccard_ppm
-        FROM ks
-        JOIN top_freq f ON f.r <= k
-        LEFT JOIN top_rare g ON g.r <= k AND f.term = g.term
-        GROUP BY k
+               CAST(ov AS BIGINT) AS n_overlap,
+               CAST((1000000 * ov) // (n_f + n_g - ov) AS BIGINT)
+                 AS jaccard_ppm
+        FROM agg
         ORDER BY k
     """,
     "shard_balance": f"""
@@ -485,8 +507,10 @@ ORACLE: dict[str, str] = {
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_shards_used,
                CAST(SUM(c) AS BIGINT) AS n_docs,
-               CAST(MIN(c) AS BIGINT) AS min_shard,
+               CAST(CASE WHEN COUNT(*) < {_N_SHARDS} THEN 0 ELSE MIN(c) END
+                    AS BIGINT) AS min_shard,
                CAST(MAX(c) AS BIGINT) AS max_shard,
+               CAST(SUM(c) // {_N_SHARDS} AS BIGINT) AS expected_shard,
                CAST((1000000 * {_N_SHARDS} * MAX(c)) // SUM(c) AS BIGINT)
                  AS max_load_ppm
         FROM shards
@@ -500,18 +524,18 @@ ORACLE: dict[str, str] = {
         trended AS (
           SELECT day, rev_cents,
                  CASE WHEN COUNT(*) OVER w = 7 THEN
-                   {_SDIV.format(num="(SUM(rev_cents) OVER w)", den="7", div="//")}
+                   {_p8_sdiv("(SUM(rev_cents) OVER w)", "7", "//")}
                  ELSE NULL END AS trend_cents,
                  (day + 3) % 7 AS dow
           FROM daily
-          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          WINDOW w AS {_MA_WIN}
         ),
         detr AS (
           SELECT *, rev_cents - trend_cents AS detr_cents FROM trended
         ),
         seas AS (
           SELECT dow,
-                 {_SDIV.format(num="SUM(detr_cents)", den="COUNT(*)", div="//")}
+                 {_p8_sdiv("SUM(detr_cents)", "COUNT(*)", "//")}
                    AS seasonal_cents
           FROM detr WHERE trend_cents IS NOT NULL GROUP BY dow
         )

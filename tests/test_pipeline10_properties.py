@@ -65,7 +65,8 @@ def test_ranker_overlap_matches_bruteforce(spark, tmp_path_factory, docs):
         fset = {t for t, _, _ in top_freq[:k]}
         gset = {t for t, _, _ in top_rare[:k]}
         ov = len(fset & gset)
-        want[k] = (ov, (1_000_000 * ov) // (2 * k - ov))
+        union = len(fset) + len(gset) - ov
+        want[k] = (ov, (1_000_000 * ov) // union)
     got = {
         r["k"]: (r["n_overlap"], r["jaccard_ppm"])
         for r in ranker_overlap_topk(spark, str(d)).collect()
@@ -89,8 +90,9 @@ def test_shard_balance_matches_bruteforce(spark, tmp_path_factory, n_docs, offse
     want = (
         len(counts),
         n_docs,
-        min(counts.values()),
+        min(counts.values()) if len(counts) == _N_SHARDS else 0,
         max(counts.values()),
+        n_docs // _N_SHARDS,
         (1_000_000 * _N_SHARDS * max(counts.values())) // n_docs,
     )
     row = shard_balance(spark, str(d)).collect()[0]
@@ -99,6 +101,7 @@ def test_shard_balance_matches_bruteforce(spark, tmp_path_factory, n_docs, offse
         row["n_docs"],
         row["min_shard"],
         row["max_shard"],
+        row["expected_shard"],
         row["max_load_ppm"],
     ) == want
 
@@ -129,12 +132,12 @@ def test_seasonal_decompose_matches_bruteforce(spark, tmp_path_factory, data):
         # mirror the engines: cents = round(value*100) over the double
         cents = round((c / 100.0) * 100)
         daily[day] = daily.get(day, 0) + cents
-    days = sorted(daily)
     trend: dict[int, int] = {}
-    for idx in range(len(days)):
-        if idx >= 3 and idx + 3 < len(days):
-            win = [daily[days[j]] for j in range(idx - 3, idx + 4)]
-            trend[days[idx]] = _sdiv(sum(win), 7)
+    for day in daily:
+        # RANGE window: all 7 CALENDAR days must be present
+        win = [daily[j] for j in range(day - 3, day + 4) if j in daily]
+        if len(win) == 7:
+            trend[day] = _sdiv(sum(win), 7)
     seas_acc: dict[int, tuple[int, int]] = {}
     for day, tr in trend.items():
         dow = (day + 3) % 7
