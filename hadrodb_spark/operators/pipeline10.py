@@ -539,8 +539,11 @@ ORACLE: dict[str, str] = {
                    AS seasonal_cents
           FROM detr WHERE trend_cents IS NOT NULL GROUP BY dow
         )
-        SELECT day, rev_cents, trend_cents, seasonal_cents,
-               detr_cents - seasonal_cents AS residual_cents
+        SELECT day,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(trend_cents AS BIGINT) AS trend_cents,
+               CAST(seasonal_cents AS BIGINT) AS seasonal_cents,
+               CAST(detr_cents - seasonal_cents AS BIGINT) AS residual_cents
         FROM detr JOIN seas USING (dow)
         WHERE trend_cents IS NOT NULL
         ORDER BY day
