@@ -199,12 +199,16 @@ def tile_hashes(media: DataFrame) -> DataFrame:
     the codec swap-in point is ``decode_image``).  1→1 rows, emitting an
     8-element hash array per asset."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # N_TILES is captured BY VALUE as a default argument: the closure ships
+    # to executors by-value (nested-closure discipline), and a default arg
+    # pins the constant at definition time without a module-global lookup.
+    def run(
+        batches: Iterator[pd.DataFrame], n_tiles: int = N_TILES
+    ) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         import pandas as _pd
 
-        n_tiles = 8
         for pdf in batches:
             ids, tile_lists = [], []
             for mid, b in zip(pdf["media_id"], pdf["blob"]):

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadrodb_spark.functions.multimodal import (
+    N_TILES,
     documents_as_media,
     extract_features,
     resize_media,
@@ -16,6 +17,7 @@ from hadrodb_spark.functions.multimodal import (
     tile_hashes,
 )
 from hadrodb_spark.operators.relational import load
+from hadrodb_spark.operators.shared import shared_persist
 
 # Same-length single-character mutation for the planted perceptual
 # near-dups — ONE shared text so Spark and the oracle mutate identically;
@@ -97,7 +99,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 300000)
     )
     media = documents_as_media(docs.unionByName(mutants))
-    tl = tile_hashes(media)
+    # Persist the tile relation: three plan subtrees consume it (bands,
+    # tiles_a, tiles_b) and would otherwise each re-run the Arrow
+    # decode+hash pass over the full corpus.  NULL-tile assets (NULL
+    # blob) are dropped HERE: they can never be near-dups, and leaving
+    # them in gives Spark's concat_ws an empty-string band value (DuckDB's
+    # || yields NULL) — every NULL asset landing in ONE bucket is the
+    # quadratic blow-up the banding exists to avoid.
+    tl = shared_persist(
+        ("phash_tiles", sf_dir),
+        lambda: tile_hashes(media).filter(F.col("tiles").isNotNull()),
+    )
     bands = tl.select(
         "media_id",
         F.explode(
@@ -109,7 +121,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "|", F.col("tiles")[2 * i], F.col("tiles")[2 * i + 1]
                         ).alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(N_TILES // 2)
                 ]
             )
         ).alias("b"),
@@ -150,10 +162,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_tiles_sql() -> str:
-    """The oracle's tile array: 8 md5(substr(...)) entries over the SAME
-    ceil-width character tiling the Arrow UDF computes."""
+    """The oracle's tile array: N_TILES md5(substr(...)) entries over the
+    SAME ceil-width character tiling the Arrow UDF computes (one shared
+    constant — the UDF, the banding, and this SQL all derive from it)."""
     tiles = ", ".join(
-        f"md5(substr(text, {i} * w + 1, w))" for i in range(8)
+        f"md5(substr(text, {i} * w + 1, w))" for i in range(N_TILES)
     )
     return f"[{tiles}]"
 
@@ -168,14 +181,14 @@ ORACLE: dict[str, str] = {
         tl AS (
           SELECT media_id, {_phash_tiles_sql()} AS tiles
           FROM (SELECT media_id, text,
-                       CAST(CEIL(length(text) / 8.0) AS BIGINT) AS w
+                       CAST(CEIL(length(text) / {float(N_TILES)}) AS BIGINT) AS w
                 FROM m)
         ),
         bands AS (
           SELECT media_id,
                  b.i AS band_idx,
                  tiles[2 * b.i + 1] || '|' || tiles[2 * b.i + 2] AS band_val
-          FROM tl, (SELECT UNNEST(generate_series(0, 3)) AS i) b
+          FROM tl, (SELECT UNNEST(generate_series(0, {N_TILES // 2 - 1})) AS i) b
         ),
         cand AS (
           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b

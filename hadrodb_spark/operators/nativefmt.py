@@ -147,14 +147,24 @@ def compact_native_collection(
         .option("ddl", ddl or _EV_DDL)
         .load()
     )
-    staging = tempfile.mkdtemp(prefix="hadrolog_compact_")
-    live.write.format("hadrolog").option("path", staging).mode("append").save()
+    # Stage NEXT TO the destination (same filesystem), not under the
+    # global tempdir: os.rename across mounts raises EXDEV, which would
+    # make compaction to any other filesystem impossible.  The write is
+    # inside the try so a failed job can't leak the staging directory.
+    parent = os.path.dirname(os.path.abspath(dest)) or "."
+    staging = tempfile.mkdtemp(prefix="hadrolog_compact_", dir=parent)
     try:
+        live.write.format("hadrolog").option("path", staging).mode(
+            "append"
+        ).save()
         os.rename(staging, dest)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)
         if not os.path.isdir(dest):
             raise
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def hadrolog_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,12 +59,17 @@ def drift_psi_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (month, bin) aggregate; Laplace smoothing ((c+1)/(n+B)) keeps every
     ratio well-defined on empty bins; each bin's term is the shared
     fixed-op-order float text rounded at 6, summed as exact DECIMAL.
+    The smoothing grid is the CONSTANT 14-bucket grid (0..13, B = 14,
+    data-independent) — deriving B from the observed bins would let one
+    new order in a previously-empty bucket silently shift EVERY
+    historical month's PSI (a drift monitor whose history moves is a
+    false-alarm machine).
 
     Scale shape: the corpus is scanned once into a (month, bin) count
-    relation — bounded by |months| × 13 rows at ANY corpus size; the
-    reference-month distribution and the bin grid are tiny broadcasts;
-    everything downstream of the first aggregate runs on catalog-sized
-    relations.  No windows, no self-joins.
+    relation — bounded by |months| × 14 rows at ANY corpus size; the
+    reference-month distribution is a tiny broadcast and the bin grid a
+    14-literal constant; everything downstream of the first aggregate
+    runs on catalog-sized relations.  No windows, no self-joins.
     """
     orders = load(spark, sf_dir, "orders")
     counts = (
@@ -76,8 +81,9 @@ def drift_psi_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     months = counts.groupBy("month").agg(F.sum("c").alias("nm"))
-    bins = counts.select("bin").distinct()
-    nb = bins.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    bins = spark.range(1).select(
+        F.explode(F.expr(f"sequence(0, {_PSI_BINS + 1})")).alias("bin")
+    )
     ref_month = months.agg(F.min("month").alias("ref_month"))
     ref = (
         counts.join(F.broadcast(ref_month), counts.month == F.col("ref_month"))
@@ -88,14 +94,13 @@ def drift_psi_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         months.crossJoin(F.broadcast(bins))
         .join(counts, ["month", "bin"], "left")
         .join(F.broadcast(ref), F.col("bin") == F.col("qbin"), "left")
-        .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(ref_total))
         .select(
             "month",
             F.col("nm").cast("double").alias("nm"),
             F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("cm"),
             F.coalesce(F.col("cq_raw"), F.lit(0)).cast("double").alias("cq"),
-            "nb",
+            F.lit(float(_PSI_BINS + 2)).alias("nb"),
             "nq",
         )
     )
@@ -208,7 +213,14 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     no joins on the big side.
     """
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_micros(ts) DIV 1000000").alias("s")
+        "user_id",
+        # exact FLOOR division (matches DuckDB's //): Spark DIV truncates,
+        # which is one too high for negative micros with a remainder —
+        # latent for the post-1970 fixtures, wrong for pre-epoch data
+        F.expr(
+            "unix_micros(ts) DIV 1000000"
+            " - CASE WHEN unix_micros(ts) % 1000000 < 0 THEN 1 ELSE 0 END"
+        ).alias("s"),
     )
     cut = ev.agg(
         F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY s)").alias("cut_s")
@@ -259,6 +271,17 @@ _PCA_CSCALE = 1_000_000_000
 _PCA_XSCALE = 1_000_000
 _PCA_ITERS = 3
 _PCA_TOP = 8
+# Seed with md5-derived ±1 signs per dimension (ONE shared text), not the
+# all-ones vector: exact fixed-point iteration re-injects NO rounding
+# noise, so a seed orthogonal to the top eigenvector (e.g. all-ones vs a
+# contrast direction like dim2 ≈ −dim1) would stay orthogonal through
+# every iteration and silently certify the SECOND component on both
+# engines.  A natural data direction is essentially never aligned with an
+# md5 sign pattern.
+_PCA_SEED = (
+    "(CASE WHEN substring(md5(CAST(dim AS STRING)), 1, 1) < '8'"
+    f" THEN 1 ELSE -1 END) * {_PCA_XSCALE}"
+)
 _PCA_COV = (
     "(CAST(s AS DOUBLE) / n"
     " - (CAST(s1a AS DOUBLE) / n) * (CAST(s1b AS DOUBLE) / n))"
@@ -349,7 +372,7 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = means.select(
         F.col("dim").alias("j"),
-        F.lit(_PCA_XSCALE).cast("bigint").alias("x"),
+        F.expr(f"CAST({_PCA_SEED} AS BIGINT)").alias("x"),
     )
 
     def matvec(xv: DataFrame) -> DataFrame:
@@ -437,7 +460,7 @@ def _pca_oracle() -> str:
           UNION ALL
           SELECT dim_b AS i, dim_a AS j, c FROM half WHERE dim_a < dim_b
         )""",
-        f"x0 AS (SELECT dim AS j, CAST({_PCA_XSCALE} AS BIGINT) AS x FROM means)",
+        f"x0 AS (SELECT dim AS j, CAST({_PCA_SEED} AS BIGINT) AS x FROM means)",
     ]
     prev = "x0"
     for it in range(1, _PCA_ITERS + 1):
@@ -560,8 +583,8 @@ ORACLE: dict[str, str] = {
           FROM orders GROUP BY 1, 2
         ),
         months AS (SELECT month, SUM(c) AS nm FROM counts GROUP BY month),
-        bins AS (SELECT DISTINCT bin FROM counts),
-        nbv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM bins),
+        bins AS (SELECT unnest(generate_series(0, {_PSI_BINS + 1})) AS bin),
+        nbv AS (SELECT CAST({_PSI_BINS + 2} AS DOUBLE) AS nb),
         refm AS (SELECT MIN(month) AS ref_month FROM months),
         ref AS (
           SELECT bin AS qbin, c AS cq_raw FROM counts, refm

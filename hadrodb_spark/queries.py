@@ -138,14 +138,21 @@ _register(relational4)
 _register(relational)
 _register(relational2)
 _register(pipeline7)  # round-6 queue, session-3 additions
-# --- ROUND-7 QUEUE (registered below the window; rotate to the window
-# head at r7 START, same procedure as rounds 3-6) ---
-_register(sqlsuite, only=["sql_recursive_copurchase"])
+# --- ROUND-7 QUEUE — collect BY NAME at r7 START, not by position.
+# The queue is every entry with no driver row after the round-6 window:
+#   sql_recursive_copurchase, drift_psi_monthly, k_anonymity_audit,
+#   temporal_split_embargo, embedding_pca_top, event_transition_matrix,
+#   vector_topk_ivfpq, multimodal_phash_neardup, hadrolog_compact_roundtrip,
+#   + the pipeline9/pipeline10 tiers registered below.
+# NOTE: four of those names live inside modules registered wholesale in
+# the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt),
+# so _register's dedup makes any late only= call for them a no-op — their
+# physical positions are scattered within the below-window region.  That
+# is harmless to the driver (it verifies positions 0-49 only), but the
+# r7 rotation MUST gather the queue by the name list above, then reorder
+# the first 50 as usual.
 _register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split,
 #                       fixed-point power-iteration PCA, Markov transitions
-_register(similarity, only=["vector_topk_ivfpq"])  # IVF+PQ+rerank composite
-_register(multimodal_ops, only=["multimodal_phash_neardup"])  # tile-hash near-dup
-_register(nativefmt, only=["hadrolog_compact_roundtrip"])  # native-log compaction
 _register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
 #                       gate mutual information, epoch upsampling
 _register(pipeline10)  # ranker top-k agreement, shard balance,

@@ -43,7 +43,7 @@ def _psi_reference(rows: list[tuple[str, float]]) -> dict[str, tuple[int, Decima
     counts: dict[tuple[str, int], int] = {}
     for m, v in rows:
         counts[(m, bin_of(v))] = counts.get((m, bin_of(v)), 0) + 1
-    bins = sorted({b for _, b in counts})
+    bins = list(range(_PSI_BINS + 2))  # the CONSTANT data-independent grid
     nb = float(len(bins))
     nq = float(sum(c for (m, _), c in counts.items() if m == ref))
     out = {}
