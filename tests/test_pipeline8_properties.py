@@ -185,3 +185,46 @@ def test_recursive_copurchase_matches_python_bfs(spark, sf_dir):
         for r in sql_recursive_copurchase(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pca_finds_contrast_component(spark, tmp_path_factory):
+    """Regression for the all-ones-seed blind spot: a cloud whose top
+    principal component is the contrast (1, -1)/sqrt(2) — exactly
+    orthogonal to the constant direction.  In exact fixed-point
+    arithmetic an all-ones seed stays orthogonal through every iteration
+    and certifies the SECOND component; the md5-sign seed must find the
+    contrast.  Verified against numpy's top eigenvector."""
+    import numpy as np
+
+    from hadrodb_spark.operators.pipeline8 import embedding_pca_top
+
+    rng = np.random.default_rng(7)
+    t = rng.normal(0.0, 0.4, size=200)  # strong contrast signal
+    noise = rng.normal(0.0, 0.02, size=(200, 4))
+    vecs = np.zeros((200, 4), dtype=np.float32)
+    vecs[:, 0] = t + noise[:, 0]
+    vecs[:, 1] = -t + noise[:, 1]
+    vecs[:, 2] = noise[:, 2]
+    vecs[:, 3] = noise[:, 3]
+
+    d = tmp_path_factory.mktemp("pca")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(200)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    rows = embedding_pca_top(spark, str(d)).collect()
+    # the two contrast dims must rank first with OPPOSITE-sign loadings
+    top2 = {r["dim"] for r in rows[:2]}
+    assert top2 == {1, 2}, rows
+    s1 = next(r["loading_fp"] for r in rows if r["dim"] == 1)
+    s2 = next(r["loading_fp"] for r in rows if r["dim"] == 2)
+    assert s1 * s2 < 0, rows
+
+    # eigenvalue within 5% of numpy's top eigenvalue of the biased-cov
+    # matrix (the operator uses the 1/n population covariance)
+    x64 = vecs.astype(np.float64)
+    cov = np.cov(x64, rowvar=False, bias=True)
+    want = float(np.linalg.eigvalsh(cov)[-1])
+    got = rows[0]["eigenvalue"]
+    assert abs(got - want) / want < 0.05, (got, want)
