@@ -99,6 +99,8 @@ HEADLINE = [
     "seasonal_decompose_daily",
     "score_calibration_bins",
     "poisson_bootstrap_ci",
+    "fk_integrity_audit",
+    "cohort_ltv_curve",
 ]
 
 

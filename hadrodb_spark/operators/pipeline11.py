@@ -1,0 +1,208 @@
+"""Round-7-queue pipeline operators, batch 5: referential-integrity
+auditing and cohort lifetime-value curves.
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+stores records and defers analytics upstream; these extend the SURVEY.md
+§2.3 dataset-ops tier with the two reports every warehouse runs before
+trusting a refresh: "do the foreign keys actually join?" and "how does
+cohort revenue accumulate with age?".
+
+Exact-arithmetic discipline throughout: integer counts, ppm fixed-point
+via integer DIV over non-negative operands, calendar months as
+``year*12 + month`` integers (no months_between float semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+
+# --- fk_integrity_audit ------------------------------------------------------
+# (edge label, child table, child key, parent table, parent key).  NULL
+# child keys are NOT violations (SQL FK semantics) — they are excluded
+# from both the child count and the orphan count.
+_FK_EDGES = (
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's five FK edges:
+    per relationship, how many child rows point at a parent that does
+    not exist?  The first data-quality gate after any ingest — a nonzero
+    orphan count means joins silently drop revenue downstream.
+
+    Exactness: every figure is an exact bigint from one left join +
+    aggregate per edge; the orphan rate is integer ppm.
+
+    Scale shape: each edge is ONE equi left-join of the child's key
+    column (projected, pushed down) against the parent's DISTINCT key
+    relation, immediately reduced to a 1-row aggregate — Spark
+    broadcasts the small parents (nation/supplier/part at fixture SFs)
+    and shuffle-joins the large ones; either way nothing wider than a
+    key column moves.  The five 1-row reports union into one output.
+    """
+    out = None
+    for label, child_t, ck, parent_t, pk in _FK_EDGES:
+        child = load(spark, sf_dir, child_t).select(
+            F.col(ck).alias("ckey")
+        ).filter(F.col("ckey").isNotNull())
+        parent = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("pkey"))
+            .distinct()
+        )
+        row = (
+            child.join(parent, child.ckey == parent.pkey, "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                F.count(F.when(F.col("pkey").isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(label).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                F.expr(
+                    "CAST((1000000 * n_orphans) DIV n_child_rows AS BIGINT)"
+                ).alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+# --- cohort_ltv_curve --------------------------------------------------------
+# Calendar months as year*12+month integers: exact, and the age subtraction
+# is plain bigint arithmetic (months_between interpolates fractional months
+# over days — float semantics neither engine needs here).
+_YM = "(CAST(year({ts}) AS BIGINT) * 12 + CAST(month({ts}) AS BIGINT))"
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order
+    month, revenue accumulated by months-since-first-order — the
+    retention economics view next to ``retention_cohorts``'s activity
+    view (that one counts who came back; this one sums what they spent).
+
+    Exactness: cohort/age are exact year*12+month integers; revenue is
+    exact cents; the running LTV is a cumulative window over the
+    bounded (cohort, age) relation; per-customer LTV is an integer-cents
+    floor division.
+
+    Scale shape: one groupBy(custkey) computes first-order months (the
+    only row-scale shuffle); the cohort tag joins back on custkey (AQE
+    picks shuffle vs broadcast by side size); the (cohort, age)
+    aggregate is map-side combined and bounded by |months|²/2; the
+    cumulative window and cohort-size join run on that tiny relation.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(_YM.format(ts="o_orderdate")).alias("ym"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    tagged = orders.join(first, "o_custkey").select(
+        "cohort_ym",
+        (F.col("ym") - F.col("cohort_ym")).alias("age_months"),
+        "cents",
+    )
+    curve = tagged.groupBy("cohort_ym", "age_months").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        curve.join(F.broadcast(sizes), "cohort_ym")
+        .select(
+            F.expr(
+                "format_string('%04d-%02d', CAST((cohort_ym - 1) DIV 12 AS INT),"
+                " CAST((cohort_ym - 1) % 12 + 1 AS INT))"
+            ).alias("cohort_month"),
+            "age_months",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(cum_rev_cents DIV n_customers AS BIGINT)"
+            ).alias("ltv_per_customer_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "fk_integrity_audit": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{label}' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(CASE WHEN p.pkey IS NULL THEN 1 END) AS BIGINT)
+                 AS n_orphans,
+               CAST((1000000 * COUNT(CASE WHEN p.pkey IS NULL THEN 1 END))
+                    // COUNT(*) AS BIGINT) AS orphan_ppm
+        FROM (SELECT {ck} AS ckey FROM {child_t} WHERE {ck} IS NOT NULL) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS pkey FROM {parent_t}) p
+          ON c.ckey = p.pkey
+        """
+        for label, child_t, ck, parent_t, pk in _FK_EDGES
+    )
+    + "\nORDER BY relationship",
+    "cohort_ltv_curve": f"""
+        WITH o AS (
+          SELECT o_custkey,
+                 {_YM.format(ts="o_orderdate")} AS ym,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        first AS (
+          SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey
+        ),
+        sizes AS (
+          SELECT cohort_ym, COUNT(*) AS n_customers FROM first
+          GROUP BY cohort_ym
+        ),
+        curve AS (
+          SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+                 SUM(o.cents) AS rev_cents
+          FROM o JOIN first f USING (o_custkey)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_ym, age_months,
+                 CAST(rev_cents AS BIGINT) AS rev_cents,
+                 CAST(SUM(rev_cents) OVER (
+                   PARTITION BY cohort_ym ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_rev_cents
+          FROM curve
+        )
+        SELECT printf('%04d-%02d', CAST((cohort_ym - 1) // 12 AS INT),
+                      CAST((cohort_ym - 1) % 12 + 1 AS INT)) AS cohort_month,
+               age_months,
+               CAST(n_customers AS BIGINT) AS n_customers,
+               rev_cents,
+               cum_rev_cents,
+               CAST(cum_rev_cents // n_customers AS BIGINT)
+                 AS ltv_per_customer_cents
+        FROM cum JOIN sizes USING (cohort_ym)
+        ORDER BY cohort_month, age_months
+    """,
+}

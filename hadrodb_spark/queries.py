@@ -30,6 +30,7 @@ from hadrodb_spark.operators import (
     pipeline8,
     pipeline9,
     pipeline10,
+    pipeline11,
     relational,
     relational2,
     relational3,
@@ -157,6 +158,7 @@ _register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
 #                       gate mutual information, epoch upsampling
 _register(pipeline10)  # ranker top-k agreement, shard balance,
 #                        classical seasonal decomposition
+_register(pipeline11)  # FK integrity audit, cohort LTV curve
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

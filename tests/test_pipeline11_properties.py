@@ -1,0 +1,127 @@
+"""Tests for the round-7-queue batch-5 additions: planted-orphan FK
+integrity and a brute-force cohort-LTV property check."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline11 import (
+    cohort_ltv_curve,
+    fk_integrity_audit,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_fk_integrity_counts_planted_orphans(spark, tmp_path_factory):
+    """Plant a known number of orphans on every edge (plus NULL child
+    keys, which are NOT violations) and require exact counts."""
+    d = tmp_path_factory.mktemp("fk")
+    ts = datetime.datetime(1995, 1, 1)
+
+    def write(name, rows, ddl):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{name}.parquet"))
+
+    write("customer", [(1, 10), (2, 10), (3, 99)],
+          "c_custkey LONG, c_nationkey LONG")
+    write("nation", [(10,)], "n_nationkey LONG")  # nationkey 99 → 1 orphan
+    # orders: custkeys 1,2 valid; 7 missing → 2 orphans; NULL not counted
+    write(
+        "orders",
+        [(100, 1, ts, 10.0), (101, 2, ts, 20.0), (102, 7, ts, 30.0),
+         (103, 7, ts, 40.0), (104, None, ts, 50.0)],
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    write("part", [(1000,)], "p_partkey LONG")
+    write("supplier", [(2000,)], "s_suppkey LONG")
+    # lineitem: orderkey 100 valid / 999 orphan; partkey 1000 valid / 1001
+    # orphan ×2; suppkey 2000 valid everywhere
+    write(
+        "lineitem",
+        [(100, 1000, 2000), (999, 1001, 2000), (100, 1001, 2000)],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG",
+    )
+
+    got = {
+        r["relationship"]: (r["n_child_rows"], r["n_orphans"], r["orphan_ppm"])
+        for r in fk_integrity_audit(spark, str(d)).collect()
+    }
+    assert got == {
+        "orders.custkey->customer": (4, 2, 500_000),
+        "lineitem.orderkey->orders": (3, 1, 333_333),
+        "lineitem.partkey->part": (3, 2, 666_666),
+        "lineitem.suppkey->supplier": (3, 0, 0),
+        "customer.nationkey->nation": (3, 1, 333_333),
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # customer
+            st.integers(0, 11),         # month offset from 1994-01
+            st.integers(1, 100_000),    # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohort_ltv_matches_bruteforce(spark, tmp_path_factory, data):
+    d = tmp_path_factory.mktemp("ltv")
+    rows = []
+    for i, (cust, mo, cents) in enumerate(data):
+        dt = datetime.datetime(1994 + mo // 12, mo % 12 + 1, 15)
+        rows.append((i, cust, dt, cents / 100.0))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    ym = {}
+    cents_of = {}
+    for i, (cust, mo, cents) in enumerate(data):
+        y, m = 1994 + mo // 12, mo % 12 + 1
+        ym[i] = y * 12 + m
+        cents_of[i] = round((cents / 100.0) * 100)
+    first = {}
+    for i, (cust, _, _) in enumerate(data):
+        first[cust] = min(first.get(cust, 1 << 60), ym[i])
+    sizes = {}
+    for c, f in first.items():
+        sizes[f] = sizes.get(f, 0) + 1
+    curve = {}
+    for i, (cust, _, _) in enumerate(data):
+        key = (first[cust], ym[i] - first[cust])
+        curve[key] = curve.get(key, 0) + cents_of[i]
+    want = {}
+    for cohort in {k[0] for k in curve}:
+        cum = 0
+        for age in sorted(a for c, a in curve if c == cohort):
+            cum += curve[(cohort, age)]
+            label = f"{(cohort - 1) // 12:04d}-{(cohort - 1) % 12 + 1:02d}"
+            want[(label, age)] = (
+                sizes[cohort],
+                curve[(cohort, age)],
+                cum,
+                cum // sizes[cohort],
+            )
+    got = {
+        (r["cohort_month"], r["age_months"]): (
+            r["n_customers"],
+            r["rev_cents"],
+            r["cum_rev_cents"],
+            r["ltv_per_customer_cents"],
+        )
+        for r in cohort_ltv_curve(spark, str(d)).collect()
+    }
+    assert got == want

@@ -825,3 +825,31 @@ def test_poisson_bootstrap_expansion_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     gen = plan.index("Generate explode")
     assert "partial_sum" in plan[:gen], plan
+
+
+def test_fk_audit_joins_keys_only(spark, sf_dir):
+    """Every FK edge must scan ONLY its key columns (pushed-down
+    projection on both sides) — an audit that drags full rows through
+    five joins is not runnable at 100 TB."""
+    import re
+
+    from hadrodb_spark.operators.pipeline11 import fk_integrity_audit
+
+    df = fk_integrity_audit(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(",") == 0, schema  # single column per scan
+
+
+def test_cohort_ltv_windows_post_aggregation(spark, sf_dir):
+    """The LTV cumulative window must run over the (cohort, age)
+    aggregate — the raw orders scan feeds the custkey first-order
+    aggregate and the tag join, nothing else; the cohort-size relation
+    joins by broadcast."""
+    from hadrodb_spark.operators.pipeline11 import cohort_ltv_curve
+
+    df = cohort_ltv_curve(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    win = plan.index("Window")
+    assert "partial_sum" in plan[win:], plan
