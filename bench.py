@@ -101,6 +101,7 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "fk_integrity_audit",
     "cohort_ltv_curve",
+    "dedup_threshold_curve",
 ]
 
 

@@ -728,3 +728,109 @@ ORACLE["dedup_incremental"] = f"""
     LEFT JOIN near_hits n ON i.doc_id = n.doc_id
     ORDER BY i.doc_id
 """
+
+
+# --- dedup_threshold_curve ----------------------------------------------------
+# 5%-wide Jaccard buckets over the LSH candidate set: bucket = the
+# INTEGER (20 * |∩|) DIV |∪|, clamped so exact duplicates (j = 1.0) land
+# in the top bucket — the whole curve is integer arithmetic, no float
+# ever reaches a bucket boundary.
+_CURVE_BUCKETS = 20
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for the near-dup pipeline: the Jaccard
+    histogram of all LSH CANDIDATE pairs in 5% buckets, with the planted
+    near-mutant pairs counted separately per bucket — the report a
+    curation engineer reads to place ``_JACCARD_MIN``: organic candidate
+    mass concentrates low, true near-dups high, and the gap between the
+    two is where the threshold belongs.
+
+    Exactness: bucket = integer ``(20·|∩|) DIV |∪|`` clamped to 19 (so
+    j = 1.0 joins [0.95, 1.0)), counts exact, bucket bounds emitted as
+    exact ppm.  The planted flag is integer id arithmetic shared with
+    every other dedup oracle.
+
+    Scale shape: identical to ``dedup_near`` — the persisted shared
+    signature relation, ONE band-bucket shuffle for candidates, exact
+    verify on candidates only, then a ≤20-row histogram aggregate.
+    Never all-pairs.
+    """
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
+    cand = _band_candidates(sig)
+    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
+    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("i_sz"),
+            (
+                F.size("toks_a") + F.size("toks_b")
+                - F.size(F.array_intersect("toks_a", "toks_b"))
+            ).alias("u_sz"),
+        )
+        .select(
+            F.expr(
+                f"LEAST({_CURVE_BUCKETS - 1},"
+                f" ({_CURVE_BUCKETS} * i_sz) DIV u_sz)"
+            ).alias("bucket"),
+            F.expr(
+                f"CAST(id_b - id_a = {_NEAR_OFFSET}"
+                f" AND id_a % {_NEAR_MOD} = 0 AS INT)"
+            ).alias("planted"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("planted").cast("bigint").alias("n_planted"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(bucket * (1000000 DIV {_CURVE_BUCKETS}) AS BIGINT)"
+            ).alias("jaccard_lo_ppm"),
+            "n_pairs",
+            "n_planted",
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["dedup_threshold_curve"] = f"""
+    WITH base AS ({_NEAR_BASE}),
+    sig AS (
+      SELECT doc_id, {_DTOKS} AS dtoks,
+             {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+      FROM base
+      WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+    ),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT LEAST({_CURVE_BUCKETS - 1},
+                   ({_CURVE_BUCKETS} * len(list_intersect(ta.dtoks, tb.dtoks)))
+                   // (len(ta.dtoks) + len(tb.dtoks)
+                       - len(list_intersect(ta.dtoks, tb.dtoks)))) AS bucket,
+             CAST(id_b - id_a = {_NEAR_OFFSET}
+                  AND id_a % {_NEAR_MOD} = 0 AS INT) AS planted
+      FROM cand
+      JOIN sig ta ON ta.doc_id = id_a
+      JOIN sig tb ON tb.doc_id = id_b
+    )
+    SELECT bucket,
+           CAST(bucket * (1000000 // {_CURVE_BUCKETS}) AS BIGINT)
+             AS jaccard_lo_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(planted) AS BIGINT) AS n_planted
+    FROM scored
+    GROUP BY bucket
+    ORDER BY bucket
+"""

@@ -144,7 +144,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   sql_recursive_copurchase, drift_psi_monthly, k_anonymity_audit,
 #   temporal_split_embargo, embedding_pca_top, event_transition_matrix,
 #   vector_topk_ivfpq, multimodal_phash_neardup, hadrolog_compact_roundtrip,
-#   + the pipeline9/pipeline10 tiers registered below.
+#   dedup_threshold_curve (lives in the dedup module block),
+#   + the pipeline9/pipeline10/pipeline11 tiers registered below.
 # NOTE: four of those names live inside modules registered wholesale in
 # the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt),
 # so _register's dedup makes any late only= call for them a no-op — their

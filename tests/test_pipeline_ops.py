@@ -127,3 +127,19 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
             assert a[col] is True, (flag, col)
         for pair in (("q1_exact", "q1"), ("median_exact", "median"), ("q3_exact", "q3")):
             assert abs(a[pair[0]] - e[pair[1]]) < 1e-6, (flag, pair)
+
+
+def test_dedup_threshold_curve_separates_planted_mass(spark, sf_dir):
+    """The tuning curve must put every planted near-mutant pair in a
+    high-Jaccard bucket (>= 0.5 → bucket >= 10) and keep bucket
+    populations consistent (planted <= total, buckets within [0, 19])."""
+    rows = dedup.dedup_threshold_curve(spark, sf_dir).collect()
+    assert rows, "curve empty"
+    for r in rows:
+        assert 0 <= r["bucket"] <= 19
+        assert 0 <= r["n_planted"] <= r["n_pairs"]
+        assert r["jaccard_lo_ppm"] == r["bucket"] * 50000
+    planted_low = sum(r["n_planted"] for r in rows if r["bucket"] < 10)
+    planted_total = sum(r["n_planted"] for r in rows)
+    assert planted_total > 0, rows
+    assert planted_low == 0, rows
