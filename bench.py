@@ -102,6 +102,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "cohort_ltv_curve",
     "dedup_threshold_curve",
+    "source_vocab_overlap",
 ]
 
 

@@ -206,3 +206,98 @@ ORACLE: dict[str, str] = {
         ORDER BY cohort_month, age_months
     """,
 }
+
+
+# --- source_vocab_overlap ------------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the distributional
+    cousin of ``cross_source_duplicate_matrix`` (that one finds shared
+    DOCUMENTS; this one measures shared VOCABULARY, the signal that two
+    sources cover the same domain even when no document is duplicated).
+
+    Exactness: vocabulary sets are exact distinct (term, source) pairs
+    from one aggregate; intersections are exact counts from an equi
+    self-join on term; Jaccard is integer ppm.
+
+    Scale shape: the corpus reduces to the (term, source) relation in
+    ONE distinct aggregate (bounded by |vocab|·|sources|); the
+    intersection self-join is equi on term with fan-out ≤ |sources|²
+    per term; per-source vocab sizes broadcast back onto the
+    |sources|²/2-row pair relation.  Never touches raw rows twice.
+    """
+    from hadrodb_spark.functions import text as X
+
+    ts = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(X.tokens(F.col("text"))).alias("term"), "source"
+        )
+        .distinct()
+    )
+    sizes = ts.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = ts.alias("a"), ts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("vocab").alias("vocab_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("vocab").alias("vocab_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST((1000000 * n_shared)"
+                " DIV (vocab_a + vocab_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+from hadrodb_spark.functions import text as _X  # noqa: E402
+
+ORACLE["source_vocab_overlap"] = f"""
+    WITH ts AS (
+      SELECT DISTINCT term, source FROM (
+        SELECT unnest({_X.sql_tokens("text")}) AS term, source
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS vocab FROM ts GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(sa.vocab AS BIGINT) AS vocab_a,
+           CAST(sb.vocab AS BIGINT) AS vocab_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((1000000 * n_shared)
+                // (sa.vocab + sb.vocab - n_shared) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+    ORDER BY src_a, src_b
+"""

@@ -125,3 +125,53 @@ def test_cohort_ltv_matches_bruteforce(spark, tmp_path_factory, data):
         for r in cohort_ltv_curve(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(st.sampled_from([f"w{i}" for i in range(20)]),
+                     min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_source_vocab_overlap_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline11 import source_vocab_overlap
+
+    d = tmp_path_factory.mktemp("vocab")
+    spark.createDataFrame(
+        [(i, s, " ".join(toks)) for i, (s, toks) in enumerate(docs)],
+        "doc_id LONG, source STRING, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    vocab: dict[str, set[str]] = {}
+    for s, toks in docs:
+        vocab.setdefault(s, set()).update(toks)
+    want = {}
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            shared = len(vocab[sa] & vocab[sb])
+            if shared == 0:
+                continue  # the equi-join emits no row for disjoint vocabs
+            union = len(vocab[sa]) + len(vocab[sb]) - shared
+            want[(sa, sb)] = (
+                len(vocab[sa]),
+                len(vocab[sb]),
+                shared,
+                (1_000_000 * shared) // union,
+            )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["vocab_a"],
+            r["vocab_b"],
+            r["n_shared"],
+            r["jaccard_ppm"],
+        )
+        for r in source_vocab_overlap(spark, str(d)).collect()
+    }
+    assert got == want
