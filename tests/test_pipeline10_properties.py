@@ -241,7 +241,10 @@ def test_poisson_bootstrap_matches_bruteforce(spark, tmp_path_factory, cents):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
 
     def weight(key: int, b: int) -> int:
-        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:4], 16)
+        # one md5 per hash GROUP (b // 8), sliced per replicate (b % 8)
+        g, s = b // 8, b % 8
+        h = hashlib.md5(f"{key}:{g}".encode()).hexdigest()
+        u = int(h[4 * s : 4 * s + 4], 16)
         for w, th in enumerate(_BOOT_THRESH):
             if u < th:
                 return w
