@@ -103,6 +103,7 @@ HEADLINE = [
     "cohort_ltv_curve",
     "dedup_threshold_curve",
     "source_vocab_overlap",
+    "user_entropy_histogram",
 ]
 
 

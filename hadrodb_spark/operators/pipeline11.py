@@ -301,3 +301,92 @@ ORACLE["source_vocab_overlap"] = f"""
     JOIN sizes sb ON sb.source = inter.src_b
     ORDER BY src_a, src_b
 """
+
+
+# --- user_entropy_histogram ----------------------------------------------------
+# Per-user Shannon entropy over event types.  The per-(user, type) term is
+# ONE shared float text — two divisions and one LN in a fixed order —
+# rounded at 6 and summed as exact DECIMAL per user; the per-user entropy
+# is then an EXACT integer (×1e6), so the histogram bucket boundary is
+# integer arithmetic, never a float comparison.
+_ENT_TERM = (
+    "CAST(ROUND((CAST(c AS DOUBLE) / n) * LN(CAST(n AS DOUBLE) / c), 6)"
+    " AS DECIMAL(18,6))"
+)
+_ENT_BUCKET_E6 = 250_000  # 0.25-nat histogram buckets
+
+
+def user_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity audit: Shannon entropy of each user's
+    event-type distribution, reported as a bounded entropy histogram —
+    bots and single-purpose scripts sit in the low buckets, organic
+    users spread high; the per-ENTITY counterpart of the per-SOURCE
+    distribution audits (JS/KS/PSI).
+
+    Exactness: per-(user, type) counts are exact; each entropy term is
+    the shared fixed-op-order float text rounded at 6 and DECIMAL-summed
+    per user, so the ×1e6 entropy is an exact integer and the histogram
+    bucket is integer DIV — no float ever reaches a bucket boundary.
+
+    Scale shape: ONE map-side-combined (user, type) aggregate bounds
+    everything downstream by |users|·|types|; the per-user total is a
+    window over that aggregated relation partitioned by user (the
+    event_transition_matrix discipline); the final histogram is ≤ a few
+    dozen rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    ut = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "user_id",
+            "c",
+            F.expr("SUM(c) OVER (PARTITION BY user_id)").alias("n"),
+        )
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.expr(f"CAST(SUM({_ENT_TERM}) * 1000000 AS BIGINT)").alias(
+            "entropy_e6"
+        ),
+    )
+    return (
+        per_user.select(
+            F.expr(f"entropy_e6 DIV {_ENT_BUCKET_E6}").alias("bucket"),
+            "n_events",
+            "entropy_e6",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.min("entropy_e6").cast("bigint").alias("min_entropy_e6"),
+            F.max("entropy_e6").cast("bigint").alias("max_entropy_e6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["user_entropy_histogram"] = f"""
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    norm AS (
+      SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS n FROM ut
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(SUM({_ENT_TERM}) * 1000000 AS BIGINT) AS entropy_e6
+      FROM norm GROUP BY user_id
+    )
+    SELECT entropy_e6 // {_ENT_BUCKET_E6} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MIN(entropy_e6) AS BIGINT) AS min_entropy_e6,
+           CAST(MAX(entropy_e6) AS BIGINT) AS max_entropy_e6
+    FROM per_user
+    GROUP BY bucket
+    ORDER BY bucket
+"""

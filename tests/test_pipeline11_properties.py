@@ -175,3 +175,66 @@ def test_source_vocab_overlap_matches_bruteforce(spark, tmp_path_factory, docs):
         for r in source_vocab_overlap(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_user_entropy_matches_bruteforce(spark, tmp_path_factory, data):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadrodb_spark.operators.pipeline11 import (
+        _ENT_BUCKET_E6,
+        user_entropy_histogram,
+    )
+
+    def round6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    d = tmp_path_factory.mktemp("ent")
+    epoch = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, u, t, epoch) for i, (u, t) in enumerate(data)],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    counts: dict[tuple[int, str], int] = {}
+    totals: dict[int, int] = {}
+    for u, t in data:
+        counts[(u, t)] = counts.get((u, t), 0) + 1
+        totals[u] = totals.get(u, 0) + 1
+    ent: dict[int, int] = {}
+    for u, n in totals.items():
+        s = Decimal(0)
+        for (uu, _), c in counts.items():
+            if uu == u:
+                s += round6((c / n) * math.log(n / c))
+        ent[u] = int(s * 1_000_000)
+    want: dict[int, tuple[int, int, int, int]] = {}
+    for u, e in ent.items():
+        b = e // _ENT_BUCKET_E6
+        nu, ne, lo, hi = want.get(b, (0, 0, None, None))
+        want[b] = (
+            nu + 1,
+            ne + totals[u],
+            e if lo is None else min(lo, e),
+            e if hi is None else max(hi, e),
+        )
+    got = {
+        r["bucket"]: (
+            r["n_users"],
+            r["n_events"],
+            r["min_entropy_e6"],
+            r["max_entropy_e6"],
+        )
+        for r in user_entropy_histogram(spark, str(d)).collect()
+    }
+    assert got == want
