@@ -107,7 +107,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # || yields NULL) — every NULL asset landing in ONE bucket is the
     # quadratic blow-up the banding exists to avoid.
     tl = shared_persist(
-        ("phash_tiles", sf_dir),
+        ("phash_tiles", spark.sparkContext.applicationId, sf_dir),
         lambda: tile_hashes(media).filter(F.col("tiles").isNotNull()),
     )
     bands = tl.select(

@@ -58,7 +58,7 @@ def ranker_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     scored = shared_persist(
-        ("ranker_vocab_scored", sf_dir),
+        ("ranker_vocab_scored", spark.sparkContext.applicationId, sf_dir),
         lambda: docs.select(
             "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
         )

@@ -219,22 +219,28 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: vocabulary sets are exact distinct (term, source) pairs
     from one aggregate; intersections are exact counts from an equi
-    self-join on term; Jaccard is integer ppm.
+    self-join on term; Jaccard is integer ppm.  EVERY source pair is
+    emitted — disjoint vocabularies appear with n_shared = 0 (the pair
+    grid comes from the tiny sizes relation, so "jaccard 0" is never
+    confusable with "pair not evaluated").
 
-    Scale shape: the corpus reduces to the (term, source) relation in
-    ONE distinct aggregate (bounded by |vocab|·|sources|); the
-    intersection self-join is equi on term with fan-out ≤ |sources|²
-    per term; per-source vocab sizes broadcast back onto the
-    |sources|²/2-row pair relation.  Never touches raw rows twice.
+    Scale shape: the (term, source) relation is built in ONE distinct
+    aggregate and PERSISTED via the shared registry (three plan
+    subtrees — sizes and both self-join sides — would otherwise each
+    re-run the corpus tokenize pass); the intersection self-join is
+    equi on term with fan-out ≤ |sources|² per term; the full pair grid
+    and vocab sizes are |sources|-bounded broadcasts.
     """
     from hadrodb_spark.functions import text as X
+    from hadrodb_spark.operators.shared import shared_persist
 
-    ts = (
-        load(spark, sf_dir, "documents")
+    ts = shared_persist(
+        ("vocab_ts", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "documents")
         .select(
             F.explode(X.tokens(F.col("text"))).alias("term"), "source"
         )
-        .distinct()
+        .distinct(),
     )
     sizes = ts.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
     a, b = ts.alias("a"), ts.alias("b")
@@ -249,26 +255,22 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    grid = sa.crossJoin(F.broadcast(sb)).filter(F.col("src_a") < F.col("src_b"))
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("source").alias("src_a"),
-                                     F.col("vocab").alias("vocab_a"))),
-            "src_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("source").alias("src_b"),
-                                     F.col("vocab").alias("vocab_b"))),
-            "src_b",
-        )
+        grid.join(F.broadcast(inter), ["src_a", "src_b"], "left")
         .select(
             "src_a",
             "src_b",
             F.col("vocab_a").cast("bigint").alias("vocab_a"),
             F.col("vocab_b").cast("bigint").alias("vocab_b"),
-            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared"),
             F.expr(
-                "CAST((1000000 * n_shared)"
-                " DIV (vocab_a + vocab_b - n_shared) AS BIGINT)"
+                "CAST((1000000 * COALESCE(n_shared, 0))"
+                " DIV (vocab_a + vocab_b - COALESCE(n_shared, 0)) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         .orderBy("src_a", "src_b")
@@ -289,16 +291,22 @@ ORACLE["source_vocab_overlap"] = f"""
       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
       FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
       GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT sa.source AS src_a, sa.vocab AS vocab_a,
+             sb.source AS src_b, sb.vocab AS vocab_b
+      FROM sizes sa CROSS JOIN sizes sb
+      WHERE sa.source < sb.source
     )
     SELECT src_a, src_b,
-           CAST(sa.vocab AS BIGINT) AS vocab_a,
-           CAST(sb.vocab AS BIGINT) AS vocab_b,
-           CAST(n_shared AS BIGINT) AS n_shared,
-           CAST((1000000 * n_shared)
-                // (sa.vocab + sb.vocab - n_shared) AS BIGINT) AS jaccard_ppm
-    FROM inter
-    JOIN sizes sa ON sa.source = inter.src_a
-    JOIN sizes sb ON sb.source = inter.src_b
+           CAST(vocab_a AS BIGINT) AS vocab_a,
+           CAST(vocab_b AS BIGINT) AS vocab_b,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           CAST((1000000 * COALESCE(n_shared, 0))
+                // (vocab_a + vocab_b - COALESCE(n_shared, 0)) AS BIGINT)
+             AS jaccard_ppm
+    FROM grid
+    LEFT JOIN inter USING (src_a, src_b)
     ORDER BY src_a, src_b
 """
 

@@ -156,8 +156,6 @@ def test_source_vocab_overlap_matches_bruteforce(spark, tmp_path_factory, docs):
     for i, sa in enumerate(srcs):
         for sb in srcs[i + 1:]:
             shared = len(vocab[sa] & vocab[sb])
-            if shared == 0:
-                continue  # the equi-join emits no row for disjoint vocabs
             union = len(vocab[sa]) + len(vocab[sb]) - shared
             want[(sa, sb)] = (
                 len(vocab[sa]),
