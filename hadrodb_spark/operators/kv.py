@@ -329,3 +329,80 @@ ORACLE["kv_history"] = f"""
     SELECT 2, COUNT(*), COUNT(*) FROM orders
     WHERE o_orderkey <= {_KEY_MAX} AND o_orderkey % {_DEL_MOD} = 0
 """
+
+
+# --- kv_erasure_audit ---------------------------------------------------------
+_ERASE_MOD = 13
+_erase_cache: dict[str, HadroCollection] = {}
+
+
+def kv_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit (the GDPR workflow on the Bitcask model):
+    tombstone every row of a data subject (keys divisible by 13), then
+    ``compact()`` — and PROVE the subject is physically gone by scanning
+    the raw segment files, where even the subject's tombstones must no
+    longer appear (an append-only log without compaction still *stores*
+    erased data; the reference acknowledges the need at
+    ``hadro/engine.py:53-54``).
+
+    Output: the subject's live row count before erasure (derivable —
+    oracle recomputes it from ``orders``), the subject's RAW physical
+    row count after compaction (the oracle pins the literal 0 — a hash
+    match proves the bytes are gone, not merely hidden), and the
+    surviving live count + exact cents total (proves erasure did not
+    disturb anyone else's data).
+
+    Scale shape: tombstoning is one distributed ``delete_where`` commit;
+    compaction is the existing scan→rewrite; both audits are key-column
+    aggregates over pruned scans.
+    """
+    src = _collection(spark, sf_dir)
+    if sf_dir not in _erase_cache:
+        copy_path = tempfile.mkdtemp(prefix="hadro_erase_") + "/orders_kv"
+        shutil.copytree(src.path, copy_path)
+        copy = HadroCollection(spark, copy_path)
+        copy.delete_where(F.col("o_orderkey") % _ERASE_MOD == 0)
+        copy.compact()
+        _erase_cache[sf_dir] = copy
+    copy = _erase_cache[sf_dir]
+    subject = F.col("o_orderkey") % _ERASE_MOD == 0
+    before = (
+        src.scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .filter(subject)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_subject_live_before"))
+    )
+    raw_after = (
+        spark.read.parquet(copy.path + "/segments")
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .filter(subject)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_subject_raw_after"))
+    )
+    live_after = (
+        copy.scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live_after"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_cents_after"),
+        )
+    )
+    return before.crossJoin(F.broadcast(raw_after)).crossJoin(
+        F.broadcast(live_after)
+    )
+
+
+ORACLE["kv_erasure_audit"] = f"""
+    SELECT CAST((SELECT COUNT(*) FROM ({_FINAL_STATE})
+                 WHERE o_orderkey % {_ERASE_MOD} = 0) AS BIGINT)
+             AS n_subject_live_before,
+           CAST(0 AS BIGINT) AS n_subject_raw_after,
+           CAST((SELECT COUNT(*) FROM ({_FINAL_STATE})
+                 WHERE o_orderkey % {_ERASE_MOD} <> 0) AS BIGINT)
+             AS n_live_after,
+           CAST((SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 FROM ({_FINAL_STATE})
+                 WHERE o_orderkey % {_ERASE_MOD} <> 0) AS BIGINT)
+             AS sum_cents_after
+"""
