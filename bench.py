@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_threshold_curve",
     "source_vocab_overlap",
     "user_entropy_histogram",
+    "kv_erasure_audit",
 ]
 
 
