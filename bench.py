@@ -105,6 +105,7 @@ HEADLINE = [
     "source_vocab_overlap",
     "user_entropy_histogram",
     "kv_erasure_audit",
+    "dau_wau_mau",
 ]
 
 

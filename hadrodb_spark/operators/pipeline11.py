@@ -398,3 +398,107 @@ ORACLE["user_entropy_histogram"] = f"""
     GROUP BY bucket
     ORDER BY bucket
 """
+
+
+# --- dau_wau_mau -----------------------------------------------------------
+# Sliding-window EXACT distinct at scale: per-(day, bucket) roaring-style
+# bitmaps (the bitmap_daily_distinct discipline — 32768-wide buckets, so
+# nothing is lost at the bucket boundary) are expanded map-side over the
+# 28 target days each day contributes to, then OR-merged per target day.
+# The expansion runs on the BOUNDED (day, bucket) bitmap relation — never
+# on raw events — which is what makes exact 28-day rolling distinct
+# feasible where a per-day COUNT DISTINCT over a range join is not.
+_MAU_DAYS = 28
+_WAU_DAYS = 7
+
+
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: daily / weekly / monthly active
+    users per day with the DAU/MAU stickiness ratio — EXACT, via
+    re-aggregatable bitmaps (``rolling_7d_active_users`` proves the
+    map-side-expansion idiom on raw rows; this is the form that
+    survives 100 TB: expansion over the day-bucket bitmap state).
+
+    Exactness: bitmap cardinalities are exact; stickiness is integer
+    ppm over non-negative operands.  Only observed-activity days are
+    emitted (a day inside another day's 28-day tail but with no events
+    of its own has no DAU and is not a reporting day).
+
+    Scale shape: ONE (day, bucket) bitmap aggregate bounds everything;
+    the 28× explode and OR-merge run on that relation (|days|·|buckets|
+    rows); the observed-days semi-join is a broadcast.  No range join,
+    no raw-row window.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(FLOOR((unix_micros(ts) DIV 1000000) / 86400) AS BIGINT)"
+        ).alias("day"),
+        F.col("user_id").alias("v"),
+    )
+    db = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(v)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm"))
+    days = db.select("day").distinct()
+    exp = db.select(
+        "bkt",
+        "bm",
+        F.explode(F.expr(f"sequence(0, {_MAU_DAYS - 1})")).alias("off"),
+        F.col("day"),
+    ).select(
+        (F.col("day") + F.col("off")).alias("tday"), "bkt", "bm", "off"
+    )
+    merged = exp.groupBy("tday", "bkt").agg(
+        F.expr("bitmap_or_agg(CASE WHEN off = 0 THEN bm END)").alias("dau_bm"),
+        F.expr(
+            f"bitmap_or_agg(CASE WHEN off < {_WAU_DAYS} THEN bm END)"
+        ).alias("wau_bm"),
+        F.expr("bitmap_or_agg(bm)").alias("mau_bm"),
+    )
+    counts = merged.groupBy("tday").agg(
+        F.sum(F.expr("bitmap_count(dau_bm)")).cast("bigint").alias("dau"),
+        F.sum(F.expr("bitmap_count(wau_bm)")).cast("bigint").alias("wau"),
+        F.sum(F.expr("bitmap_count(mau_bm)")).cast("bigint").alias("mau"),
+    )
+    return (
+        counts.join(
+            F.broadcast(days), counts.tday == days.day, "left_semi"
+        )
+        .select(
+            F.col("tday").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("CAST((1000000 * dau) DIV mau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["dau_wau_mau"] = f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                      user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    agg AS (
+      SELECT d.day,
+             COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+               AS dau,
+             COUNT(DISTINCT CASE WHEN u.day >= d.day - {_WAU_DAYS - 1}
+                            THEN u.user_id END) AS wau,
+             COUNT(DISTINCT u.user_id) AS mau
+      FROM days d
+      JOIN du u ON u.day BETWEEN d.day - {_MAU_DAYS - 1} AND d.day
+      GROUP BY d.day
+    )
+    SELECT day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           CAST((1000000 * dau) // mau AS BIGINT) AS stickiness_ppm
+    FROM agg
+    ORDER BY day
+"""

@@ -146,7 +146,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   vector_topk_ivfpq, multimodal_phash_neardup, hadrolog_compact_roundtrip,
 #   dedup_threshold_curve (lives in the dedup module block),
 #   source_vocab_overlap, user_entropy_histogram, kv_erasure_audit
-#   (lives in the kv module block),
+#   (lives in the kv module block), dau_wau_mau,
 #   + the pipeline9/pipeline10/pipeline11 tiers registered below.
 # NOTE: four of those names live inside modules registered wholesale in
 # the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt),

@@ -236,3 +236,47 @@ def test_user_entropy_matches_bruteforce(spark, tmp_path_factory, data):
         for r in user_entropy_histogram(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40)),  # (user, day)
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dau_wau_mau_matches_bruteforce(spark, tmp_path_factory, data):
+    from hadrodb_spark.operators.pipeline11 import (
+        _MAU_DAYS,
+        _WAU_DAYS,
+        dau_wau_mau,
+    )
+
+    d = tmp_path_factory.mktemp("dwm")
+    epoch = datetime.datetime(2024, 1, 1)
+    base_day = (epoch - datetime.datetime(1970, 1, 1)).days
+    spark.createDataFrame(
+        [
+            (i, u, epoch + datetime.timedelta(days=dd, hours=3))
+            for i, (u, dd) in enumerate(data)
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    by_day: dict[int, set[int]] = {}
+    for u, dd in data:
+        by_day.setdefault(base_day + dd, set()).add(u)
+    want = {}
+    for day in by_day:
+        dau = len(by_day[day])
+        wau = len(set().union(*[by_day.get(day - o, set())
+                                for o in range(_WAU_DAYS)]))
+        mau = len(set().union(*[by_day.get(day - o, set())
+                                for o in range(_MAU_DAYS)]))
+        want[day] = (dau, wau, mau, (1_000_000 * dau) // mau)
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"], r["stickiness_ppm"])
+        for r in dau_wau_mau(spark, str(d)).collect()
+    }
+    assert got == want
