@@ -853,3 +853,47 @@ def test_cohort_ltv_windows_post_aggregation(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     win = plan.index("Window")
     assert "partial_sum" in plan[win:], plan
+
+
+def test_dau_wau_mau_expands_bitmaps_not_rows(spark, sf_dir):
+    """The 28x expansion must run on the (day, bucket) bitmap aggregate —
+    the Generate sits downstream of the partial bitmap aggregate, and no
+    range join (nested loop) appears anywhere."""
+    from hadrodb_spark.operators.pipeline11 import dau_wau_mau
+
+    df = dau_wau_mau(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    gen = plan.index("Generate explode")
+    assert "partial_bitmap_construct_agg" in plan[gen:], plan
+
+
+def test_user_entropy_single_user_type_aggregate(spark, sf_dir):
+    """The entropy report's raw scan feeds ONE map-side-combined
+    (user, type) aggregate; every window and re-aggregate sits
+    downstream of it; no joins."""
+    from hadrodb_spark.operators.pipeline11 import user_entropy_histogram
+
+    df = user_entropy_histogram(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning(user_id")
+    assert "partial_count" in plan[ex:], plan
+
+
+def test_vocab_overlap_reuses_persisted_ts(spark, sf_dir):
+    """All three consumers of the (term, source) relation (sizes + both
+    self-join sides) must read the ONE persisted cache, not re-run the
+    corpus tokenize pass."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline11 import source_vocab_overlap
+
+    try:
+        df = source_vocab_overlap(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # each consumer is an InMemoryTableScan; the FileScans visible in
+        # toString are the cached relation's BUILD plan rendered inside
+        # each cache node, not separate executions
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        shared.release_shared()
