@@ -106,6 +106,9 @@ HEADLINE = [
     "user_entropy_histogram",
     "kv_erasure_audit",
     "dau_wau_mau",
+    "revenue_pareto_curve",
+    "anova_value_by_type",
+    "ship_lag_percentiles",
 ]
 
 

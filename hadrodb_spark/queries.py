@@ -31,6 +31,7 @@ from hadrodb_spark.operators import (
     pipeline9,
     pipeline10,
     pipeline11,
+    pipeline12,
     relational,
     relational2,
     relational3,
@@ -146,7 +147,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   vector_topk_ivfpq, multimodal_phash_neardup, hadrolog_compact_roundtrip,
 #   dedup_threshold_curve (lives in the dedup module block),
 #   source_vocab_overlap, user_entropy_histogram, kv_erasure_audit
-#   (lives in the kv module block), dau_wau_mau,
+#   (lives in the kv module block), dau_wau_mau, revenue_pareto_curve,
+#   anova_value_by_type, ship_lag_percentiles,
 #   + the pipeline9/pipeline10/pipeline11 tiers registered below.
 # NOTE: four of those names live inside modules registered wholesale in
 # the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt),
@@ -161,7 +163,9 @@ _register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
 #                       gate mutual information, epoch upsampling
 _register(pipeline10)  # ranker top-k agreement, shard balance,
 #                        classical seasonal decomposition
-_register(pipeline11)  # FK integrity audit, cohort LTV curve
+_register(pipeline11)  # FK integrity audit, cohort LTV curve, vocab overlap,
+#                        user entropy, exact rolling actives
+_register(pipeline12)  # revenue Pareto curve, one-way ANOVA, ship-lag percentiles
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -897,3 +897,42 @@ def test_vocab_overlap_reuses_persisted_ts(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         shared.release_shared()
+
+
+def test_pareto_windows_over_digit_buckets(spark, sf_dir):
+    """The Lorenz windows must run over the <= 12-row digit-bucket
+    relation: raw orders feed one custkey aggregate, buckets collapse
+    it, and only then do unpartitioned windows appear; no joins."""
+    from hadrodb_spark.operators.pipeline12 import revenue_pareto_curve
+
+    df = revenue_pareto_curve(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning(o_custkey")
+    assert "partial_sum" in plan[ex:], plan
+
+
+def test_anova_single_type_aggregate(spark, sf_dir):
+    """ANOVA reduces the corpus in ONE map-side-combined groupBy(type);
+    no joins, no windows over raw rows."""
+    from hadrodb_spark.operators.pipeline12 import anova_value_by_type
+
+    df = anova_value_by_type(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning(event_type")
+    assert "partial_count" in plan[ex:], plan
+
+
+def test_ship_lag_joins_keys_and_dates_only(spark, sf_dir):
+    """The fact-to-fact lag join must move only key + date columns
+    (projection pushed to both scans) and aggregate immediately."""
+    import re
+
+    from hadrodb_spark.operators.pipeline12 import ship_lag_percentiles
+
+    df = ship_lag_percentiles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(",") <= 2, schema  # <= 3 columns per scan
+    assert "CartesianProduct" not in plan, plan
