@@ -333,7 +333,6 @@ ORACLE["kv_history"] = f"""
 
 # --- kv_erasure_audit ---------------------------------------------------------
 _ERASE_MOD = 13
-_erase_cache: dict[str, HadroCollection] = {}
 
 
 def kv_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,14 +356,15 @@ def kv_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over pruned scans.
     """
     src = _collection(spark, sf_dir)
-    if sf_dir not in _erase_cache:
+    key = "erase:" + sf_dir
+    if key not in _cache:
         copy_path = tempfile.mkdtemp(prefix="hadro_erase_") + "/orders_kv"
         shutil.copytree(src.path, copy_path)
         copy = HadroCollection(spark, copy_path)
         copy.delete_where(F.col("o_orderkey") % _ERASE_MOD == 0)
         copy.compact()
-        _erase_cache[sf_dir] = copy
-    copy = _erase_cache[sf_dir]
+        _cache[key] = copy
+    copy = _cache[key]
     subject = F.col("o_orderkey") % _ERASE_MOD == 0
     before = (
         src.scan()
@@ -373,7 +373,7 @@ def kv_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_subject_live_before"))
     )
     raw_after = (
-        spark.read.parquet(copy.path + "/segments")
+        spark.read.parquet(copy._data_path)
         .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
         .filter(subject)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_subject_raw_after"))

@@ -438,7 +438,6 @@ def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = ev.groupBy(
         "day", F.expr("bitmap_bucket_number(v)").alias("bkt")
     ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm"))
-    days = db.select("day").distinct()
     exp = db.select(
         "bkt",
         "bm",
@@ -459,10 +458,13 @@ def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(wau_bm)")).cast("bigint").alias("wau"),
         F.sum(F.expr("bitmap_count(mau_bm)")).cast("bigint").alias("mau"),
     )
+    # observed-days gate: a tday with NO same-day activity has every
+    # dau_bm NULL and bitmap_count(NULL) = 0, so its dau sum is 0 — and an
+    # observed day always has dau >= 1, so the filter IS the semi-join (a
+    # second scan of events just to build a days relation would contradict
+    # the one-aggregate scale contract).
     return (
-        counts.join(
-            F.broadcast(days), counts.tday == days.day, "left_semi"
-        )
+        counts.filter(F.col("dau") > 0)
         .select(
             F.col("tday").alias("day"),
             "dau",

@@ -103,7 +103,9 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     within sums of squares from exact integer-cents moments.
 
     Exactness: per-type n / Σcents / Σcents² are exact DECIMAL(38,0)
-    sums (cents² overflows bigint at row scale); each group's SSW term
+    sums (cents² overflows bigint at row scale; SSW terms are
+    DECIMAL(38,6) — 1e32 integer headroom, far above any n·variance);
+    each group's SSW term
     (nᵢ·qᵢ − sᵢ²)/nᵢ is one shared float text rounded at 6 and
     DECIMAL-summed; SST − SSW and the F ratio are a single shared
     fixed-op-order float text rounded at 6.
@@ -126,7 +128,7 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happens inside this shared float text, rounded at 6, DECIMAL-summed.
     gterm = (
         "CAST(ROUND(CAST(ni * qi - si * si AS DOUBLE) / CAST(ni AS DOUBLE), 6)"
-        " AS DECIMAL(28,6))"
+        " AS DECIMAL(38,6))"
     )
     reduced = per_type.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -142,12 +144,17 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(n_dec AS BIGINT) - k AS BIGINT)").alias("df_within"),
         F.expr(
             # SST = Σq − s²/n; SSB = SST − SSW.  One fixed float op order.
-            "ROUND(((CAST(q_tot AS DOUBLE)"
+            # Degenerate inputs (zero within-group variance, or n = k) have
+            # no finite F — emit NULL identically on both engines instead
+            # of exposing IEEE-Infinity vs engine-error divergence.
+            "CASE WHEN ssw_sum = 0 OR CAST(n_dec AS BIGINT) = k THEN NULL"
+            " ELSE ROUND(((CAST(q_tot AS DOUBLE)"
             " - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)"
             "   / CAST(n_dec AS DOUBLE))"
             " - CAST(ssw_sum AS DOUBLE))"
             " / (k - 1)"
             " / (CAST(ssw_sum AS DOUBLE) / (CAST(n_dec AS BIGINT) - k)), 6)"
+            " END"
         ).alias("f_stat"),
     )
 
@@ -270,20 +277,21 @@ ORACLE: dict[str, str] = {
                  SUM(qi) AS q_tot,
                  SUM(CAST(ROUND(CAST(ni * qi - si * si AS DOUBLE)
                                 / CAST(ni AS DOUBLE), 6)
-                     AS DECIMAL(28,6))) AS ssw_sum
+                     AS DECIMAL(38,6))) AS ssw_sum
           FROM per_type
         )
         SELECT k,
                CAST(n_dec AS BIGINT) AS n,
                CAST(k - 1 AS BIGINT) AS df_between,
                CAST(CAST(n_dec AS BIGINT) - k AS BIGINT) AS df_within,
-               ROUND(((CAST(q_tot AS DOUBLE)
+               CASE WHEN ssw_sum = 0 OR CAST(n_dec AS BIGINT) = k THEN NULL
+               ELSE ROUND(((CAST(q_tot AS DOUBLE)
                        - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
                          / CAST(n_dec AS DOUBLE))
                       - CAST(ssw_sum AS DOUBLE))
                      / (k - 1)
                      / (CAST(ssw_sum AS DOUBLE)
-                        / (CAST(n_dec AS BIGINT) - k)), 6) AS f_stat
+                        / (CAST(n_dec AS BIGINT) - k)), 6) END AS f_stat
         FROM reduced
     """,
     "ship_lag_percentiles": """

@@ -150,8 +150,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   (lives in the kv module block), dau_wau_mau, revenue_pareto_curve,
 #   anova_value_by_type, ship_lag_percentiles,
 #   + the pipeline9/pipeline10/pipeline11 tiers registered below.
-# NOTE: four of those names live inside modules registered wholesale in
-# the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt),
+# NOTE: six of those names live inside modules registered wholesale in
+# the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt/
+# dedup: dedup_threshold_curve / kv: kv_erasure_audit),
 # so _register's dedup makes any late only= call for them a no-op — their
 # physical positions are scattered within the below-window region.  That
 # is harmless to the driver (it verifies positions 0-49 only), but the

@@ -119,7 +119,10 @@ def test_anova_matches_bruteforce(spark, tmp_path_factory, data):
         k - 1,
         n - k,
     )
-    if n > k:
+    if n == k or ssw == 0:
+        # degenerate: no finite F — both engines emit NULL by contract
+        assert row["f_stat"] is None
+    else:
         sst = float(q_tot) - float(s_tot) * float(s_tot) / float(n)
         f = ((sst - float(ssw)) / (k - 1)) / (float(ssw) / (n - k))
         assert _round6(row["f_stat"]) == _round6(f)
