@@ -65,35 +65,76 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1/r2/r3/r4 CORRECTNESS key sets).  Cumulative driver coverage after four
-# disjoint windows: 188/222 (r1 relational tier; r2 pipeline3/sqlsuite/
-# pipeline4 tier; r3 dedup/vector/KV/text/multimodal tier; r4 analytics/
-# asof/pipeline5/relational3/relational4 tier).  The round-5 window
-# (sessionize + the 34 r4-session additions + 15 re-checks) was frozen and
-# committed at end of round 5; CORRECTNESS_r05.json had NOT yet landed when
-# round 6 started, so its outcome is assumed-green per the r1-r4 local-
-# mirror reliability record (237/238).
+# r1/r2/r3/r4 CORRECTNESS key sets).  Cumulative driver coverage entering
+# round 8: 236/276 (r1 relational; r2 pipeline3/sqlsuite/pipeline4; r3
+# dedup/vector/KV/text/multimodal; r4 analytics/asof/pipeline5/
+# relational3/relational4; r5 sessionize + the 34 r4-session additions;
+# r6/r7 the dedup_incremental/kv-tier/interchange/pipeline7/pipeline6
+# window — r7 shipped no changes so its window repeated r6's).
 #
-# ROUND-6 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (per NEXT.md round-6 triage):
-#   [0-24]  the 25 entries registered below the round-5 window with no
-#           driver row anywhere in r1-r4: dedup_incremental, the kv
-#           storage tier (time travel / diff / MERGE / optimize /
-#           export-import / history), ngram_novelty, the CSV/XML/JSONL
-#           interchange tiers, join_interval_overlap, and the 13-entry
-#           pipeline7 audit tier
-#   [25-49] insurance re-checks: sessionize (r4's one red row — its fix
-#           rode the r5 window, re-verified here in case r5 never ran) +
-#           hadrolog_scan_decode (fixture now builds through the
-#           DataSource writer) + orc_roundtrip_scan + asof tolerance +
-#           the 21-entry pipeline6 tier.  If r05 landed green these are
-#           cheap re-checks; if it never landed, 25 of its 35 rows get
-#           their first driver verification here instead of slipping a
-#           round.
+# ROUND-8 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (VERDICT r7 task #1: rotate onto the 40 entries with no
+# green row in ANY CORRECTNESS_r1-r7, computed from the artifacts at r8
+# start — the set matches the round-6/round-7 verdict lists exactly):
+#   [0-39]  the 40 never-driver-verified entries, grouped by module:
+#           asof (join_scd2_temporal), dedup (dedup_threshold_curve),
+#           similarity (embedding_cluster_cohesion, ann_range_search,
+#           vector_topk_ivfpq), kv (kv_erasure_audit), textops
+#           (dedup_rate_by_source, classifier_agreement_kappa,
+#           vocab_coverage), pipeline2 (length_gate_disc),
+#           multimodal_ops (multimodal_phash_neardup), nativefmt
+#           (hadrolog_compact_roundtrip), pipeline3 (source_js_divergence,
+#           mixture_apply), sqlsuite (sql_recursive_copurchase),
+#           relational4 (window_rolling_median,
+#           window_first_last_ignore_nulls), pipeline8 (5), pipeline9 (5),
+#           pipeline10 (5), pipeline11 (5), pipeline12 (3).
+#   [40-49] re-checks of everything round-8's own diffs touch plus
+#           high-value greens: source_ks_shift (grid-bound rework this
+#           round), hadrolog_scan_decode (writer property-test round),
+#           vector_topk + vector_topk_kmeans_ivf (recall-contract round
+#           touches similarity.py), sql_tpch_q9_like (retire the r7
+#           jitter reading with a fresh driver row), sql_tpch_q1_like,
+#           scan_lineitem, dedup_near, sessionize, curation_pipeline.
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  New round-6 queries register BELOW the window (round-7
-# queue), same procedure as rounds 3-6.
-_register(dedup, only=["dedup_incremental"])
+# OF THIS ROUND.  New round-8 queries register BELOW the window (round-9
+# queue), same procedure as rounds 3-7.  After a green r8 the cumulative
+# driver coverage is 276/276 — every registry entry certified at least
+# once.
+_register(asof, only=["join_scd2_temporal"])
+_register(dedup, only=["dedup_threshold_curve"])
+_register(similarity, only=[
+    "embedding_cluster_cohesion", "ann_range_search", "vector_topk_ivfpq",
+])
+_register(kv, only=["kv_erasure_audit"])
+_register(textops, only=[
+    "dedup_rate_by_source", "classifier_agreement_kappa", "vocab_coverage",
+])
+_register(pipeline2, only=["length_gate_disc"])
+_register(multimodal_ops, only=["multimodal_phash_neardup"])
+_register(nativefmt, only=["hadrolog_compact_roundtrip"])
+_register(pipeline3, only=["source_js_divergence", "mixture_apply"])
+_register(sqlsuite, only=["sql_recursive_copurchase"])
+_register(relational4, only=[
+    "window_rolling_median", "window_first_last_ignore_nulls",
+])
+_register(pipeline8)   # PSI drift, k-anonymity, embargo split, PCA, Markov
+_register(pipeline9)   # dow seasonality, winsorize, Gini/HHI, MI, upsample
+_register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
+#                        calibration bins, Poisson bootstrap CI
+_register(pipeline11)  # FK integrity, cohort LTV, vocab overlap,
+#                        user entropy, exact rolling actives
+_register(pipeline12)  # revenue Pareto, one-way ANOVA, ship-lag percentiles
+# positions 40-49: re-checks (see header note)
+_register(pipeline7, only=["source_ks_shift"])
+_register(nativefmt, only=["hadrolog_scan_decode"])
+_register(similarity, only=["vector_topk", "vector_topk_kmeans_ivf"])
+_register(sqlsuite, only=["sql_tpch_q9_like"])
+_register(relational, only=["sql_tpch_q1_like", "scan_lineitem"])
+_register(dedup, only=["dedup_near"])
+_register(sessionize, only=["sessionize"])
+_register(pipeline2, only=["curation_pipeline"])
+# --- verified tiers (after the window; every entry below has a green row
+# in some CORRECTNESS_r1-r7) ---
 _register(kv, only=[
     "kv_time_travel", "kv_snapshot_diff", "kv_merge_equivalence",
     "kv_optimize_equivalence", "kv_export_import_roundtrip", "kv_history",
@@ -101,16 +142,13 @@ _register(kv, only=[
 _register(textops, only=["ngram_novelty"])
 _register(nativefmt, only=[
     "csv_roundtrip_scan", "xml_roundtrip_scan", "jsonl_roundtrip_scan",
+    "orc_roundtrip_scan",
 ])
 _register(relational4, only=["join_interval_overlap"])
-_register(pipeline7)  # the 13-entry session-3 audit tier
-# positions 25-49: insurance re-checks (see header note)
-_register(sessionize, only=["sessionize"])
-_register(nativefmt, only=["hadrolog_scan_decode", "orc_roundtrip_scan"])
+_register(pipeline7)
 _register(asof, only=["asof_events_tolerance"])
-_register(pipeline6)  # the 21-entry session-2 tier
-# --- verified tiers (after the window; every entry below has a green row
-# in CORRECTNESS_r1/r2/r3/r4) ---
+_register(pipeline6)
+_register(dedup, only=["dedup_incremental"])
 _register(sessionize)  # funnel_conversion (green r4)
 _register(relational4, only=[
     "lateral_topk", "agg_map_counts", "date_arithmetic",
@@ -140,33 +178,9 @@ _register(relational4)
 _register(relational)
 _register(relational2)
 _register(pipeline7)  # round-6 queue, session-3 additions
-# --- ROUND-7 QUEUE — collect BY NAME at r7 START, not by position.
-# The queue is every entry with no driver row after the round-6 window:
-#   sql_recursive_copurchase, drift_psi_monthly, k_anonymity_audit,
-#   temporal_split_embargo, embedding_pca_top, event_transition_matrix,
-#   vector_topk_ivfpq, multimodal_phash_neardup, hadrolog_compact_roundtrip,
-#   dedup_threshold_curve (lives in the dedup module block),
-#   source_vocab_overlap, user_entropy_histogram, kv_erasure_audit
-#   (lives in the kv module block), dau_wau_mau, revenue_pareto_curve,
-#   anova_value_by_type, ship_lag_percentiles,
-#   + the pipeline9/pipeline10/pipeline11 tiers registered below.
-# NOTE: six of those names live inside modules registered wholesale in
-# the verified tiers above (sqlsuite/similarity/multimodal_ops/nativefmt/
-# dedup: dedup_threshold_curve / kv: kv_erasure_audit),
-# so _register's dedup makes any late only= call for them a no-op — their
-# physical positions are scattered within the below-window region.  That
-# is harmless to the driver (it verifies positions 0-49 only), but the
-# r7 rotation MUST gather the queue by the name list above, then reorder
-# the first 50 as usual.
-_register(pipeline8)  # PSI drift, k-anonymity, temporal embargo split,
-#                       fixed-point power-iteration PCA, Markov transitions
-_register(pipeline9)  # dow seasonality, winsorized stats, source Gini/HHI,
-#                       gate mutual information, epoch upsampling
-_register(pipeline10)  # ranker top-k agreement, shard balance,
-#                        classical seasonal decomposition
-_register(pipeline11)  # FK integrity audit, cohort LTV curve, vocab overlap,
-#                        user entropy, exact rolling actives
-_register(pipeline12)  # revenue Pareto curve, one-way ANOVA, ship-lag percentiles
+# --- ROUND-9 QUEUE marker: the old round-7 queue (the 40 entries) was
+# rotated INTO the round-8 window above.  New round-8 queries register
+# from here DOWN; collect them BY NAME at r9 start (same procedure).
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
