@@ -169,6 +169,25 @@ def main() -> None:
     t_all1, s_all1 = cpu_stat()
     steal_pct = round(100.0 * (s_all1 - s_all0) / max(t_all1 - t_all0, 1), 2)
 
+    # Noise-floor self-labeling (round-7 verdict task #7): when host steal
+    # exceeded ~2% during the measurement pass, cross-round comparisons are
+    # archaeology (measured ±35% swings on identical bits).  We do NOT
+    # refuse to emit — the driver records whatever stdout ends with, and an
+    # empty artifact is worse than a labelled one — instead we (a) take one
+    # extra warm pass so `best` gets a sample from a hopefully-calmer
+    # window, and (b) stamp the line with `noisy` so readers know which
+    # rounds to trust.
+    retry_steal_pct = None
+    if steal_pct > 2.0:
+        t_r0, s_r0 = cpu_stat()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best[name] = round(min(best[name], time.perf_counter() - t0), 3)
+        t_r1, s_r1 = cpu_stat()
+        retry_steal_pct = round(100.0 * (s_r1 - s_r0) / max(t_r1 - t_r0, 1), 2)
+    noisy = steal_pct > 2.0 and (retry_steal_pct is None or retry_steal_pct > 2.0)
+
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
     # BENCH_r01 covered only the first 15 queries, BENCH_r02 the first 27;
@@ -176,28 +195,49 @@ def main() -> None:
     # comparisons stay one-line computable as the list grows append-only.
     r01_subset = round(sum(warm[n] for n in HEADLINE[:15]), 3)
     r02_subset = round(sum(warm[n] for n in HEADLINE[:27]), 3)
+    totals = {
+        "metric": "headline_queries_total_runtime",
+        "value": total_warm,
+        "unit": "sec",
+        "sf": sf,
+        "total_cold": total_cold,
+        "total_warm_best": round(sum(best.values()), 3),
+        "r01_comparable_warm_total": r01_subset,
+        "r02_comparable_warm_total": r02_subset,
+        "r01_comparable_warm_best_total": round(
+            sum(best[n] for n in HEADLINE[:15]), 3
+        ),
+        "r02_comparable_warm_best_total": round(
+            sum(best[n] for n in HEADLINE[:27]), 3
+        ),
+        "steal_pct": steal_pct,
+        "retry_steal_pct": retry_steal_pct,
+        "noisy": noisy,
+        "n_queries": len(HEADLINE),
+    }
+    # Full per-query detail (all three maps) goes to a side file: the
+    # driver records only a 2000-char stdout tail, and the full line
+    # outgrew it rounds ago (6.2 kB at 70 queries) — that is why
+    # BENCH_r06/r07 show `parsed: null`.  The FINAL stdout line is kept
+    # compact (< ~800 chars): every total/subtotal plus the warm times of
+    # the 15 round-1-comparable queries, which are the only per-query
+    # numbers BASELINE.md comparisons use.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {**totals, "queries": warm, "queries_cold": cold,
+             "queries_warm_best": best},
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total_warm,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "total_cold": total_cold,
-                "r01_comparable_warm_total": r01_subset,
-                "r02_comparable_warm_total": r02_subset,
-                "queries_warm_best": best,
-                "total_warm_best": round(sum(best.values()), 3),
-                "r01_comparable_warm_best_total": round(
-                    sum(best[n] for n in HEADLINE[:15]), 3
-                ),
-                "r02_comparable_warm_best_total": round(
-                    sum(best[n] for n in HEADLINE[:27]), 3
-                ),
-                "steal_pct": steal_pct,
-                "sf": sf,
-            }
+            {**totals,
+             "queries": {n: warm[n] for n in HEADLINE[:15]},
+             "detail_file": "BENCH_DETAIL.json"},
+            separators=(",", ":"),
         )
     )
 
