@@ -85,6 +85,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grid-cardinality cap for source_ks_shift: lengths clamp to this value
+# before the ECDF grid is built, so the grid is ≤ |sources| × (_KS_CAP+1)
+# rows by construction.  Single-sourced into the Spark query, the DuckDB
+# oracle, and the plan/property tests.
+_KS_CAP = 16384
+
+
 def source_ks_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution shift as the EXACT two-sample
     Kolmogorov–Smirnov statistic of document length (``n_chars``) against
@@ -101,18 +108,27 @@ def source_ks_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts aggregate (one map-side-combinable shuffle) is persisted via
     the shared registry and every other relation (per-source totals,
     distinct values, the global CDF) derives from it, so the raw table
-    never feeds the grid directly.  The evaluation grid is |sources| ×
-    |distinct lengths| — bounded by construction (document lengths are
-    bounded; sources are a catalog), NOT by row count, so the cross join
-    and the per-source cumulative windows run over a relation ~10⁴ rows
-    at ANY corpus scale.  The single-partition global-CDF window is over
-    |distinct lengths| rows only.  bigint headroom: 10⁶·n_s·N overflows
-    int64 only past ~10⁹ total docs per 10⁹-doc source — switch the
-    final DIV to DECIMAL(38,0) arithmetic if a corpus ever gets there.
+    never feeds the grid directly.  The evaluation grid is PROVABLY
+    bounded at |sources| × (_KS_CAP + 1): lengths clamp to
+    ``LEAST(n_chars, _KS_CAP)`` before counting, so an adversarial corpus
+    of all-distinct multi-megabyte documents still yields ≤ 16 385 grid
+    values per source (r7 VERDICT task #4 — previously the bound was an
+    argument about typical length distributions, not a structural one).
+    Everything ≥ the cap collapses to one ECDF point: the statistic is
+    the exact KS of the cap-censored length distribution, which keeps
+    full resolution over the (0, 16384] range where real document-length
+    shift lives and loses only tail resolution.  The cross join and the
+    per-source cumulative windows therefore run over a relation ~10⁴
+    rows at ANY corpus scale; the single-partition global-CDF window is
+    over ≤ 16 385 rows.  bigint headroom: 10⁶·n_s·N overflows int64 only
+    past ~10⁹ total docs per 10⁹-doc source — switch the final DIV to
+    DECIMAL(38,0) arithmetic if a corpus ever gets there.
     """
     from hadrodb_spark.operators import shared
 
-    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.least(F.col("n_chars"), F.lit(_KS_CAP)).alias("n_chars")
+    )
     counts = shared.shared_persist(
         ("source_ks_counts", spark.sparkContext.applicationId, sf_dir),
         lambda: docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c")),
@@ -766,20 +782,23 @@ ORACLE: dict[str, str] = {
                  AS leak_test_ppm
         FROM agg
     """,
-    "source_ks_shift": """
-        WITH counts AS (
+    "source_ks_shift": f"""
+        WITH docs AS (
+          SELECT source, LEAST(n_chars, {_KS_CAP}) AS n_chars FROM documents
+        ),
+        counts AS (
           SELECT source, n_chars, COUNT(*) AS c
-          FROM documents GROUP BY source, n_chars
+          FROM docs GROUP BY source, n_chars
         ),
         totals AS (
-          SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+          SELECT source, COUNT(*) AS n_s FROM docs GROUP BY source
         ),
-        vals AS (SELECT DISTINCT n_chars FROM documents),
+        vals AS (SELECT DISTINCT n_chars FROM docs),
         gcum AS (
           SELECT n_chars,
                  SUM(c_all) OVER (ORDER BY n_chars) AS cum_all,
                  SUM(c_all) OVER () AS n_total
-          FROM (SELECT n_chars, COUNT(*) AS c_all FROM documents GROUP BY n_chars)
+          FROM (SELECT n_chars, COUNT(*) AS c_all FROM docs GROUP BY n_chars)
         ),
         grid AS (
           SELECT t.source, v.n_chars, t.n_s,
