@@ -109,6 +109,9 @@ HEADLINE = [
     "revenue_pareto_curve",
     "anova_value_by_type",
     "ship_lag_percentiles",
+    # round-8 additions — subtract for cross-round total comparisons;
+    # prefix subtotals stay comparable
+    "ann_recall_audit",
 ]
 
 

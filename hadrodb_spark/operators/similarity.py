@@ -1023,3 +1023,76 @@ def _pq_oracle(ivf_prune: bool = False) -> str:
 
 ORACLE["vector_topk_pq"] = _pq_oracle()
 ORACLE["vector_topk_ivfpq"] = _pq_oracle(ivf_prune=True)
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k for the whole ANN family against the brute-force
+    truth (r7 VERDICT task #6) — the standard ANN eval harness as a
+    first-class query, upgrading the family's quality story from boolean
+    gates (``vector_topk_kmeans_ivf``'s recall-ok flag) to an
+    oracle-pinned NUMBER per index shape.
+
+    Every index here (IVF label-cell probe, SQ int8 scan, PQ 16×16 ADC,
+    IVF+PQ composite) is deterministic and SQL-expressible, so the DuckDB
+    twin recomputes each index's top-k AND the exact top-k and measures
+    the same intersection — recall is hash-checked end to end, not
+    asserted.  Output is exact integers only: (method, k, hits,
+    recall_ppm) with recall_ppm = 10⁶·hits DIV k.
+
+    Scale shape: each branch is the already-audited plan of its parent
+    query (broadcast probes, pruned scans — no corpus×corpus join); the
+    final intersection joins two ≤k-row TakeOrdered results, and the
+    union is 4 single-row aggregates.  At 100 TB this runs exactly as
+    often as you'd run an index-quality eval — per index build, not per
+    query — and costs one brute-force scan plus the index probes."""
+    truth = vector_topk(spark, sf_dir).select("vec_id")
+    outs = []
+    for mname, fn in (
+        ("ivf", vector_topk_ivf),
+        ("ivfpq", vector_topk_ivfpq),
+        ("pq", vector_topk_pq),
+        ("sq", vector_topk_sq),
+    ):
+        hits = (
+            fn(spark, sf_dir)
+            .select("vec_id")
+            .join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        outs.append(
+            hits.select(
+                F.lit(mname).alias("method"),
+                F.lit(_TOPK).cast("bigint").alias("k"),
+                F.col("hits").cast("bigint").alias("hits"),
+                F.expr(f"CAST((1000000 * hits) DIV {_TOPK} AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("method")
+
+
+def _recall_oracle() -> str:
+    """Each method's oracle SQL re-runs as a nested subquery; recall is
+    the size of its vec_id intersection with the brute-force truth."""
+    truth = ORACLE["vector_topk"]
+    blocks = []
+    for mname in ("ivf", "ivfpq", "pq", "sq"):
+        method_sql = ORACLE[f"vector_topk_{mname}"]
+        blocks.append(
+            f"""SELECT '{mname}' AS method,
+                   CAST({_TOPK} AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS hits,
+                   CAST((1000000 * COUNT(*)) // {_TOPK} AS BIGINT) AS recall_ppm
+            FROM (SELECT vec_id FROM ({method_sql}) __m) a
+            JOIN (SELECT vec_id FROM ({truth}) __t) t USING (vec_id)"""
+        )
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks) + ") ORDER BY method"
+    )
+
+
+ORACLE["ann_recall_audit"] = _recall_oracle()

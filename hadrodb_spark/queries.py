@@ -181,6 +181,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # --- ROUND-9 QUEUE marker: the old round-7 queue (the 40 entries) was
 # rotated INTO the round-8 window above.  New round-8 queries register
 # from here DOWN; collect them BY NAME at r9 start (same procedure).
+# Round-9 queue so far (names live mid-registry inside wholesale-registered
+# modules — collect by NAME, not position):
+#   ann_recall_audit (similarity.py — measured recall@k for the ANN family)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
