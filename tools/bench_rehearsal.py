@@ -1,0 +1,82 @@
+"""sf1.0 bench rehearsal (r7 VERDICT task #3): run the N most expensive
+headline queries at a larger scale factor (built by ``make_scale.py``) and
+print one BENCH-style JSON line, so the SCALE.md plan arguments get
+MEASUREMENTS — per-query wall time should grow ~linearly (≤ ~10× at 10×
+data for the scan-bound queries; the bounded-cardinality aggregates grow
+sub-linearly), and nothing should blow up driver memory.
+
+``python tools/bench_rehearsal.py <sf_dir> [name ...]``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = [
+    "poisson_bootstrap_ci",
+    "sql_tpch_q9_like",
+    "sql_recursive_copurchase",
+    "basket_lift",
+    "vector_topk_ivfpq",
+    "collocation_pmi",
+    "curation_pipeline",
+    "contamination_ngram",
+    "fk_integrity_audit",
+    "source_ks_shift",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+    names = sys.argv[2:] or DEFAULT
+
+    from hadrodb_spark.queries import QUERIES
+    from hadrodb_spark.session import get_spark
+
+    spark = get_spark("hadrodb_spark_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def cpu_stat():
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return sum(v), v[7]
+
+    t0s, s0s = cpu_stat()
+    cold, warm = {}, {}
+    for name in names:
+        for which in (cold, warm):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            which[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
+    t1s, s1s = cpu_stat()
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_rehearsal_warm_total",
+                "value": round(sum(warm.values()), 3),
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "queries": warm,
+                "queries_cold": cold,
+                "steal_pct": round(
+                    100.0 * (s1s - s0s) / max(t1s - t0s, 1), 2
+                ),
+            },
+            separators=(",", ":"),
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""Synthesize a larger scale factor from an existing one for PERFORMANCE
+REHEARSAL (r7 VERDICT task #3) — never for correctness oracles.
+
+``python tools/make_scale.py <src_sf_dir> <dst_dir> <replicas>`` writes
+``<dst_dir>/*.parquet`` holding ``replicas`` copies of every fact table
+with primary/foreign keys remapped consistently per replica (new_key =
+key + r·(max_key+1)), so join fan-outs, group cardinalities, and skew
+shapes scale the way a genuinely larger corpus would instead of every
+key's row count inflating 10×.  Dimension tables (region, nation) keep
+their fixed catalog cardinality.  The embeddings query vector
+(vec_id = 0) exists only in replica 0, so top-k queries stay
+single-query-vector.
+
+DuckDB does the rewrite (vectorized, zero Spark involvement); events'
+TIMESTAMP(NANOS) column becomes TIMESTAMP(MICROS), which
+``relational.load`` already normalizes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# table -> {column: key-space it belongs to}; every key space is offset by
+# r * (max over its OWNING table's primary key + 1) in replica r.
+KEY_SPACES = {
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "lineitem": ("lineitem", None),  # no own key space
+    "supplier": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+    "events": ("events", "event_id"),
+}
+
+REMAP = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+    "events": {"event_id": "events"},
+}
+
+DIMS = ("region", "nation")
+
+
+def main() -> int:
+    src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    offsets = {}
+    for space, (tbl, key) in KEY_SPACES.items():
+        if key is None:
+            continue
+        (mx,) = con.execute(
+            f"SELECT MAX({key}) FROM read_parquet('{src}/{tbl}.parquet')"
+        ).fetchone()
+        offsets[space] = int(mx) + 1
+
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+
+    for t, remap in REMAP.items():
+        cols = con.execute(
+            f"SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0"
+        ).description
+        sel = ", ".join(
+            f"{name} + r.r * {offsets[remap[name]]} AS {name}"
+            if name in remap
+            else name
+            for name, *_ in cols
+        )
+        con.execute(
+            f"""COPY (
+              SELECT {sel}
+              FROM read_parquet('{src}/{t}.parquet'),
+                   (SELECT UNNEST(generate_series(0, {reps - 1})) AS r) r
+            ) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+        (n,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()
+        print(f"{t}: {n} rows ({reps}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
