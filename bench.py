@@ -112,6 +112,8 @@ HEADLINE = [
     # round-8 additions — subtract for cross-round total comparisons;
     # prefix subtotals stay comparable
     "ann_recall_audit",
+    "dsir_importance",
+    "bigram_xent",
 ]
 
 

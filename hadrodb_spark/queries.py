@@ -32,6 +32,7 @@ from hadrodb_spark.operators import (
     pipeline10,
     pipeline11,
     pipeline12,
+    pipeline13,
     relational,
     relational2,
     relational3,
@@ -184,6 +185,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # Round-9 queue so far (names live mid-registry inside wholesale-registered
 # modules — collect by NAME, not position):
 #   ann_recall_audit (similarity.py — measured recall@k for the ANN family)
+#   dsir_importance, bigram_xent (pipeline13.py — DSIR data selection,
+#   bigram-LM perplexity proxy)
+_register(pipeline13)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -936,3 +936,35 @@ def test_ship_lag_joins_keys_and_dates_only(spark, sf_dir):
     for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         assert schema.count(",") <= 2, schema  # <= 3 columns per scan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_no_cartesian_and_broadcast_scoring(spark, sf_dir):
+    """DSIR's scoring join must broadcast the 64-row log-ratio relation
+    against the (doc, bucket) counts — never shuffle or cartesian the
+    count side against it — and the only crossJoins allowed are the
+    1-row totals broadcasts."""
+    from hadrodb_spark.operators.pipeline13 import dsir_importance
+
+    df = dsir_importance(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the doc-level counts aggregate exists and is partial (map-side
+    # combined) before its exchange
+    ex = plan.index("Exchange hashpartitioning(doc_id")
+    assert "partial_count" in plan[ex:] or "partial_sum" in plan[ex:], plan
+
+
+def test_bigram_xent_single_gram_aggregate(spark, sf_dir):
+    """bigram_xent must build ONE (doc, bigram) counts relation and derive
+    corpus totals from it by window sums — a second aggregate of the gram
+    relation (the vocab-join shape unigram_logprob's review killed) would
+    re-explode the corpus."""
+    from hadrodb_spark.operators.pipeline13 import bigram_xent
+
+    df = bigram_xent(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # exactly one exchange keyed by the bigram text (the window re-sorts
+    # reuse it); a second would mean the gram relation aggregated twice
+    assert plan.count("Exchange hashpartitioning(bg") <= 1, plan
