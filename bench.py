@@ -191,7 +191,12 @@ def main() -> None:
             best[name] = round(min(best[name], time.perf_counter() - t0), 3)
         t_r1, s_r1 = cpu_stat()
         retry_steal_pct = round(100.0 * (s_r1 - s_r0) / max(t_r1 - t_r0, 1), 2)
-    noisy = steal_pct > 2.0 and (retry_steal_pct is None or retry_steal_pct > 2.0)
+    # `noisy` labels the pass the WARM fields came from: the retry can only
+    # refresh `best` (warm's second-run semantics are frozen since r1), so
+    # a calm retry must NOT clear the flag — value / r01 / r02 warm totals
+    # still carry the noisy window.  retry_steal_pct tells readers whether
+    # the *_warm_best fields got calm samples.
+    noisy = steal_pct > 2.0
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)

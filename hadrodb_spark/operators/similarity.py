@@ -1044,8 +1044,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     final intersection joins two ≤k-row TakeOrdered results, and the
     union is 4 single-row aggregates.  At 100 TB this runs exactly as
     often as you'd run an index-quality eval — per index build, not per
-    query — and costs one brute-force scan plus the index probes."""
-    truth = vector_topk(spark, sf_dir).select("vec_id")
+    query — and costs one brute-force scan plus the index probes.  The
+    truth top-k persists via the shared registry (key includes the
+    applicationId per shared.py's contract): without it Catalyst re-ran
+    the full brute scan once per method branch — 4 scans, found in the
+    round-8 review."""
+    truth = shared.shared_persist(
+        ("ann_truth", spark.sparkContext.applicationId, sf_dir),
+        lambda: vector_topk(spark, sf_dir).select("vec_id"),
+    )
     outs = []
     for mname, fn in (
         ("ivf", vector_topk_ivf),

@@ -32,8 +32,12 @@ KEY_SPACES = {
     "supplier": ("supplier", "s_suppkey"),
     "part": ("part", "p_partkey"),
     "documents": ("documents", "doc_id"),
-    "embeddings": ("embeddings", "vec_id"),
     "events": ("events", "event_id"),
+    # no "embeddings" space: vec_id lives in the DOCUMENTS key space —
+    # embedding_quality_join / knn-style queries join vec_id = doc_id, so
+    # remapping it independently would pair replica-r vectors with
+    # replica-0 documents (review finding, round 8)
+    "users": ("events", "user_id"),
 }
 
 REMAP = {
@@ -47,8 +51,12 @@ REMAP = {
     "supplier": {"s_suppkey": "supplier"},
     "part": {"p_partkey": "part"},
     "documents": {"doc_id": "documents"},
-    "embeddings": {"vec_id": "embeddings"},
-    "events": {"event_id": "events"},
+    "embeddings": {"vec_id": "documents"},
+    # user_id remaps too: without it every user gets replicas-fold MORE
+    # events (deeper per-user partitions) instead of the corpus getting
+    # replicas-fold more USERS — the opposite of how a larger corpus
+    # actually scales user-keyed windows/sessionization
+    "events": {"event_id": "events", "user_id": "users"},
 }
 
 DIMS = ("region", "nation")
