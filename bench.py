@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_recall_audit",
     "dsir_importance",
     "bigram_xent",
+    "dim_truncation_recall",
 ]
 
 

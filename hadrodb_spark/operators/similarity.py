@@ -1103,3 +1103,90 @@ def _recall_oracle() -> str:
 
 
 ORACLE["ann_recall_audit"] = _recall_oracle()
+
+
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation quality audit — "how many leading dimensions
+    can ANN drop?": recall@k of top-k computed on the first d dims
+    against the full-dimension truth, for d ∈ 8/16/32 of 64.  The
+    matryoshka/storage question every 100 TB vector deployment asks
+    before halving its index footprint.
+
+    Exactness: each branch is the ``vector_topk`` discipline (rounded
+    cosine, vec_id tiebreak, LIMIT k); hits/recall are exact integers.
+    The full-dim truth persists via the shared registry (one brute scan
+    total, not one per truncation level — the ann_recall_audit lesson).
+
+    Scale: per level one map-only scan + TakeOrdered; the intersection
+    joins two k-row relations; output is |levels| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    truth = shared.shared_persist(
+        ("ann_truth", spark.sparkContext.applicationId, sf_dir),
+        lambda: vector_topk(spark, sf_dir).select("vec_id"),
+    )
+    outs = []
+    for d in _TRUNC_DIMS:
+        q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+            F.slice("embedding", 1, d).alias("q_emb")
+        )
+        top = (
+            emb.filter(F.col("vec_id") != _QUERY_ID)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(
+                    V.cosine(F.slice("embedding", 1, d), F.col("q_emb")), 6
+                ).alias("cs"),
+            )
+            .orderBy(F.col("cs").desc(), F.col("vec_id"))
+            .limit(_TOPK)
+        )
+        outs.append(
+            top.join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(d).cast("bigint").alias("dims_kept"),
+                F.lit(_TOPK).cast("bigint").alias("k"),
+                F.col("hits").cast("bigint").alias("hits"),
+                F.expr(f"CAST((1000000 * hits) DIV {_TOPK} AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dims_kept")
+
+
+def _dim_truncation_oracle() -> str:
+    truth = ORACLE["vector_topk"]
+    blocks = []
+    for d in _TRUNC_DIMS:
+        cs = V.sql_cosine("embedding[1:{d}]".format(d=d), "q.q_emb")
+        blocks.append(
+            f"""SELECT CAST({d} AS BIGINT) AS dims_kept,
+                   CAST({_TOPK} AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS hits,
+                   CAST((1000000 * COUNT(*)) // {_TOPK} AS BIGINT) AS recall_ppm
+            FROM (
+              SELECT vec_id FROM embeddings,
+                   (SELECT embedding[1:{d}] AS q_emb FROM embeddings
+                    WHERE vec_id = {_QUERY_ID}) q
+              WHERE vec_id <> {_QUERY_ID}
+              ORDER BY ROUND({cs}, 6) DESC, vec_id
+              LIMIT {_TOPK}
+            ) t
+            JOIN (SELECT vec_id FROM ({truth}) __t) tr USING (vec_id)"""
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY dims_kept"
+    )
+
+
+ORACLE["dim_truncation_recall"] = _dim_truncation_oracle()

@@ -187,6 +187,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   ann_recall_audit (similarity.py — measured recall@k for the ANN family)
 #   dsir_importance, bigram_xent (pipeline13.py — DSIR data selection,
 #   bigram-LM perplexity proxy)
+#   dim_truncation_recall (similarity.py)
 _register(pipeline13)
 
 
