@@ -1025,6 +1025,17 @@ ORACLE["vector_topk_pq"] = _pq_oracle()
 ORACLE["vector_topk_ivfpq"] = _pq_oracle(ivf_prune=True)
 
 
+def _shared_ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force top-k truth, persisted once per (app, sf_dir) —
+    ONE cache key and ONE build lambda for every audit that joins against
+    it (ann_recall_audit, dim_truncation_recall), so the key and the
+    truth shape cannot drift apart between call sites."""
+    return shared.shared_persist(
+        ("ann_truth", spark.sparkContext.applicationId, sf_dir),
+        lambda: vector_topk(spark, sf_dir).select("vec_id"),
+    )
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k for the whole ANN family against the brute-force
     truth (r7 VERDICT task #6) — the standard ANN eval harness as a
@@ -1049,10 +1060,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     applicationId per shared.py's contract): without it Catalyst re-ran
     the full brute scan once per method branch — 4 scans, found in the
     round-8 review."""
-    truth = shared.shared_persist(
-        ("ann_truth", spark.sparkContext.applicationId, sf_dir),
-        lambda: vector_topk(spark, sf_dir).select("vec_id"),
-    )
+    truth = _shared_ann_truth(spark, sf_dir)
     outs = []
     for mname, fn in (
         ("ivf", vector_topk_ivf),
@@ -1123,10 +1131,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per level one map-only scan + TakeOrdered; the intersection
     joins two k-row relations; output is |levels| rows."""
     emb = load(spark, sf_dir, "embeddings")
-    truth = shared.shared_persist(
-        ("ann_truth", spark.sparkContext.applicationId, sf_dir),
-        lambda: vector_topk(spark, sf_dir).select("vec_id"),
-    )
+    truth = _shared_ann_truth(spark, sf_dir)
     outs = []
     for d in _TRUNC_DIMS:
         q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
