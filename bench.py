@@ -115,6 +115,7 @@ HEADLINE = [
     "dsir_importance",
     "bigram_xent",
     "dim_truncation_recall",
+    "stream_tumbling_equivalence",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Driver-checkable STREAMING rows (SURVEY.md §2.2 streaming family).
+
+Until round 8 the streaming tier was unit-test-only by design: the driver
+gate compares batch DataFrames, and a running stream has no batch result.
+``availableNow`` closes that gap — the query here runs the REAL Structured
+Streaming engine (micro-batch planner, state store, sink commit log) over
+a bounded file source, terminates, and returns the sink's contents as a
+batch DataFrame the DuckDB oracle can hash-match.  That upgrades the
+streaming family's certification from "unit tests assert it" to "the
+driver's value hash proves micro-batched execution equals the batch
+semantics".
+
+Scale notes: the fixture split (8 files, maxFilesPerTrigger=2 ⇒ ≥ 4
+micro-batches) forces genuine incremental state accumulation; complete
+output mode makes the final table partition- and batching-invariant, so
+the equivalence is exact no matter how the files land in batches.  At
+100 TB the same topology runs with append mode + watermark eviction
+(tested in tests/test_streaming*.py); complete mode here is what makes
+the result a closed-form batch relation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadrodb_spark.operators.relational import load
+from hadrodb_spark.streaming.events import EVENT_SCHEMA, tumbling_counts
+
+ROWS_ONLY: tuple[str, ...] = ()
+
+_FIXTURE_VERSION = 1
+
+
+def _stream_events_dir(sf_dir: str) -> str:
+    """Fixture cache dir, fingerprinted like nativefmt._native_events_dir
+    (absolute path + size + mtime of the source events table) so a
+    regenerated dataset never reuses stale stream files."""
+    import hashlib
+
+    src = os.path.join(os.path.realpath(sf_dir), "events.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = src
+    tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"stream_events_{_FIXTURE_VERSION}_{tag}"
+    )
+
+
+def _build_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """events.parquet (TIMESTAMP NANOS) rewritten as 8 µs-timestamp files —
+    the multi-commit segment directory a collection's appenders produce.
+    Atomic publish via rename; staging next to dest (no EXDEV)."""
+    staging = tempfile.mkdtemp(
+        prefix="stream_events_build_", dir=tempfile.gettempdir()
+    )
+    try:
+        load(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed by the STREAMING engine — file
+    source (2 files per trigger ⇒ incremental state over ≥ 4 real
+    micro-batches), ``tumbling_counts``, complete-mode memory sink,
+    ``availableNow`` trigger — returned as the finished batch relation.
+    The oracle aggregates the same windows directly from parquet: a hash
+    match proves micro-batched stateful execution converged to exactly
+    the batch answer.
+
+    Output discipline: window bounds as UTC strings (no raw timestamps),
+    counts bigint, value totals decimal-summed then double."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _stream_events_dir(sf_dir)
+    if not os.path.isdir(fixture):
+        _build_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(fixture)
+    )
+    name = f"stct_{uuid.uuid4().hex}"
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+    return out.orderBy("ws", "event_type")
+
+
+ORACLE: dict[str, str] = {
+    "stream_tumbling_equivalence": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws, event_type
+    """,
+}

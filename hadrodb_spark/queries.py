@@ -42,6 +42,7 @@ from hadrodb_spark.operators import (
     sketch,
     skew,
     sqlsuite,
+    streamcheck,
     textops,
 )
 
@@ -188,7 +189,10 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   dsir_importance, bigram_xent (pipeline13.py — DSIR data selection,
 #   bigram-LM perplexity proxy)
 #   dim_truncation_recall (similarity.py)
+#   stream_tumbling_equivalence (streamcheck.py — first oracle-backed
+#   STREAMING row: availableNow micro-batched run vs batch SQL)
 _register(pipeline13)
+_register(streamcheck)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
