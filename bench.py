@@ -116,6 +116,7 @@ HEADLINE = [
     "bigram_xent",
     "dim_truncation_recall",
     "stream_tumbling_equivalence",
+    "stream_dedup_equivalence",
 ]
 
 

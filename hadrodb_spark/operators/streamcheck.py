@@ -127,3 +127,85 @@ ORACLE: dict[str, str] = {
         ORDER BY ws, event_type
     """,
 }
+
+
+def _build_dup_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """events plus an exact duplicate of the even-event_id half, the
+    duplicates written as SEPARATE files from the originals so the dedup
+    state must survive across micro-batches to catch them."""
+    staging = tempfile.mkdtemp(
+        prefix="stream_dup_build_", dir=tempfile.gettempdir()
+    )
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(staging)
+        ev.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode(
+            "append"
+        ).parquet(staging)
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup state proven against batch semantics: the fixture
+    holds every event PLUS an exact duplicate of the even-id half in
+    separate files, the stream drops duplicates by event_id within the
+    watermark (state hash-partitioned by key — the 100 TB shape), and the
+    deduped sink must aggregate to EXACTLY the original duplicate-free
+    events table.  Emission in append mode is immediate (first arrival
+    wins; the watermark only bounds state), so the bounded availableNow
+    run surfaces the full deduped set.
+
+    The per-type aggregate runs batch-side over the sink table, keeping
+    the compared relation |event_type| rows with decimal-exact sums."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _stream_events_dir(sf_dir) + "_dup"
+    if not os.path.isdir(fixture):
+        _build_dup_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(fixture)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stdd_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["stream_dedup_equivalence"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
