@@ -117,6 +117,7 @@ HEADLINE = [
     "dim_truncation_recall",
     "stream_tumbling_equivalence",
     "stream_dedup_equivalence",
+    "stream_session_equivalence",
 ]
 
 

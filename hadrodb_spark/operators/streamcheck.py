@@ -209,3 +209,126 @@ ORACLE["stream_dedup_equivalence"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def _build_session_stream_fixture(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """events split into 8 TIME-RANGE files written in event-time order
+    (increasing mtimes ⇒ the file source replays them chronologically, so
+    no record is ever late for the watermark), plus one far-future
+    sentinel event (user_id = −1, max ts + 10 days) whose arrival
+    advances the watermark past every real session's end — the standard
+    trick for draining session state from a bounded replay."""
+    staging = tempfile.mkdtemp(
+        prefix="stream_sess_build_", dir=tempfile.gettempdir()
+    )
+    try:
+        import time as _time
+
+        ev = load(spark, sf_dir, "events").withColumn(
+            "_es", F.unix_timestamp("ts")
+        )
+        bounds = ev.select(
+            F.expr(
+                "percentile(_es, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+            ).alias("b"),
+            F.max("_es").alias("mx"),
+        ).collect()[0]
+        cuts = [float("-inf")] + [float(x) for x in bounds["b"]] + [float("inf")]
+        for i in range(8):
+            ev.filter(
+                (F.col("_es") >= cuts[i]) & (F.col("_es") < cuts[i + 1])
+            ).drop("_es").coalesce(1).write.mode("append").parquet(staging)
+            _time.sleep(0.05)  # strictly increasing file mtimes
+        sentinel_ts = int(bounds["mx"]) + 10 * 24 * 3600
+        spark.createDataFrame(
+            [(10**9, sentinel_ts, -1, "sentinel", 0.0, "{}")],
+            "event_id long, es long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("es").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("append").parquet(staging)
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window MERGE state proven against batch semantics — the
+    hardest stateful path (sessions split across micro-batches must merge
+    in the state store; closed sessions flush only when the watermark
+    passes their end + gap).  The chronological 8-file replay keeps every
+    record on-time; the far-future sentinel (user −1) closes all real
+    sessions; the sentinel's own session stays open and therefore never
+    emits.  Output equals the islands-algorithm batch sessions computed
+    by the DuckDB oracle — the same cross-algebra check
+    ``session_window_batch`` runs, now through the streaming engine."""
+    import uuid
+
+    from hadrodb_spark.streaming.events import session_windows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _stream_events_dir(sf_dir) + "_sess"
+    if not os.path.isdir(fixture):
+        _build_session_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(fixture)
+    )
+    name = f"stse_{uuid.uuid4().hex}"
+    q = (
+        session_windows(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["stream_session_equivalence"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""

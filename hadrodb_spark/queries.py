@@ -189,9 +189,10 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   dsir_importance, bigram_xent (pipeline13.py — DSIR data selection,
 #   bigram-LM perplexity proxy)
 #   dim_truncation_recall (similarity.py)
-#   stream_tumbling_equivalence, stream_dedup_equivalence (streamcheck.py
-#   — first oracle-backed STREAMING rows: availableNow micro-batched
-#   runs vs batch SQL; windowed-agg state + dedup state)
+#   stream_tumbling_equivalence, stream_dedup_equivalence,
+#   stream_session_equivalence (streamcheck.py — first oracle-backed
+#   STREAMING rows: availableNow micro-batched runs vs batch SQL;
+#   windowed-agg state + dedup state + session-merge state)
 _register(pipeline13)
 _register(streamcheck)
 

@@ -1,0 +1,106 @@
+"""Pins for the streaming-equivalence rows (operators/streamcheck.py).
+
+The registry entries hash-match DuckDB per round; these tests pin the two
+ENGINE behaviors the equivalences lean on, so a Spark upgrade that changes
+them fails HERE with a readable assertion instead of as a driver red row:
+
+1. ``dropDuplicatesWithinWatermark`` under adversarial file order — a
+   record arriving far below the watermark is still EMITTED (late rows are
+   not dropped by the dedup operator), and its duplicate arriving in a
+   later micro-batch is still SUPPRESSED even though the watermark has
+   long passed the event time.  Both properties together make
+   ``stream_dedup_equivalence`` file-order-robust.
+2. Session windows under ``availableNow`` — sessions split across
+   micro-batches merge in state; a far-future sentinel flushes every real
+   session; the sentinel's own (still-open) session never emits.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+import uuid
+
+from pyspark.sql import functions as F  # noqa: F401 (schema literals below)
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_file(spark, d, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    time.sleep(0.05)  # strictly increasing file mtimes => batch order
+
+
+def _run_available_now(stream_df, mode: str):
+    name = f"pin_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def test_dedup_within_watermark_late_semantics(spark, tmp_path):
+    """Late original emitted; later-batch duplicate of a long-expired key
+    still suppressed — the two halves of the dedup-equivalence contract."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "probe"
+    new = dt.datetime(2024, 1, 30, 12, 0, 0)
+    old = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # batch 1: a fresh event pushes the watermark ~29 days past `old`
+    _write_file(spark, d, [(1, new, 10, "a", 1.0, "")])
+    # batch 2: a VERY late original — must still be emitted
+    _write_file(spark, d, [(2, old, 11, "a", 1.0, "")])
+    # batch 3: its duplicate — must still be suppressed
+    _write_file(spark, d, [(2, old, 11, "a", 1.0, "")])
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = _run_available_now(stream, "append")
+    rows = sorted(
+        tuple(r) for r in spark.table(name).select("event_id", "user_id").collect()
+    )
+    assert rows == [(1, 10), (2, 11)], rows
+
+
+def test_session_windows_merge_and_sentinel_drain(spark, tmp_path):
+    """Cross-batch session merge + sentinel flush + open-session holdback."""
+    from hadrodb_spark.streaming.events import session_windows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "sess"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # user 10's burst is split across two files: the two halves land in
+    # different micro-batches and must merge inside the session state
+    _write_file(spark, d, [(1, t0, 10, "a", 1.0, ""), (2, t0 + 10 * m, 11, "a", 1.0, "")])
+    _write_file(spark, d, [(3, t0 + 20 * m, 10, "a", 1.0, ""), (4, t0 + 60 * m, 11, "a", 1.0, "")])
+    _write_file(spark, d, [(99, t0 + dt.timedelta(days=10), -1, "z", 0.0, "")])
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = _run_available_now(session_windows(stream), "append")
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    assert rows == [
+        (10, "2024-01-01 12:00:00", 2),   # merged across batches
+        (11, "2024-01-01 12:10:00", 1),
+        (11, "2024-01-01 13:00:00", 1),   # >30 min gap => second session
+    ], rows  # sentinel (user -1) must NOT appear: its session never closed
