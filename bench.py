@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_tumbling_equivalence",
     "stream_dedup_equivalence",
     "stream_session_equivalence",
+    "stream_join_equivalence",
 ]
 
 

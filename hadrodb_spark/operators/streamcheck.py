@@ -332,3 +332,93 @@ ORACLE["stream_session_equivalence"] = """
     FROM g GROUP BY user_id, sid
     ORDER BY user_id, session_start
 """
+
+
+def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join state proven against batch semantics:
+    purchases within 1 hour AFTER a signup by the same user, both sides
+    read as streams with 2-hour watermarks and a time-bound condition
+    (the only formulation whose state survives unbounded input).  The
+    chronological replay makes eviction provably safe: when a purchase at
+    time t arrives, every signup it can match (s_ts ≥ t − 1 h) is still
+    ≥ 1 h above the watermark (≤ t − 2 h), so no match is ever lost to
+    state cleanup — and inner-join rows emit as soon as the second side
+    arrives, so no sentinel flush is needed either.  The batch oracle is
+    the plain interval self-join.
+
+    The output aggregates the match set batch-side (per signup-hour
+    counts, decimal-exact purchase value) to keep the compared relation
+    small and tie-free."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _stream_events_dir(sf_dir) + "_sess"
+    if not os.path.isdir(fixture):
+        _build_session_stream_fixture(spark, sf_dir, fixture)
+
+    def _side(tp: str, prefix: str):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(fixture)
+            .filter(F.col("event_type") == tp)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    joined = _side("signup", "s").join(
+        _side("purchase", "p"),
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = f"stjn_{uuid.uuid4().hex}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "signup_hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.countDistinct("s_id").cast("bigint").alias("n_signups_matched"),
+            F.sum(F.col("p_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("signup_hour")
+    )
+
+
+ORACLE["stream_join_equivalence"] = """
+    WITH m AS (
+      SELECT s.event_id AS s_id, s.ts AS s_ts, p.value AS p_value
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = s.user_id
+       AND p.ts >= s.ts
+       AND p.ts <= s.ts + INTERVAL '1 hour'
+    )
+    SELECT strftime(date_trunc('hour', s_ts), '%Y-%m-%d %H:%M:%S') AS signup_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT s_id) AS BIGINT) AS n_signups_matched,
+           CAST(SUM(CAST(p_value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+    FROM m
+    GROUP BY 1
+    ORDER BY signup_hour
+"""
