@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_dedup_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
+    "stream_custom_state_equivalence",
 ]
 
 

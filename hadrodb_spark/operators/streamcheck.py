@@ -422,3 +422,70 @@ ORACLE["stream_join_equivalence"] = """
     GROUP BY 1
     ORDER BY signup_hour
 """
+
+
+def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY stateful processing (``applyInPandasWithState`` — the
+    escape hatch windowed aggregation can't express) proven against batch
+    semantics: the per-user running counter emits an updated snapshot
+    every micro-batch it sees the user; the LAST snapshot per user (max
+    running count — the counter is monotone) must equal the plain batch
+    per-user count.  The compared contract is integer-only by design:
+    the state payload's float total depends on accumulation order inside
+    pandas, so it is exercised by the unit tests' per-batch prefix-sum
+    assertions, not by the cross-engine hash.
+
+    The sentinel user (−1) is filtered stream-side; real users aggregate
+    from the same chronological 8-file replay the other equivalences use,
+    so each user's snapshots genuinely accumulate across micro-batches."""
+    import uuid
+
+    from hadrodb_spark.streaming.ingest import running_user_totals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _stream_events_dir(sf_dir) + "_sess"
+    if not os.path.isdir(fixture):
+        _build_session_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(fixture)
+        .filter(F.col("user_id") >= 0)
+    )
+    name = f"stcs_{uuid.uuid4().hex}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_snapshots"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            # every user must have accumulated over >1 micro-batch for the
+            # state path to be genuinely exercised — surfaced as a boolean
+            # so the oracle can assert it as a constant
+            (F.col("n_snapshots") > 1).alias("multi_batch"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["stream_custom_state_equivalence"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS multi_batch
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
