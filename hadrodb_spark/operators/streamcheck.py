@@ -36,6 +36,54 @@ ROWS_ONLY: tuple[str, ...] = ()
 _FIXTURE_VERSION = 1
 
 
+def _build_fixture(dest: str, build) -> None:
+    """Run ``build(staging)`` then atomically publish staging → dest.
+    Staging lives under gettempdir() like dest, so the rename never
+    crosses a filesystem (no EXDEV); any failure cleans staging, and a
+    lost publish race is fine when the winner's dest exists."""
+    staging = tempfile.mkdtemp(
+        prefix="streq_build_", dir=tempfile.gettempdir()
+    )
+    try:
+        build(staging)
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(dest):
+            raise
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def _run_bounded(spark: SparkSession, stream_df: DataFrame, mode: str) -> str:
+    """availableNow run into a uniquely-named memory sink; returns the
+    sink's table name after the query terminates."""
+    import uuid
+
+    name = f"streq_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def _drain(spark: SparkSession, name: str, final_df: DataFrame) -> DataFrame:
+    """Materialize the compared (small) relation driver-side and DROP the
+    memory sink's temp view — the sink holds every emitted row in driver
+    memory for the session lifetime otherwise (round-8 review finding:
+    repeated bench/verify invocations each leaked a full sink copy)."""
+    rows = final_df.collect()
+    schema = final_df.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 def _stream_events_dir(sf_dir: str) -> str:
     """Fixture cache dir, fingerprinted like nativefmt._native_events_dir
     (absolute path + size + mtime of the source events table) so a
@@ -56,23 +104,14 @@ def _stream_events_dir(sf_dir: str) -> str:
 
 def _build_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> None:
     """events.parquet (TIMESTAMP NANOS) rewritten as 8 µs-timestamp files —
-    the multi-commit segment directory a collection's appenders produce.
-    Atomic publish via rename; staging next to dest (no EXDEV)."""
-    staging = tempfile.mkdtemp(
-        prefix="stream_events_build_", dir=tempfile.gettempdir()
+    the multi-commit segment directory a collection's appenders produce."""
+    _build_fixture(
+        dest,
+        lambda staging: load(spark, sf_dir, "events")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(staging),
     )
-    try:
-        load(spark, sf_dir, "events").repartition(8).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        os.rename(staging, dest)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.isdir(dest):
-            raise
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
 
 
 def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,8 +125,6 @@ def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output discipline: window bounds as UTC strings (no raw timestamps),
     counts bigint, value totals decimal-summed then double."""
-    import uuid
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir)
     if not os.path.isdir(fixture):
@@ -97,23 +134,14 @@ def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(fixture)
     )
-    name = f"stct_{uuid.uuid4().hex}"
-    q = (
-        tumbling_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _run_bounded(spark, tumbling_counts(stream), "complete")
     out = spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
     )
-    return out.orderBy("ws", "event_type")
+    return _drain(spark, name, out).orderBy("ws", "event_type")
 
 
 ORACLE: dict[str, str] = {
@@ -133,23 +161,15 @@ def _build_dup_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> No
     """events plus an exact duplicate of the even-event_id half, the
     duplicates written as SEPARATE files from the originals so the dedup
     state must survive across micro-batches to catch them."""
-    staging = tempfile.mkdtemp(
-        prefix="stream_dup_build_", dir=tempfile.gettempdir()
-    )
-    try:
+
+    def build(staging: str) -> None:
         ev = load(spark, sf_dir, "events")
         ev.repartition(4).write.mode("overwrite").parquet(staging)
         ev.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode(
             "append"
         ).parquet(staging)
-        os.rename(staging, dest)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.isdir(dest):
-            raise
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
+
+    _build_fixture(dest, build)
 
 
 def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,8 +184,6 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-type aggregate runs batch-side over the sink table, keeping
     the compared relation |event_type| rows with decimal-exact sums."""
-    import uuid
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_dup"
     if not os.path.isdir(fixture):
@@ -177,16 +195,8 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"stdd_{uuid.uuid4().hex}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
+    name = _run_bounded(spark, stream, "append")
+    out = (
         spark.table(name)
         .groupBy("event_type")
         .agg(
@@ -196,8 +206,8 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        .orderBy("event_type")
     )
+    return _drain(spark, name, out).orderBy("event_type")
 
 
 ORACLE["stream_dedup_equivalence"] = """
@@ -220,10 +230,8 @@ def _build_session_stream_fixture(
     sentinel event (user_id = −1, max ts + 10 days) whose arrival
     advances the watermark past every real session's end — the standard
     trick for draining session state from a bounded replay."""
-    staging = tempfile.mkdtemp(
-        prefix="stream_sess_build_", dir=tempfile.gettempdir()
-    )
-    try:
+
+    def build(staging: str) -> None:
         import time as _time
 
         ev = load(spark, sf_dir, "events").withColumn(
@@ -254,14 +262,8 @@ def _build_session_stream_fixture(
             "value",
             "props",
         ).coalesce(1).write.mode("append").parquet(staging)
-        os.rename(staging, dest)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.isdir(dest):
-            raise
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
+
+    _build_fixture(dest, build)
 
 
 def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,8 +276,6 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits.  Output equals the islands-algorithm batch sessions computed
     by the DuckDB oracle — the same cross-algebra check
     ``session_window_batch`` runs, now through the streaming engine."""
-    import uuid
-
     from hadrodb_spark.streaming.events import session_windows
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -287,27 +287,15 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(fixture)
     )
-    name = f"stse_{uuid.uuid4().hex}"
-    q = (
-        session_windows(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    name = _run_bounded(spark, session_windows(stream), "append")
+    out = spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.col("n_events").cast("bigint").alias("n_events"),
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .select(
-            "user_id",
-            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            F.col("n_events").cast("bigint").alias("n_events"),
-        )
-        .orderBy("user_id", "session_start")
-    )
+    return _drain(spark, name, out).orderBy("user_id", "session_start")
 
 
 ORACLE["stream_session_equivalence"] = """
@@ -349,8 +337,6 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output aggregates the match set batch-side (per signup-hour
     counts, decimal-exact purchase value) to keep the compared relation
     small and tie-free."""
-    import uuid
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_sess"
     if not os.path.isdir(fixture):
@@ -378,16 +364,8 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     )
-    name = f"stjn_{uuid.uuid4().hex}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
+    name = _run_bounded(spark, joined, "append")
+    out = (
         spark.table(name)
         .groupBy(
             F.date_format(F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -401,8 +379,8 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("purchase_value"),
         )
-        .orderBy("signup_hour")
     )
+    return _drain(spark, name, out).orderBy("signup_hour")
 
 
 ORACLE["stream_join_equivalence"] = """
@@ -438,8 +416,6 @@ def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     The sentinel user (−1) is filtered stream-side; real users aggregate
     from the same chronological 8-file replay the other equivalences use,
     so each user's snapshots genuinely accumulate across micro-batches."""
-    import uuid
-
     from hadrodb_spark.streaming.ingest import running_user_totals
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -452,17 +428,8 @@ def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(fixture)
         .filter(F.col("user_id") >= 0)
     )
-    name = f"stcs_{uuid.uuid4().hex}"
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
+    name = _run_bounded(spark, running_user_totals(stream), "update")
+    out = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -477,8 +444,8 @@ def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             # so the oracle can assert it as a constant
             (F.col("n_snapshots") > 1).alias("multi_batch"),
         )
-        .orderBy("user_id")
     )
+    return _drain(spark, name, out).orderBy("user_id")
 
 
 ORACLE["stream_custom_state_equivalence"] = """

@@ -21,8 +21,6 @@ import datetime as dt
 import time
 import uuid
 
-from pyspark.sql import functions as F  # noqa: F401 (schema literals below)
-
 _SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string,"
     " value double, props string"
