@@ -120,6 +120,7 @@ HEADLINE = [
     "stream_session_equivalence",
     "stream_join_equivalence",
     "stream_custom_state_equivalence",
+    "stream_sink_collection_equivalence",
 ]
 
 

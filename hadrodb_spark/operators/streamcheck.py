@@ -456,3 +456,82 @@ ORACLE["stream_custom_state_equivalence"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+def _build_sink_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Land the duplicate-bearing stream in a fresh HadroCollection via
+    ``stream_into_collection`` (foreachBatch; one micro-batch = one atomic
+    collection commit; WAL-replay marker), keyed by event_id so the
+    planted duplicates become LWW re-upserts.  The checkpoint lives and
+    dies with the build — the published collection is read-only."""
+
+    def build(staging: str) -> None:
+        from hadrodb_spark.sources.collection import HadroCollection
+        from hadrodb_spark.streaming.ingest import stream_into_collection
+
+        dup_fixture = _stream_events_dir(sf_dir) + "_dup"
+        if not os.path.isdir(dup_fixture):
+            _build_dup_stream_fixture(spark, sf_dir, dup_fixture)
+        coll = HadroCollection(
+            spark, os.path.join(staging, "coll"), EVENT_SCHEMA
+        )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(dup_fixture)
+        )
+        q = stream_into_collection(
+            stream,
+            coll,
+            key_col="event_id",
+            checkpoint=os.path.join(staging, "ckpt"),
+        )
+        q.awaitTermination()
+        coll.close()
+
+    _build_fixture(dest, build)
+
+
+def stream_sink_collection_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SINK side of the streaming story under the hash gate: the
+    duplicate-bearing stream lands in a HadroCollection through
+    ``foreachBatch`` (one atomic collection commit per micro-batch, a
+    WAL-replay marker for at-least-once redelivery), keyed by event_id —
+    so the planted duplicate half arrives as LWW re-upserts.  The
+    collection's live scan must then aggregate to EXACTLY the
+    duplicate-free batch events table: one hash match certifies the
+    ingest commit protocol AND the last-writer-wins read path end to
+    end.  (The source/state paths are the five rows above; this closes
+    source → state → sink.)"""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hadrodb_spark.sources.collection import HadroCollection
+
+    fixture = _stream_events_dir(sf_dir) + "_sink"
+    if not os.path.isdir(fixture):
+        _build_sink_collection(spark, sf_dir, fixture)
+    coll = HadroCollection(spark, os.path.join(fixture, "coll"))
+    return (
+        coll.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["stream_sink_collection_equivalence"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -191,11 +191,12 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   dim_truncation_recall (similarity.py)
 #   stream_tumbling_equivalence, stream_dedup_equivalence,
 #   stream_session_equivalence, stream_join_equivalence,
-#   stream_custom_state_equivalence (streamcheck.py
+#   stream_custom_state_equivalence, stream_sink_collection_equivalence
+#   (streamcheck.py
 #   — first oracle-backed
 #   STREAMING rows: availableNow micro-batched runs vs batch SQL;
-#   windowed-agg, dedup, session-merge, stream-stream-join, and
-#   arbitrary applyInPandasWithState state)
+#   windowed-agg, dedup, session-merge, stream-stream-join, arbitrary
+#   applyInPandasWithState state, and the exactly-once collection sink)
 _register(pipeline13)
 _register(streamcheck)
 
