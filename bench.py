@@ -121,6 +121,15 @@ HEADLINE = [
     "stream_join_equivalence",
     "stream_custom_state_equivalence",
     "stream_sink_collection_equivalence",
+    # round-8 session-2 additions (pipeline14 statistical-audit tier) —
+    # subtract for cross-round total comparisons; prefix subtotals stay
+    # comparable (appended AFTER the streaming block to keep every
+    # existing prefix identical)
+    "chisq_independence",
+    "mannwhitney_shift",
+    "cusum_changepoint",
+    "benford_first_digit",
+    "survival_km_daily",
 ]
 
 

@@ -1,0 +1,636 @@
+"""Round-8-session-2 statistical-audit tier: the classic hypothesis-test /
+monitoring statistics a data-pipeline ops team runs on every refresh that
+the existing drift family (PSI / KS / JS / ANOVA) doesn't cover —
+chi-square independence, Mann-Whitney rank shift, CUSUM changepoint
+location, and a Benford first-digit integrity audit.
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+is a record store that defers analytics upstream; SURVEY.md §2.3 scopes
+these dataset-health audits on top of it.
+
+Exactness discipline (the repo invariant): counts and rank sums stay
+exact integers (cent / ppm fixed point); every division or transcendental
+runs ONCE per row under a SHARED op-order text, rounded at 6 before any
+(exact DECIMAL) sum; every ORDER BY/LIMIT ranks on exact integers or the
+rounded value with a unique tiebreak.
+
+Scale design (each query's docstring has the per-query story):
+- every statistic reduces to a bounded-cardinality aggregate BEFORE any
+  window or cross join — source×lang grid (|sources|·|langs|), cent-
+  quantized rank grid (≤ 100·max_value rows by construction, the
+  source_ks_shift censoring pattern), daily revenue (|days|), digit
+  grid (9).  The only full-data shuffles are map-side-combined counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.operators.relational import load
+
+ROWS_ONLY: tuple[str, ...] = ()
+
+# --- chisq_independence -------------------------------------------------
+# Per-cell Pearson contribution via the cross-multiplied form
+#   (O − r·c/N)² / (r·c/N)  ==  (N·O − r·c)² / (N·r·c)
+# so the numerator stays EXACT (DECIMAL(38,0) products of bigint counts)
+# and the one division is a single shared-text double op rounded at 6.
+_CHI_NUM = (
+    "(CAST(n_tot AS DECIMAL(38,0)) * obs"
+    " - CAST(r_tot AS DECIMAL(38,0)) * c_tot)"
+)
+_CHI_CONTRIB = (
+    f"ROUND((CAST({_CHI_NUM} AS DOUBLE) * CAST({_CHI_NUM} AS DOUBLE))"
+    " / (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE) * c_tot), 6)"
+)
+
+
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for source × lang over the
+    documents table — "is language mix independent of crawl source?", the
+    categorical sibling of the numeric drift monitors (PSI/KS/JS).  Zero
+    cells matter (several source/lang combinations are genuinely absent),
+    so the statistic runs over the FULL marginal grid, not just observed
+    cells.
+
+    Exactness: observed counts, marginals, and the numerator (N·O − r·c)
+    are exact integers/DECIMAL(38,0); each cell's contribution is ONE
+    shared-text double division rounded at 6 and summed as DECIMAL;
+    expected counts surface as exact integer ppm via positive-operand DIV.
+
+    Scale: one map-side-combined (source, lang) count is the only
+    full-data shuffle; marginals derive from it (≤ |sources| + |langs|
+    rows), the grid is their broadcast cross join (|sources|·|langs|
+    rows), and the window total runs over that bounded grid.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows = cells.groupBy("source").agg(F.sum("obs").alias("r_tot"))
+    cols = cells.groupBy("lang").agg(F.sum("obs").alias("c_tot"))
+    tot = cells.groupBy().agg(
+        F.sum("obs").alias("n_tot"),
+        F.count_distinct("source").alias("n_r"),
+        F.count_distinct("lang").alias("n_c"),
+    )
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["source", "lang"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = grid.select(
+        "source",
+        "lang",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.expr("(r_tot * c_tot * CAST(1000000 AS BIGINT)) DIV n_tot")
+        .cast("bigint")
+        .alias("exp_ppm"),
+        F.expr(_CHI_CONTRIB).cast("decimal(18,6)").alias("contrib"),
+        ((F.col("n_r") - 1) * (F.col("n_c") - 1)).cast("bigint").alias("dof"),
+    )
+    w = Window.partitionBy()
+    return (
+        scored.withColumn(
+            "chi2", F.sum("contrib").over(w).cast("double")
+        )
+        .withColumn("contrib", F.col("contrib").cast("double"))
+        .orderBy(F.col("contrib").desc(), "source", "lang")
+        .limit(15)
+    )
+
+
+# --- mannwhitney_shift ---------------------------------------------------
+# Rank arithmetic on CENT-quantized values keeps every midrank an exact
+# integer when doubled: for a tied block, 2·midrank = 2·lt + eq + 1.
+
+
+def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test of the `value` distribution: 'purchase'
+    events against EACH other event type — the nonparametric location-
+    shift monitor (KS sees any distribution change; MW answers "did the
+    typical purchase value move vs clicks/views?").  Values quantize to
+    exact integer cents, ties get standard midranks, and the doubled U
+    statistic plus the rank-biserial effect size (ppm fixed point) are
+    exact integers end-to-end — no variance approximation, no float rank.
+
+    Exactness: 2·R₁ = Σ c_p·(2·lt + eq + 1) over the per-cent counts
+    grid; 2·U₁ = 2·R₁ − n₁(n₁+1); rank-biserial ppm = DIV(2·U₁·10⁶,
+    n₁·n₂) − 10⁶ (non-negative numerator, so floor == trunc on both
+    engines).  All bigint.
+
+    Scale: the only full-data shuffle is the map-side-combined
+    (event_type, cents) count; the rank grid is ≤ |types| ×
+    |distinct cents| rows — bounded by the cent-quantized value domain
+    BY CONSTRUCTION (the source_ks_shift censoring argument), so the
+    per-pair cumulative window runs over a bounded relation.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    counts = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pc = (
+        counts.filter(F.col("event_type") == "purchase")
+        .select("cents", F.col("c").alias("cp"))
+    )
+    oc = counts.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("other_type"),
+        "cents",
+        F.col("c").alias("co"),
+    )
+    types = oc.select("other_type").distinct()
+    merged = (
+        pc.crossJoin(F.broadcast(types))
+        .select("other_type", "cents", "cp", F.lit(0).alias("co"))
+        .unionByName(
+            oc.select("other_type", "cents", F.lit(0).alias("cp"), "co")
+        )
+        .groupBy("other_type", "cents")
+        .agg(F.sum("cp").alias("cp"), F.sum("co").alias("co"))
+    )
+    w = (
+        Window.partitionBy("other_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = merged.withColumn(
+        "lt", F.coalesce(F.sum(F.col("cp") + F.col("co")).over(w), F.lit(0))
+    )
+    stats = ranked.groupBy("other_type").agg(
+        F.sum("cp").cast("bigint").alias("n_purchase"),
+        F.sum("co").cast("bigint").alias("n_other"),
+        F.sum(
+            F.col("cp")
+            * (2 * F.col("lt") + F.col("cp") + F.col("co") + 1)
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+    )
+    return (
+        stats.select(
+            "other_type",
+            "n_purchase",
+            "n_other",
+            (
+                F.col("two_r1")
+                - F.col("n_purchase") * (F.col("n_purchase") + 1)
+            )
+            .cast("bigint")
+            .alias("u_purchase_x2"),
+        )
+        .withColumn(
+            "rank_biserial_ppm",
+            F.expr(
+                "CASE WHEN n_purchase = 0 OR n_other = 0 THEN NULL"
+                " ELSE (u_purchase_x2 * CAST(1000000 AS BIGINT))"
+                " DIV (n_purchase * n_other) - 1000000 END"
+            ).cast("bigint"),
+        )
+        .orderBy("other_type")
+    )
+
+
+# --- cusum_changepoint ---------------------------------------------------
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator over the daily order-revenue series: the
+    scaled cumulative deviation S'_t = n·prefix_t − t·total (≡ n·Σ_{i≤t}
+    (x_i − x̄), kept EXACT by cross-multiplying instead of subtracting the
+    float mean) peaks at the most likely level-shift day.  The top-5
+    |S'| days are the changepoint candidates an ops dashboard flags.
+
+    Exactness: revenue is exact integer cents; prefix sums, n·prefix and
+    t·total are DECIMAL(38,0) products of bigints; the output statistic
+    casts back to BIGINT (|S'| ≤ n_days · total_cents ≈ 7·10¹⁶ at sf1 —
+    3 decimal orders of headroom; the DECIMAL pipeline itself never
+    overflows).
+
+    Scale: one map-side-combined daily aggregate is the only full-data
+    shuffle; the prefix window runs over the |days|-row series (the
+    seasonal_decompose_daily discipline — bounded by the calendar, not
+    the data).
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    wseq = Window.partitionBy().orderBy("day")
+    wall = Window.partitionBy()
+    cur = (
+        daily.withColumn("t", F.row_number().over(wseq))
+        .withColumn(
+            "prefix",
+            F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(
+                wseq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n_days", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "total",
+            F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(wall),
+        )
+    )
+    return (
+        cur.select(
+            "day",
+            F.col("t").cast("bigint").alias("t"),
+            "rev_cents",
+            (
+                F.col("n_days").cast("decimal(38,0)") * F.col("prefix")
+                - F.col("t").cast("decimal(38,0)") * F.col("total")
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+        )
+        .orderBy(F.abs(F.col("s_stat")).desc(), "day")
+        .limit(5)
+    )
+
+
+# --- benford_first_digit --------------------------------------------------
+# Benford expected ppm: round(log10(1 + 1/d) * 1e6).  The nine literals
+# sum to exactly 1,000,000 and are interpolated into BOTH engine texts
+# from this one table, so the expectation can never drift between them.
+_BENFORD_PPM: tuple[tuple[int, int], ...] = (
+    (1, 301030),
+    (2, 176091),
+    (3, 124939),
+    (4, 96910),
+    (5, 79181),
+    (6, 66947),
+    (7, 57992),
+    (8, 51153),
+    (9, 45757),
+)
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)
+# (10⁶·O − N·p)² / (10⁶·N·p): exact DECIMAL numerator, one shared-text
+# double division rounded at 6.
+_BEN_NUM = (
+    "(CAST(1000000 AS DECIMAL(38,0)) * obs"
+    " - CAST(n_tot AS DECIMAL(38,0)) * exp_ppm)"
+)
+_BEN_CONTRIB = (
+    f"ROUND((CAST({_BEN_NUM} AS DOUBLE) * CAST({_BEN_NUM} AS DOUBLE))"
+    " / (1e6 * CAST(n_tot AS DOUBLE) * exp_ppm), 6)"
+)
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the standard
+    fabricated-data / ingestion-bug screen for financial columns: the
+    first significant digit of genuine transaction amounts follows
+    log10(1 + 1/d), and a chi-square distance from that curve flags
+    synthetic or truncated feeds.  (TPC-H-style uniform prices flunk it
+    loudly — which is exactly what the audit should report.)
+
+    Exactness: digit counts are exact integers off the cent-integer's
+    leading character; expected frequencies are the 9 shared ppm literals
+    (summing to exactly 10⁶); each digit's contribution is ONE shared-
+    text double division with an exact-DECIMAL numerator, rounded at 6,
+    summed as DECIMAL over the 9-row grid.
+
+    Scale: one map-side-combined digit count (9 groups) is the only
+    shuffle; the literal digit table broadcasts.
+    """
+    cents = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = cents.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    expected = spark.sql(
+        f"SELECT digit, exp_ppm FROM VALUES {_BENFORD_VALUES}"
+        " AS t(digit, exp_ppm)"
+    )
+    tot = obs.groupBy().agg(F.sum("obs").alias("n_tot"))
+    grid = (
+        expected.join(obs, "digit", "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = grid.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("obs").cast("bigint").alias("obs"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+        F.expr(_BEN_CONTRIB).cast("decimal(18,6)").alias("contrib"),
+    )
+    w = Window.partitionBy()
+    return (
+        scored.withColumn("chi2", F.sum("contrib").over(w).cast("double"))
+        .withColumn("contrib", F.col("contrib").cast("double"))
+        .orderBy("digit")
+    )
+
+
+# --- survival_km_daily -----------------------------------------------------
+_KM_TERM = (
+    "ROUND(LN(CAST(n_risk - n_event AS DOUBLE)"
+    " / CAST(n_risk AS DOUBLE)), 6)"
+)
+
+
+def survival_km_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve at day granularity: per
+    user, duration = days from first event to first purchase (event) or
+    to last event (right-censored, no purchase).  The KM estimator
+    Ŝ(t) = Π_{dᵢ ≤ t} (1 − dᵢ/nᵢ) surfaces in LOG space: ln Ŝ is the
+    cumulative DECIMAL sum of per-step rounded LN terms — exact,
+    order-independent, and free of any cross-engine EXP dependency.
+    Same-day-censored users stay at risk through that day's events
+    (standard convention).  If a terminal step has nᵢ = dᵢ the survival
+    is exactly zero: that step emits ln_survival NULL with s_zero = 1.
+
+    Exactness: durations are nonneg integer epoch-second diffs DIV 86400
+    (floor == trunc on both engines); risk counts are exact integers via
+    one cumulative window; each event step contributes ONE shared-text
+    LN rounded at 6, summed as DECIMAL(18,6).
+
+    Scale: per-user reduction is one map-side-combined aggregate; the
+    step relation is grouped by duration-DAY, so the single-partition
+    window runs over ≤ horizon-days rows BY CONSTRUCTION (the KS
+    grid-bound pattern), not per-user cardinality.
+    """
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("ets"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ets").alias("t0"),
+            F.min(F.when(F.col("is_p"), F.col("ets"))).alias("tp"),
+            F.max("ets").alias("tlast"),
+        )
+        .select(
+            F.expr(
+                "(COALESCE(tp, tlast) - t0) DIV 86400"
+            ).alias("dur_days"),
+            F.col("tp").isNotNull().alias("converted"),
+        )
+    )
+    steps = per_user.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("n_event"),
+        F.sum(F.when(~F.col("converted"), 1).otherwise(0)).alias("n_censor"),
+    )
+    wseq = Window.partitionBy().orderBy("dur_days")
+    wall = Window.partitionBy()
+    cur = (
+        steps.withColumn(
+            "removed_before",
+            F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censor")).over(
+                    wseq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "n_total",
+            F.sum(F.col("n_event") + F.col("n_censor")).over(wall),
+        )
+        .withColumn("n_risk", F.col("n_total") - F.col("removed_before"))
+        .filter(F.col("n_event") > 0)
+        .withColumn(
+            "term",
+            F.when(
+                F.col("n_risk") > F.col("n_event"),
+                F.expr(_KM_TERM).cast("decimal(18,6)"),
+            ),
+        )
+        .withColumn(
+            "s_zero",
+            F.max(
+                F.when(F.col("n_risk") == F.col("n_event"), 1).otherwise(0)
+            ).over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "lnsum",
+            F.sum("term").over(
+                wseq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        cur.select(
+            F.col("dur_days").cast("bigint").alias("dur_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("n_event").cast("bigint").alias("n_event"),
+            F.col("s_zero").cast("bigint").alias("s_zero"),
+            F.when(F.col("s_zero") == 0, F.col("lnsum").cast("double"))
+            .alias("ln_survival"),
+        )
+        .orderBy("dur_days")
+        .limit(30)
+    )
+
+
+ORACLE: dict[str, str] = {
+    "chisq_independence": f"""
+        WITH cells AS (
+          SELECT source, lang, COUNT(*) AS obs
+          FROM documents GROUP BY source, lang
+        ),
+        r AS (SELECT source, SUM(obs) AS r_tot FROM cells GROUP BY source),
+        c AS (SELECT lang, SUM(obs) AS c_tot FROM cells GROUP BY lang),
+        tot AS (
+          SELECT SUM(obs) AS n_tot,
+                 COUNT(DISTINCT source) AS n_r,
+                 COUNT(DISTINCT lang) AS n_c
+          FROM cells
+        ),
+        grid AS (
+          SELECT r.source, c.lang, r.r_tot, c.c_tot,
+                 COALESCE(cells.obs, 0) AS obs
+          FROM r CROSS JOIN c
+          LEFT JOIN cells ON cells.source = r.source AND cells.lang = c.lang
+        ),
+        scored AS (
+          SELECT source, lang,
+                 CAST(obs AS BIGINT) AS obs,
+                 CAST((r_tot * c_tot * CAST(1000000 AS BIGINT)) // n_tot
+                      AS BIGINT) AS exp_ppm,
+                 CAST({_CHI_CONTRIB} AS DECIMAL(18,6)) AS contrib,
+                 CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof
+          FROM grid CROSS JOIN tot
+        )
+        SELECT source, lang, obs, exp_ppm,
+               CAST(contrib AS DOUBLE) AS contrib,
+               CAST(SUM(contrib) OVER () AS DOUBLE) AS chi2,
+               dof
+        FROM scored
+        ORDER BY CAST(contrib AS DOUBLE) DESC, source, lang
+        LIMIT 15
+    """,
+    "mannwhitney_shift": """
+        WITH counts AS (
+          SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        pc AS (
+          SELECT cents, c AS cp FROM counts WHERE event_type = 'purchase'
+        ),
+        oc AS (
+          SELECT event_type AS other_type, cents, c AS co
+          FROM counts WHERE event_type <> 'purchase'
+        ),
+        merged AS (
+          SELECT other_type, cents, SUM(cp) AS cp, SUM(co) AS co
+          FROM (
+            SELECT t.other_type, pc.cents, pc.cp, 0 AS co
+            FROM pc CROSS JOIN (SELECT DISTINCT other_type FROM oc) t
+            UNION ALL
+            SELECT other_type, cents, 0 AS cp, co FROM oc
+          )
+          GROUP BY other_type, cents
+        ),
+        ranked AS (
+          SELECT other_type, cp, co,
+                 COALESCE(SUM(cp + co) OVER (
+                   PARTITION BY other_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS lt
+          FROM merged
+        ),
+        stats AS (
+          SELECT other_type,
+                 CAST(SUM(cp) AS BIGINT) AS n_purchase,
+                 CAST(SUM(co) AS BIGINT) AS n_other,
+                 CAST(SUM(cp * (2 * lt + cp + co + 1)) AS BIGINT) AS two_r1
+          FROM ranked GROUP BY other_type
+        )
+        SELECT other_type, n_purchase, n_other,
+               CAST(two_r1 - n_purchase * (n_purchase + 1) AS BIGINT)
+                 AS u_purchase_x2,
+               CAST(CASE WHEN n_purchase = 0 OR n_other = 0 THEN NULL
+                    ELSE (u_purchase_x2 * CAST(1000000 AS BIGINT))
+                         // (n_purchase * n_other) - 1000000 END AS BIGINT)
+                 AS rank_biserial_ppm
+        FROM stats
+        ORDER BY other_type
+    """,
+    "cusum_changepoint": """
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1
+        ),
+        cur AS (
+          SELECT day, rev_cents,
+                 ROW_NUMBER() OVER (ORDER BY day) AS t,
+                 SUM(CAST(rev_cents AS DECIMAL(38,0)))
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix,
+                 COUNT(*) OVER () AS n_days,
+                 SUM(CAST(rev_cents AS DECIMAL(38,0))) OVER () AS total
+          FROM daily
+        )
+        SELECT day, CAST(t AS BIGINT) AS t, rev_cents,
+               CAST(CAST(n_days AS DECIMAL(38,0)) * prefix
+                    - CAST(t AS DECIMAL(38,0)) * total AS BIGINT) AS s_stat
+        FROM cur
+        ORDER BY ABS(s_stat) DESC, day
+        LIMIT 5
+    """,
+    "benford_first_digit": f"""
+        WITH obs AS (
+          SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 COUNT(*) AS obs
+          FROM orders GROUP BY 1
+        ),
+        expected AS (
+          SELECT digit, exp_ppm
+          FROM (VALUES {_BENFORD_VALUES}) AS t(digit, exp_ppm)
+        ),
+        tot AS (SELECT SUM(obs) AS n_tot FROM obs),
+        grid AS (
+          SELECT e.digit, e.exp_ppm, COALESCE(o.obs, 0) AS obs
+          FROM expected e LEFT JOIN obs o ON o.digit = e.digit
+        ),
+        scored AS (
+          SELECT CAST(digit AS BIGINT) AS digit,
+                 CAST(obs AS BIGINT) AS obs,
+                 CAST(exp_ppm AS BIGINT) AS exp_ppm,
+                 CAST({_BEN_CONTRIB} AS DECIMAL(18,6)) AS contrib
+          FROM grid CROSS JOIN tot
+        )
+        SELECT digit, obs, exp_ppm,
+               CAST(contrib AS DOUBLE) AS contrib,
+               CAST(SUM(contrib) OVER () AS DOUBLE) AS chi2
+        FROM scored
+        ORDER BY digit
+    """,
+    "survival_km_daily": f"""
+        WITH per_user AS (
+          SELECT (COALESCE(tp, tlast) - t0) // 86400 AS dur_days,
+                 tp IS NOT NULL AS converted
+          FROM (
+            SELECT user_id,
+                   MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS tp,
+                   MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS tlast
+            FROM events GROUP BY user_id
+          )
+        ),
+        steps AS (
+          SELECT dur_days,
+                 SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS n_event,
+                 SUM(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS n_censor
+          FROM per_user GROUP BY dur_days
+        ),
+        cur AS (
+          SELECT dur_days, n_event,
+                 SUM(n_event + n_censor) OVER () -
+                 COALESCE(SUM(n_event + n_censor) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+          FROM steps
+        ),
+        ev AS (
+          SELECT dur_days, n_risk, n_event,
+                 CASE WHEN n_risk > n_event
+                      THEN CAST({_KM_TERM} AS DECIMAL(18,6)) END AS term,
+                 MAX(CASE WHEN n_risk = n_event THEN 1 ELSE 0 END) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS s_zero,
+                 SUM(CASE WHEN n_risk > n_event
+                      THEN CAST({_KM_TERM} AS DECIMAL(18,6)) END) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS lnsum
+          FROM cur WHERE n_event > 0
+        )
+        SELECT CAST(dur_days AS BIGINT) AS dur_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_event AS BIGINT) AS n_event,
+               CAST(s_zero AS BIGINT) AS s_zero,
+               CASE WHEN s_zero = 0 THEN CAST(lnsum AS DOUBLE) END
+                 AS ln_survival
+        FROM ev
+        ORDER BY dur_days
+        LIMIT 30
+    """,
+}

@@ -33,6 +33,7 @@ from hadrodb_spark.operators import (
     pipeline11,
     pipeline12,
     pipeline13,
+    pipeline14,
     relational,
     relational2,
     relational3,
@@ -197,7 +198,12 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   STREAMING rows: availableNow micro-batched runs vs batch SQL;
 #   windowed-agg, dedup, session-merge, stream-stream-join, arbitrary
 #   applyInPandasWithState state, and the exactly-once collection sink)
+#   chisq_independence, mannwhitney_shift, cusum_changepoint,
+#   benford_first_digit, survival_km_daily (pipeline14.py — the
+#   statistical-audit tier: independence / rank-shift / changepoint /
+#   Benford / Kaplan-Meier)
 _register(pipeline13)
+_register(pipeline14)
 _register(streamcheck)
 
 

@@ -1,0 +1,316 @@
+"""Property tests for the pipeline14 statistical-audit tier: brute-force
+mirrors of chi-square independence, Mann-Whitney midranks, CUSUM prefix
+algebra, the Benford grid, and the Kaplan-Meier risk-set bookkeeping on
+adversarial tiny inputs the parquet fixtures never produce (single-level
+factors, empty comparison groups, all-tied values, same-day censoring,
+terminal survival-to-zero steps).
+
+Float discipline in the brute mirrors: Spark's ROUND is HALF-UP on the
+double's decimal rendering, Python's round() is banker's — so every
+rounding goes through Decimal(repr(x)).quantize(..., ROUND_HALF_UP), and
+every float expression replays the SHARED op-order text exactly."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline14 import (
+    _BENFORD_PPM,
+    benford_first_digit,
+    chisq_independence,
+    cusum_changepoint,
+    mannwhitney_shift,
+    survival_km_daily,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _r6(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+# --------------------------------------------------------------- chisq
+def _brute_chisq(pairs):
+    cells = Counter(pairs)
+    r = Counter(s for s, _ in pairs)
+    c = Counter(lg for _, lg in pairs)
+    n = len(pairs)
+    dof = (len(r) - 1) * (len(c) - 1)
+    rows = []
+    for s in r:
+        for lg in c:
+            obs = cells.get((s, lg), 0)
+            num = n * obs - r[s] * c[lg]
+            contrib = _r6(
+                (float(num) * float(num))
+                / ((float(n) * float(r[s])) * float(c[lg]))
+            )
+            rows.append(
+                (s, lg, obs, (r[s] * c[lg] * 1000000) // n, contrib, dof)
+            )
+    chi2 = float(sum(row[4] for row in rows))
+    rows.sort(key=lambda t: (-t[4], t[0], t[1]))
+    return [
+        (s, lg, obs, ppm, float(cb), d, chi2)
+        for s, lg, obs, ppm, cb, d in rows[:15]
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.sampled_from(["en", "de", "zh"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_chisq_matches_bruteforce(spark, tmp_path_factory, pairs):
+    d = tmp_path_factory.mktemp("chi")
+    spark.createDataFrame(
+        [(i, s, lg, "t", 1) for i, (s, lg) in enumerate(pairs)],
+        "doc_id LONG, source STRING, lang STRING, text STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in chisq_independence(spark, str(d)).collect()]
+    assert got == _brute_chisq(pairs)
+
+
+# --------------------------------------------------------- mannwhitney
+def _brute_mw(rows):
+    p = sorted(c for t, c in rows if t == "purchase")
+    out = []
+    for t in sorted({t for t, _ in rows if t != "purchase"}):
+        o = sorted(c for tt, c in rows if tt == t)
+        both = p + o
+        two_r1 = sum(
+            2 * sum(1 for x in both if x < v)
+            + sum(1 for x in both if x == v)
+            + 1
+            for v in p
+        )
+        n1, n2 = len(p), len(o)
+        u2 = two_r1 - n1 * (n1 + 1)
+        rb = None if n1 == 0 or n2 == 0 else (u2 * 1000000) // (n1 * n2) - 1000000
+        out.append((t, n1, n2, u2, rb))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "view"]),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mannwhitney_matches_bruteforce(spark, tmp_path_factory, rows):
+    d = tmp_path_factory.mktemp("mw")
+    epoch = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t, c / 100.0, epoch) for i, (t, c) in enumerate(rows)],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = [tuple(r) for r in mannwhitney_shift(spark, str(d)).collect()]
+    assert got == _brute_mw(rows)
+
+
+# --------------------------------------------------------------- cusum
+def _brute_cusum(day_cents):
+    daily: dict[int, int] = {}
+    for day, cents in day_cents:
+        daily[day] = daily.get(day, 0) + cents
+    days = sorted(daily)
+    total = sum(daily.values())
+    n = len(days)
+    rows = []
+    prefix = 0
+    for t, day in enumerate(days, start=1):
+        prefix += daily[day]
+        s = n * prefix - t * total
+        rows.append(
+            (
+                (datetime.date(2024, 1, 1) + datetime.timedelta(days=day))
+                .isoformat(),
+                t,
+                daily[day],
+                s,
+            )
+        )
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    return rows[:5]
+
+
+@settings(**_SETTINGS)
+@given(
+    day_cents=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    d = tmp_path_factory.mktemp("cusum")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, 1, "O", cents / 100.0, base + datetime.timedelta(days=day), "1-URGENT")
+            for i, (day, cents) in enumerate(day_cents)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = [tuple(r) for r in cusum_changepoint(spark, str(d)).collect()]
+    assert got == _brute_cusum(day_cents)
+
+
+# ------------------------------------------------------------- benford
+def _brute_benford(cents_list):
+    obs = Counter(int(str(c)[0]) for c in cents_list)
+    n = len(cents_list)
+    rows = []
+    for digit, ppm in _BENFORD_PPM:
+        o = obs.get(digit, 0)
+        num = 1000000 * o - n * ppm
+        contrib = _r6(
+            (float(num) * float(num)) / ((1e6 * float(n)) * ppm)
+        )
+        rows.append((digit, o, ppm, contrib))
+    chi2 = float(sum(r[3] for r in rows))
+    return [(d, o, ppm, float(cb), chi2) for d, o, ppm, cb in rows]
+
+
+@settings(**_SETTINGS)
+@given(
+    cents_list=st.lists(
+        st.integers(min_value=1, max_value=99_999), min_size=1, max_size=40
+    )
+)
+def test_benford_matches_bruteforce(spark, tmp_path_factory, cents_list):
+    d = tmp_path_factory.mktemp("benford")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, 1, "O", c / 100.0, base, "1-URGENT") for i, c in enumerate(cents_list)],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = [tuple(r) for r in benford_first_digit(spark, str(d)).collect()]
+    assert got == _brute_benford(cents_list)
+
+
+def test_benford_ppm_sums_to_one_million():
+    assert sum(p for _, p in _BENFORD_PPM) == 1_000_000
+    for d, p in _BENFORD_PPM:
+        assert p == round(math.log10(1 + 1 / d) * 1_000_000)
+
+
+# ------------------------------------------------------------ survival
+def _brute_km(users):
+    """users: list of (user_id, [(offset_s, is_purchase), ...])."""
+    durations = []
+    for _, evs in users:
+        t0 = min(s for s, _ in evs)
+        tps = [s for s, p in evs if p]
+        tlast = max(s for s, _ in evs)
+        if tps:
+            durations.append(((min(tps) - t0) // 86400, True))
+        else:
+            durations.append(((tlast - t0) // 86400, False))
+    steps: dict[int, list[int]] = {}
+    for dur, conv in durations:
+        e, c = steps.get(dur, [0, 0])
+        steps[dur] = [e + (1 if conv else 0), c + (0 if conv else 1)]
+    n_total = len(durations)
+    removed = 0
+    lnsum = Decimal(0)
+    s_zero = 0
+    rows = []
+    for dur in sorted(steps):
+        e, c = steps[dur]
+        n_risk = n_total - removed
+        removed += e + c
+        if e == 0:
+            continue
+        if n_risk == e:
+            s_zero = 1
+        else:
+            lnsum += _r6(math.log(float(n_risk - e) / float(n_risk)))
+        rows.append(
+            (
+                dur,
+                n_risk,
+                e,
+                s_zero,
+                None if s_zero else float(lnsum),
+            )
+        )
+    return rows[:30]
+
+
+@settings(**_SETTINGS)
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=4 * 86400),
+                    st.booleans(),
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda u: u[0],
+    )
+)
+def test_survival_km_matches_bruteforce(spark, tmp_path_factory, users):
+    d = tmp_path_factory.mktemp("km")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (j, u, "purchase" if p else "view", base + datetime.timedelta(seconds=s))
+        for j, (u, s, p) in enumerate(
+            (u, s, p) for u, evs in users for s, p in evs
+        )
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = [tuple(r) for r in survival_km_daily(spark, str(d)).collect()]
+    assert got == _brute_km(users)
+
+
+# ----------------------------------------------------------- plan pins
+def test_pipeline14_plan_shapes(spark, sf_dir):
+    """No cartesian products or unbroadcast nested-loop joins anywhere in
+    the tier; the MW rank grid's only wide joins are broadcastable."""
+    for fn in (
+        chisq_independence,
+        mannwhitney_shift,
+        cusum_changepoint,
+        benford_first_digit,
+        survival_km_daily,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
