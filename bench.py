@@ -130,6 +130,7 @@ HEADLINE = [
     "cusum_changepoint",
     "benford_first_digit",
     "survival_km_daily",
+    "stream_sliding_equivalence",
 ]
 
 

@@ -535,3 +535,53 @@ ORACLE["stream_sink_collection_equivalence"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING-window state proven against batch semantics: with a
+    2-hour window sliding every 30 minutes, each event must update FOUR
+    window states — the multi-assignment bookkeeping ``tumbling``'s
+    1:1 event→window mapping never exercises.  The streaming engine runs
+    the real micro-batched ``sliding_counts`` (2 files per trigger ⇒
+    ≥ 4 incremental state updates per window) into a complete-mode sink;
+    the oracle derives the same relation from first principles by
+    exploding each event into its k = 0..3 window starts
+    (start = (⌊t/slide⌋ − k)·slide) — so a hash match certifies Spark's
+    window-assignment algebra, not just its own batch mirror.
+
+    Output discipline: window starts as UTC strings, counts bigint,
+    value totals decimal-summed then double."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from hadrodb_spark.streaming.events import sliding_counts
+
+    fixture = _stream_events_dir(sf_dir)
+    if not os.path.isdir(fixture):
+        _build_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(fixture)
+    )
+    name = _run_bounded(spark, sliding_counts(stream), "complete")
+    out = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+    return _drain(spark, name, out).orderBy("ws", "event_type")
+
+
+ORACLE["stream_sliding_equivalence"] = """
+    SELECT strftime(make_timestamp(
+             ((epoch_us(ts) // 1800000000) - k) * 1800 * 1000000
+           ), '%Y-%m-%d %H:%M:%S') AS ws,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (
+      SELECT UNNEST(generate_series(0, 3)) AS k
+    ) grid
+    GROUP BY 1, 2
+    ORDER BY ws, event_type
+"""

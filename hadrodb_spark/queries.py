@@ -197,7 +197,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   — first oracle-backed
 #   STREAMING rows: availableNow micro-batched runs vs batch SQL;
 #   windowed-agg, dedup, session-merge, stream-stream-join, arbitrary
-#   applyInPandasWithState state, and the exactly-once collection sink)
+#   applyInPandasWithState state, and the exactly-once collection sink;
+#   stream_sliding_equivalence — overlapping-window multi-assignment
+#   state, oracle re-derives the window algebra from first principles)
 #   chisq_independence, mannwhitney_shift, cusum_changepoint,
 #   benford_first_digit, survival_km_daily (pipeline14.py — the
 #   statistical-audit tier: independence / rank-shift / changepoint /

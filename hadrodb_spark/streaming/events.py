@@ -55,6 +55,26 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window per-type counts/totals — each event updates
+    window/slide OVERLAPPING window states (4 at the defaults), the state
+    shape ``tumbling_counts`` never exercises."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_avg(events: DataFrame, window: str = "2 hours", slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
     """Sliding-window per-user average (each event lands in window/slide
     overlapping windows)."""

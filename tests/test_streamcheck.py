@@ -102,3 +102,28 @@ def test_session_windows_merge_and_sentinel_drain(spark, tmp_path):
         (11, "2024-01-01 12:10:00", 1),
         (11, "2024-01-01 13:00:00", 1),   # >30 min gap => second session
     ], rows  # sentinel (user -1) must NOT appear: its session never closed
+
+
+def test_sliding_window_four_assignments(spark, tmp_path):
+    """Every event lands in exactly window/slide = 4 sliding windows whose
+    starts are (floor(t/slide) - k) * slide for k = 0..3 — the assignment
+    algebra stream_sliding_equivalence's oracle re-derives.  One event,
+    streamed, must produce exactly those 4 window rows."""
+    from hadrodb_spark.streaming.events import sliding_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "ev"
+    t = dt.datetime(2024, 1, 5, 10, 47, 13)
+    _write_file(spark, d, [(1, t, 7, "click", 2.5, "{}")])
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(d))
+    name = _run_available_now(sliding_counts(stream), "complete")
+    got = sorted(
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    base = dt.datetime(2024, 1, 5, 10, 30)  # floor(10:47:13 to 30 min)
+    want = sorted(
+        (base - dt.timedelta(minutes=30 * k), 1, 2.5) for k in range(4)
+    )
+    assert got == want
