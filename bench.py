@@ -131,6 +131,8 @@ HEADLINE = [
     "benford_first_digit",
     "survival_km_daily",
     "stream_sliding_equivalence",
+    "theil_sen_slope",
+    "cohens_d_by_type",
 ]
 
 

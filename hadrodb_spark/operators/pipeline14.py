@@ -634,3 +634,205 @@ ORACLE: dict[str, str] = {
         LIMIT 30
     """,
 }
+
+
+# --- theil_sen_slope --------------------------------------------------------
+# Sign-factored truncating division (pipeline8's _sdiv contract, inlined
+# as ONE shared template so both engine texts derive from the same
+# spelling): sign(Δrev) · (|Δrev·10⁶| div Δx), Δx > 0 by the join bound.
+_TS_SLOPE = (
+    "((CASE WHEN ({r2} - {r1}) < 0 THEN -1 ELSE 1 END)"
+    " * ((ABS({r2} - {r1}) * CAST(1000000 AS BIGINT)) {div} ({x2} - {x1})))"
+)
+
+
+_TS_WINDOW_DAYS = 128  # trailing-window cap: pairs ≤ 128·127/2 = 8128
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily order revenue over the
+    TRAILING `_TS_WINDOW_DAYS`-day window: the median (and quartiles) of
+    all pairwise day-to-day slopes — the outlier-proof alternative to
+    ``regression_line``'s OLS (one anomalous day moves OLS; it barely
+    moves the pairwise-slope median).
+
+    Exactness: slopes are integer ppm-cents-per-day via sign-factored
+    truncating division (pipeline8's ``_sdiv`` contract — floor == trunc
+    only on non-negative operands, so the sign is factored out first);
+    the quartiles are data-valued ``percentile_disc`` order statistics
+    (convention-identical cross-engine, the length_gate_disc precedent).
+
+    Scale: the trailing-window cap makes the pair relation ≤ 8128 rows
+    BY CONSTRUCTION (the KS grid-cap pattern) — an UNBOUNDED all-history
+    Theil-Sen would buffer |days|²/2 slopes inside percentile_disc's
+    order-statistic state, which OOMs at a few thousand days (measured:
+    2 400 days ⇒ 2.9M buffered slopes took out a 1 GiB executor).  The
+    one full-data shuffle is the map-side-combined daily aggregate; the
+    window bound derives from its 1-row MAX, broadcast back.
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            # calendar-day index, not unix_timestamp: instant conversion of
+            # a wall-clock timestamp is session-TZ-sensitive; DATEDIFF on
+            # the calendar date is not (the date_agg_monthly discipline).
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            ).cast("bigint").alias("xd"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("xd")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    last = daily.groupBy().agg(F.max("xd").alias("xmax"))
+    recent = (
+        daily.crossJoin(F.broadcast(last))
+        .filter(F.col("xd") > F.col("xmax") - _TS_WINDOW_DAYS)
+        .select("xd", "rev")
+    )
+    a = recent.select(
+        F.col("xd").alias("x1"), F.col("rev").alias("r1")
+    )
+    b = recent.select(
+        F.col("xd").alias("x2"), F.col("rev").alias("r2")
+    )
+    pairs = a.join(b, F.col("x2") > F.col("x1")).select(
+        F.expr(_TS_SLOPE.format(r2="r2", r1="r1", x2="x2", x1="x1", div="DIV"))
+        .alias("slope_ppm")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY slope_ppm)"
+            " AS BIGINT)"
+        ).alias("slope_p25_ppm"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_ppm)"
+            " AS BIGINT)"
+        ).alias("slope_med_ppm"),
+        F.expr(
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY slope_ppm)"
+            " AS BIGINT)"
+        ).alias("slope_p75_ppm"),
+    )
+
+
+# --- cohens_d_by_type -------------------------------------------------------
+# ONE shared fixed-op-order text: means from exact DECIMAL sums, pooled
+# variance from the exact nᵢ·qᵢ − sᵢ² decimal numerators, a single
+# IEEE-correctly-rounded SQRT (the corr_matrix precedent), rounded at 6.
+_COHEN_D = (
+    "ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / SQRT((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2e0)), 6)"
+)
+
+
+def cohens_d_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size of event value, 'purchase'
+    against each other event type — the parametric twin of
+    ``mannwhitney_shift`` (MW says the distributions shifted; d says by
+    how many pooled standard deviations).  The anova_value_by_type moment
+    discipline: per-type n/Σc/Σc² as exact DECIMAL(38,0), every division
+    and the one SQRT inside a single shared-text expression rounded at 6.
+    Degenerate pairs (n₁+n₂ ≤ 2, or zero pooled variance) emit NULL
+    identically on both engines instead of IEEE-Infinity divergence.
+
+    Scale: ONE map-side-combined groupBy(type) reduces the corpus to
+    |types| rows; the purchase row broadcasts onto the rest.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    p = per_type.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    o = per_type.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("other_type"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    return (
+        o.crossJoin(F.broadcast(p))
+        .select(
+            "other_type",
+            F.col("n1").cast("bigint").alias("n_purchase"),
+            F.col("n2").cast("bigint").alias("n_other"),
+            F.expr(
+                "CASE WHEN CAST(n1 AS BIGINT) + CAST(n2 AS BIGINT) - 2 <= 0"
+                " OR (n1 * q1 - s1 * s1 = 0 AND n2 * q2 - s2 * s2 = 0)"
+                f" THEN NULL ELSE {_COHEN_D} END"
+            ).alias("cohens_d"),
+        )
+        .orderBy("other_type")
+    )
+
+
+ORACLE["theil_sen_slope"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS xd,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    last AS (SELECT MAX(xd) AS xmax FROM daily),
+    recent AS (
+      SELECT xd, rev FROM daily CROSS JOIN last
+      WHERE xd > xmax - {_TS_WINDOW_DAYS}
+    ),
+    pairs AS (
+      SELECT {_TS_SLOPE.format(r2="b.rev", r1="a.rev", x2="b.xd", x1="a.xd", div="//")} AS slope_ppm
+      FROM recent a JOIN recent b ON b.xd > a.xd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY slope_ppm)
+                AS BIGINT) AS slope_p25_ppm,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_ppm)
+                AS BIGINT) AS slope_med_ppm,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY slope_ppm)
+                AS BIGINT) AS slope_p75_ppm
+    FROM pairs
+"""
+
+ORACLE["cohens_d_by_type"] = f"""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS s,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(ROUND(value * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS q
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT n AS n1, s AS s1, q AS q1 FROM per_type
+      WHERE event_type = 'purchase'
+    ),
+    o AS (
+      SELECT event_type AS other_type, n AS n2, s AS s2, q AS q2
+      FROM per_type WHERE event_type <> 'purchase'
+    )
+    SELECT other_type,
+           CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_other,
+           CASE WHEN CAST(n1 AS BIGINT) + CAST(n2 AS BIGINT) - 2 <= 0
+                OR (n1 * q1 - s1 * s1 = 0 AND n2 * q2 - s2 * s2 = 0)
+                THEN NULL ELSE {_COHEN_D} END AS cohens_d
+    FROM o CROSS JOIN p
+    ORDER BY other_type
+"""

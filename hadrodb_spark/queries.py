@@ -201,9 +201,10 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   stream_sliding_equivalence — overlapping-window multi-assignment
 #   state, oracle re-derives the window algebra from first principles)
 #   chisq_independence, mannwhitney_shift, cusum_changepoint,
-#   benford_first_digit, survival_km_daily (pipeline14.py — the
-#   statistical-audit tier: independence / rank-shift / changepoint /
-#   Benford / Kaplan-Meier)
+#   benford_first_digit, survival_km_daily, theil_sen_slope,
+#   cohens_d_by_type (pipeline14.py — the statistical-audit tier:
+#   independence / rank-shift / changepoint / Benford / Kaplan-Meier /
+#   robust trend / effect size)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

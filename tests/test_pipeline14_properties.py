@@ -305,12 +305,135 @@ def test_survival_km_matches_bruteforce(spark, tmp_path_factory, users):
 def test_pipeline14_plan_shapes(spark, sf_dir):
     """No cartesian products or unbroadcast nested-loop joins anywhere in
     the tier; the MW rank grid's only wide joins are broadcastable."""
+    from hadrodb_spark.operators.pipeline14 import (
+        cohens_d_by_type,
+        theil_sen_slope,
+    )
+
     for fn in (
         chisq_independence,
         mannwhitney_shift,
         cusum_changepoint,
         benford_first_digit,
         survival_km_daily,
+        theil_sen_slope,
+        cohens_d_by_type,
     ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
+
+
+# ----------------------------------------------------------- theil-sen
+def _disc(vals, q):
+    if not vals:
+        return None
+    s = sorted(vals)
+    return s[max(0, math.ceil(q * len(s)) - 1)]
+
+
+def _brute_theil_sen(day_cents, window=128):
+    daily: dict[int, int] = {}
+    for day, cents in day_cents:
+        daily[day] = daily.get(day, 0) + cents
+    xmax = max(daily)
+    recent = sorted((x, r) for x, r in daily.items() if x > xmax - window)
+    slopes = []
+    for i, (x1, r1) in enumerate(recent):
+        for x2, r2 in recent[i + 1 :]:
+            d = r2 - r1
+            slopes.append(
+                (-1 if d < 0 else 1) * ((abs(d) * 1000000) // (x2 - x1))
+            )
+    return [
+        (
+            len(slopes),
+            _disc(slopes, 0.25),
+            _disc(slopes, 0.5),
+            _disc(slopes, 0.75),
+        )
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    day_cents=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # crosses the 128 cap
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_theil_sen_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    from hadrodb_spark.operators.pipeline14 import (
+        _TS_WINDOW_DAYS,
+        theil_sen_slope,
+    )
+
+    d = tmp_path_factory.mktemp("ts")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, 1, "O", cents / 100.0, base + datetime.timedelta(days=day), "1-URGENT")
+            for i, (day, cents) in enumerate(day_cents)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = [tuple(r) for r in theil_sen_slope(spark, str(d)).collect()]
+    assert got == _brute_theil_sen(day_cents, window=_TS_WINDOW_DAYS)
+
+
+# ------------------------------------------------------------ cohens d
+def _brute_cohens_d(rows):
+    by_type: dict[str, list[int]] = {}
+    for t, c in rows:
+        by_type.setdefault(t, []).append(c)
+    if "purchase" not in by_type:
+        return []
+    p = by_type["purchase"]
+    n1, s1, q1 = len(p), sum(p), sum(c * c for c in p)
+    out = []
+    for t in sorted(k for k in by_type if k != "purchase"):
+        o = by_type[t]
+        n2, s2, q2 = len(o), sum(o), sum(c * c for c in o)
+        v1, v2 = n1 * q1 - s1 * s1, n2 * q2 - s2 * s2
+        if n1 + n2 - 2 <= 0 or (v1 == 0 and v2 == 0):
+            d = None
+        else:
+            d = float(
+                _r6(
+                    (float(s1) / float(n1) - float(s2) / float(n2))
+                    / math.sqrt(
+                        (float(v1) / float(n1) + float(v2) / float(n2))
+                        / (float(n1) + float(n2) - 2.0)
+                    )
+                )
+            )
+        out.append((t, n1, n2, d))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "view"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohens_d_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline14 import cohens_d_by_type
+
+    d = tmp_path_factory.mktemp("cd")
+    epoch = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t, c / 100.0, epoch) for i, (t, c) in enumerate(rows)],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = [tuple(r) for r in cohens_d_by_type(spark, str(d)).collect()]
+    assert got == _brute_cohens_d(rows)
