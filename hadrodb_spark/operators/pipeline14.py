@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadrodb_spark.operators.pipeline8 import _sdiv
 from hadrodb_spark.operators.relational import load
 
 ROWS_ONLY: tuple[str, ...] = ()
@@ -98,6 +99,10 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2", F.sum("contrib").over(w).cast("double")
         )
         .withColumn("contrib", F.col("contrib").cast("double"))
+        # column order matches the oracle text positionally (..., chi2,
+        # dof) — the repo-wide twin-alignment convention, even though the
+        # compare itself is name-keyed.
+        .select("source", "lang", "obs", "exp_ppm", "contrib", "chi2", "dof")
         .orderBy(F.col("contrib").desc(), "source", "lang")
         .limit(15)
     )
@@ -201,16 +206,18 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint locator over the daily order-revenue series: the
-    scaled cumulative deviation S'_t = n·prefix_t − t·total (≡ n·Σ_{i≤t}
-    (x_i − x̄), kept EXACT by cross-multiplying instead of subtracting the
-    float mean) peaks at the most likely level-shift day.  The top-5
-    |S'| days are the changepoint candidates an ops dashboard flags.
+    cumulative deviation Sₜ = Σ_{i≤t}(x_i − x̄) peaks at the most likely
+    level-shift day.  Computed EXACTLY by cross-multiplying the mean away
+    — S'ₜ = n·prefixₜ − t·total — and dividing back by n only at output.
+    The top-5 |S| days are the changepoint candidates an ops dashboard
+    flags.
 
     Exactness: revenue is exact integer cents; prefix sums, n·prefix and
-    t·total are DECIMAL(38,0) products of bigints; the output statistic
-    casts back to BIGINT (|S'| ≤ n_days · total_cents ≈ 7·10¹⁶ at sf1 —
-    3 decimal orders of headroom; the DECIMAL pipeline itself never
-    overflows).
+    t·total are DECIMAL(38,0) products of bigints (never overflow);
+    ordering is on the EXACT decimal |S'| with day tiebreak; the emitted
+    ``s_cents`` = sign-factored trunc(S'/n) is bounded by total_cents
+    (≈ 3·10¹⁶ even at 100 TB — the r8-session-2 review caught that the
+    undivided S' itself would overflow BIGINT at sf1000).
 
     Scale: one map-side-combined daily aggregate is the only full-data
     shuffle; the prefix window runs over the |days|-row series (the
@@ -244,20 +251,24 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(wall),
         )
     )
+    cur = cur.withColumn(
+        "s_dec",
+        F.col("n_days").cast("decimal(38,0)") * F.col("prefix")
+        - F.col("t").cast("decimal(38,0)") * F.col("total"),
+    )
     return (
         cur.select(
             "day",
             F.col("t").cast("bigint").alias("t"),
             "rev_cents",
-            (
-                F.col("n_days").cast("decimal(38,0)") * F.col("prefix")
-                - F.col("t").cast("decimal(38,0)") * F.col("total")
-            )
-            .cast("bigint")
-            .alias("s_stat"),
+            F.expr(_sdiv("s_dec", "n_days", "DIV")).cast("bigint").alias(
+                "s_cents"
+            ),
+            F.col("s_dec").alias("_ord"),
         )
-        .orderBy(F.abs(F.col("s_stat")).desc(), "day")
+        .orderBy(F.abs(F.col("_ord")).desc(), "day")
         .limit(5)
+        .drop("_ord")
     )
 
 
@@ -301,16 +312,28 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading character; expected frequencies are the 9 shared ppm literals
     (summing to exactly 10⁶); each digit's contribution is ONE shared-
     text double division with an exact-DECIMAL numerator, rounded at 6,
-    summed as DECIMAL over the 9-row grid.
+    summed as DECIMAL over the 9-row grid.  Benford applies to positive
+    magnitudes: amounts run through ABS and zero rows are excluded
+    BEFORE digit extraction (a refund or zero row would otherwise hand
+    '-'/'0' to the digit cast — engine-divergent — and inflate n_tot
+    against the 9-digit grid; r8-session-2 review finding).
 
     Scale: one map-side-combined digit count (9 groups) is the only
     shuffle; the literal digit table broadcasts.
     """
-    cents = load(spark, sf_dir, "orders").select(
-        F.expr(
-            "CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
-            " AS STRING), 1, 1) AS BIGINT)"
-        ).alias("digit")
+    cents = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.expr("ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias(
+                "cents"
+            )
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            F.expr(
+                "CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
     )
     obs = cents.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
     expected = spark.sql(
@@ -526,7 +549,7 @@ ORACLE: dict[str, str] = {
         FROM stats
         ORDER BY other_type
     """,
-    "cusum_changepoint": """
+    "cusum_changepoint": f"""
         WITH daily AS (
           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
@@ -543,20 +566,30 @@ ORACLE: dict[str, str] = {
                  COUNT(*) OVER () AS n_days,
                  SUM(CAST(rev_cents AS DECIMAL(38,0))) OVER () AS total
           FROM daily
+        ),
+        scored AS (
+          SELECT day, t, rev_cents, n_days,
+                 CAST(n_days AS DECIMAL(38,0)) * prefix
+                   - CAST(t AS DECIMAL(38,0)) * total AS s_dec
+          FROM cur
         )
         SELECT day, CAST(t AS BIGINT) AS t, rev_cents,
-               CAST(CAST(n_days AS DECIMAL(38,0)) * prefix
-                    - CAST(t AS DECIMAL(38,0)) * total AS BIGINT) AS s_stat
-        FROM cur
-        ORDER BY ABS(s_stat) DESC, day
+               CAST({_sdiv("CAST(s_dec AS HUGEINT)", "n_days", "//")}
+                    AS BIGINT) AS s_cents
+        FROM scored
+        ORDER BY ABS(s_dec) DESC, day
         LIMIT 5
     """,
     "benford_first_digit": f"""
-        WITH obs AS (
-          SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100)
-                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        WITH cents AS (
+          SELECT ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+        ),
+        obs AS (
+          SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
                  COUNT(*) AS obs
-          FROM orders GROUP BY 1
+          FROM cents WHERE cents > 0 GROUP BY 1
         ),
         expected AS (
           SELECT digit, exp_ppm
@@ -637,15 +670,6 @@ ORACLE: dict[str, str] = {
 
 
 # --- theil_sen_slope --------------------------------------------------------
-# Sign-factored truncating division (pipeline8's _sdiv contract, inlined
-# as ONE shared template so both engine texts derive from the same
-# spelling): sign(Δrev) · (|Δrev·10⁶| div Δx), Δx > 0 by the join bound.
-_TS_SLOPE = (
-    "((CASE WHEN ({r2} - {r1}) < 0 THEN -1 ELSE 1 END)"
-    " * ((ABS({r2} - {r1}) * CAST(1000000 AS BIGINT)) {div} ({x2} - {x1})))"
-)
-
-
 _TS_WINDOW_DAYS = 128  # trailing-window cap: pairs ≤ 128·127/2 = 8128
 
 
@@ -699,8 +723,9 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xd").alias("x2"), F.col("rev").alias("r2")
     )
     pairs = a.join(b, F.col("x2") > F.col("x1")).select(
-        F.expr(_TS_SLOPE.format(r2="r2", r1="r1", x2="x2", x1="x1", div="DIV"))
-        .alias("slope_ppm")
+        F.expr(
+            _sdiv("((r2 - r1) * CAST(1000000 AS BIGINT))", "(x2 - x1)", "DIV")
+        ).alias("slope_ppm")
     )
     return pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -795,7 +820,7 @@ ORACLE["theil_sen_slope"] = f"""
       WHERE xd > xmax - {_TS_WINDOW_DAYS}
     ),
     pairs AS (
-      SELECT {_TS_SLOPE.format(r2="b.rev", r1="a.rev", x2="b.xd", x1="a.xd", div="//")} AS slope_ppm
+      SELECT {_sdiv("((b.rev - a.rev) * CAST(1000000 AS BIGINT))", "(b.xd - a.xd)", "//")} AS slope_ppm
       FROM recent a JOIN recent b ON b.xd > a.xd
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,

@@ -62,7 +62,7 @@ def _brute_chisq(pairs):
     chi2 = float(sum(row[4] for row in rows))
     rows.sort(key=lambda t: (-t[4], t[0], t[1]))
     return [
-        (s, lg, obs, ppm, float(cb), d, chi2)
+        (s, lg, obs, ppm, float(cb), chi2, d)
         for s, lg, obs, ppm, cb, d in rows[:15]
     ]
 
@@ -143,17 +143,19 @@ def _brute_cusum(day_cents):
     for t, day in enumerate(days, start=1):
         prefix += daily[day]
         s = n * prefix - t * total
+        s_cents = (-1 if s < 0 else 1) * (abs(s) // n)
         rows.append(
             (
                 (datetime.date(2024, 1, 1) + datetime.timedelta(days=day))
                 .isoformat(),
                 t,
                 daily[day],
+                s_cents,
                 s,
             )
         )
-    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
-    return rows[:5]
+    rows.sort(key=lambda r: (-abs(r[4]), r[0]))
+    return [r[:4] for r in rows[:5]]
 
 
 @settings(**_SETTINGS)
@@ -184,8 +186,11 @@ def test_cusum_matches_bruteforce(spark, tmp_path_factory, day_cents):
 
 # ------------------------------------------------------------- benford
 def _brute_benford(cents_list):
-    obs = Counter(int(str(c)[0]) for c in cents_list)
-    n = len(cents_list)
+    pos = [abs(c) for c in cents_list if c != 0]
+    obs = Counter(int(str(c)[0]) for c in pos)
+    n = len(pos)
+    if n == 0:
+        return [(d, 0, ppm, None, None) for d, ppm in _BENFORD_PPM]
     rows = []
     for digit, ppm in _BENFORD_PPM:
         o = obs.get(digit, 0)
@@ -201,7 +206,9 @@ def _brute_benford(cents_list):
 @settings(**_SETTINGS)
 @given(
     cents_list=st.lists(
-        st.integers(min_value=1, max_value=99_999), min_size=1, max_size=40
+        st.integers(min_value=-99_999, max_value=99_999),  # refunds + zeros
+        min_size=1,
+        max_size=40,
     )
 )
 def test_benford_matches_bruteforce(spark, tmp_path_factory, cents_list):
