@@ -133,6 +133,7 @@ HEADLINE = [
     "stream_sliding_equivalence",
     "theil_sen_slope",
     "cohens_d_by_type",
+    "hybrid_rrf_fusion",
 ]
 
 

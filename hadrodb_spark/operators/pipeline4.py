@@ -585,3 +585,93 @@ ORACLE: dict[str, str] = {
         FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
     """,
 }
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    top-20 (``bm25_score``) and the exact-cosine semantic top-10
+    (``similarity.vector_topk``, vec_id ≡ doc_id) fuse by
+    RRF(d) = Σ_legs 1/(60 + rank_leg(d)) — the standard hybrid-search
+    combiner (Cormack et al., SIGIR'09) and the retrieval front half of
+    a RAG pipeline (``rag_context_pack`` is the back half).  Both legs
+    are the REGISTRY's own verified queries, composed — the oracle wraps
+    their exact oracle texts as CTEs, so fusion can never drift from the
+    certified leg semantics.
+
+    Exactness: leg ranks are row_number over (rounded score DESC, id) on
+    the ≤20-row leg outputs; the RRF contribution is the exact integer
+    ppm 10⁶ DIV (60 + rank) — no floats anywhere in the fusion itself.
+
+    Scale: each leg already reduces to a bounded top-K (broadcast query
+    vector / pruned term postings); fusion joins two ≤20-row relations.
+    """
+    from hadrodb_spark.operators import similarity as S
+
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = bm25_score(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wlex).alias("lex_rank")
+    )
+    wsem = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    sem = S.vector_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wsem).alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_ppm",
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV (60 + lex_rank)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV (60 + sem_rank)"),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("sem_rank").cast("bigint").alias("sem_rank"),
+            F.col("rrf_ppm").cast("bigint").alias("rrf_ppm"),
+        )
+        .orderBy(F.col("rrf_ppm").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# Composed oracle: both legs ARE the registry's verified oracle texts,
+# wrapped as CTEs (lazy import dodges any module-order concern).
+def _rrf_oracle() -> str:
+    from hadrodb_spark.operators import similarity as _S
+
+    return f"""
+        WITH lex_top AS ({ORACLE["bm25_score"]}),
+        sem_top AS ({_S.ORACLE["vector_topk"]}),
+        lex AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                   AS lex_rank
+          FROM lex_top
+        ),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                   AS sem_rank
+          FROM sem_top
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(sem_rank AS BIGINT) AS sem_rank,
+               CAST(COALESCE(CAST(1000000 AS BIGINT) // (60 + lex_rank), 0)
+                    + COALESCE(CAST(1000000 AS BIGINT) // (60 + sem_rank), 0)
+                    AS BIGINT) AS rrf_ppm
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf_ppm DESC, doc_id
+        LIMIT 10
+    """
+
+
+ORACLE["hybrid_rrf_fusion"] = _rrf_oracle()

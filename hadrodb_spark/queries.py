@@ -205,6 +205,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   cohens_d_by_type (pipeline14.py — the statistical-audit tier:
 #   independence / rank-shift / changepoint / Benford / Kaplan-Meier /
 #   robust trend / effect size)
+#   hybrid_rrf_fusion (pipeline4.py — reciprocal-rank fusion of the
+#   verified BM25 + cosine legs; composed oracle wraps their texts)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

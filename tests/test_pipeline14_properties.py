@@ -444,3 +444,40 @@ def test_cohens_d_matches_bruteforce(spark, tmp_path_factory, rows):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
     got = [tuple(r) for r in cohens_d_by_type(spark, str(d)).collect()]
     assert got == _brute_cohens_d(rows)
+
+
+# ------------------------------------------------------- hybrid RRF
+def test_hybrid_rrf_fuses_its_own_legs(spark, sf_dir):
+    """The fused ranking must be exactly recomputable from the two leg
+    queries it composes — same rank windows, integer-ppm RRF, top-10 by
+    (rrf DESC, doc_id).  Guards the leg/fusion contract the composed
+    oracle encodes (both CTEs are the legs' verified oracle texts)."""
+    from hadrodb_spark.operators import similarity as S
+    from hadrodb_spark.operators.pipeline4 import bm25_score, hybrid_rrf_fusion
+
+    lex_rows = bm25_score(spark, sf_dir).collect()
+    lex_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    sem_rows = S.vector_topk(spark, sf_dir).collect()
+    sem_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(sem_rows, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        )
+    }
+    expect = []
+    for d in set(lex_rank) | set(sem_rank):
+        rrf = (1000000 // (60 + lex_rank[d]) if d in lex_rank else 0) + (
+            1000000 // (60 + sem_rank[d]) if d in sem_rank else 0
+        )
+        expect.append((d, lex_rank.get(d), sem_rank.get(d), rrf))
+    expect.sort(key=lambda t: (-t[3], t[0]))
+    got = [tuple(r) for r in hybrid_rrf_fusion(spark, sf_dir).collect()]
+    assert got == expect[:10]
+    # both legs contribute to the fused list at this fixture
+    assert any(r[1] is not None for r in got)
+    assert any(r[2] is not None for r in got)
