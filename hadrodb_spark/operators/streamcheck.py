@@ -585,3 +585,114 @@ ORACLE["stream_sliding_equivalence"] = """
     GROUP BY 1, 2
     ORDER BY ws, event_type
 """
+
+
+def _write_native_wave(spark, sf_dir: str, dest: str, parity: int) -> None:
+    """One wave of the events table (event_id % 2 == parity) appended to
+    ``dest`` through the hadrolog DataSource WRITER — 'error' events are
+    framed as tombstones so the stream's skip path is exercised."""
+    from hadrodb_spark.sources import hadrolog
+
+    hadrolog.register(spark)
+    (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == parity)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_type") == "error").alias("deleted"),
+        )
+        .repartition(4, "event_id")
+        .write.format("hadrolog")
+        .option("path", dest)
+        .option("deleted_col", "deleted")
+        .mode("append")
+        .save()
+    )
+
+
+def stream_hadrolog_source_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NATIVE-FORMAT streaming source under the hash gate: events live
+    in the reference's on-disk segment log (tombstoned 'error' rows
+    included), and the hadrolog stream reader consumes them across a
+    CHECKPOINT RESTART — run 1 (availableNow) drains the odd-event_id
+    wave, wave 2 is then appended through the DataSource writer, and run
+    2 resumes from the SAME checkpoint, so it must consume ONLY the new
+    segments (re-reading wave 1 would double every count; losing the
+    resume would drop wave 2).  The union of the two sink snapshots must
+    aggregate to EXACTLY the duplicate-free non-tombstoned batch table —
+    one hash match certifies frame-aligned offset resume, msgpack typed
+    decode, and scan-time tombstone skip on the streaming path
+    (``hadro/engine.py:139-177`` semantics; batch twin:
+    ``hadrolog_scan_decode``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import uuid
+
+    from hadrodb_spark.sources import hadrolog
+
+    hadrolog.register(spark)
+    cache = _stream_events_dir(sf_dir) + "_native"
+    if not os.path.isdir(cache):
+        _build_fixture(
+            cache, lambda staging: _write_native_wave(spark, sf_dir, staging, 1)
+        )
+    # per-invocation working copy: run 2 appends, so the shared cache must
+    # stay wave-1-only (hardlinks are cheap and the segments are immutable)
+    base = tempfile.mkdtemp(prefix=f"hlstream_{uuid.uuid4().hex[:8]}_")
+    work = os.path.join(base, "log")
+    ckpt = os.path.join(base, "ckpt")  # shared across BOTH runs — the point
+    out = os.path.join(base, "out")    # parquet sink: recovery-capable
+    os.makedirs(work)
+    for fn in os.listdir(cache):
+        os.link(os.path.join(cache, fn), os.path.join(work, fn))
+    ddl = "event_id bigint, user_id bigint, event_type string, cents bigint"
+
+    def run_bounded() -> None:
+        q = (
+            spark.readStream.format("hadrolog")
+            .option("path", work)
+            .option("ddl", ddl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_bounded()                               # drains wave 1
+    _write_native_wave(spark, sf_dir, work, 0)  # wave 2 lands mid-stream
+    run_bounded()                               # resumes; must read ONLY new
+    agg = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    rows = agg.collect()
+    schema = agg.schema
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("event_type")
+
+
+ORACLE["stream_hadrolog_source_equivalence"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -207,6 +207,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   robust trend / effect size)
 #   hybrid_rrf_fusion (pipeline4.py — reciprocal-rank fusion of the
 #   verified BM25 + cosine legs; composed oracle wraps their texts)
+#   stream_hadrolog_source_equivalence (streamcheck.py — the NATIVE
+#   segment-log streaming source across a checkpoint restart: wave-2
+#   append mid-stream, resume must read only new bytes)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

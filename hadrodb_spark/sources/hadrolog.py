@@ -627,4 +627,23 @@ def register(spark) -> None:
         # conf locked down: register the variant whose reader genuinely
         # does not override pushFilters (Spark hard-errors otherwise)
         cls = _NoPushdownHadroLogDataSource
+    # The BATCH planner worker resolves imports through the addPyFile
+    # includes above, but Spark 4.1's STREAMING source planner
+    # (python_streaming_source_runner) spawns without them — a stream
+    # read from a session whose workers can't import the package dies
+    # with ModuleNotFoundError at plan time.  Registering the source
+    # modules for BY-VALUE pickling (the repo's mapInPandas closure
+    # discipline, applied at module granularity via pyspark's vendored
+    # cloudpickle) makes every pickled reader self-contained instead.
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        from hadrodb_spark.sources import mpack as _mpack
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+        _cp.register_pickle_by_value(_mpack)
+    except Exception:
+        pass  # older cloudpickle: fall back to the addPyFile path only
     spark.dataSource.register(cls)
