@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.pipeline8 import _sdiv
 from hadrodb_spark.operators.relational import load
 
@@ -67,8 +68,14 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), and the window total runs over that bounded grid.
     """
     docs = load(spark, sf_dir, "documents").select("source", "lang")
-    cells = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("obs")
+    # persisted: three marginal relations + the grid join all derive from
+    # this bounded aggregate — without the persist Catalyst re-runs the
+    # full documents scan once per consumer (4 scans measured).
+    cells = shared.shared_persist(
+        ("chisq_cells", spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("obs")
+        ),
     )
     rows = cells.groupBy("source").agg(F.sum("obs").alias("r_tot"))
     cols = cells.groupBy("lang").agg(F.sum("obs").alias("c_tot"))
@@ -137,8 +144,13 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
     )
-    counts = ev.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).alias("c")
+    # persisted: the purchase/other splits and the type list all read this
+    # bounded grid — unpersisted it cost three full events scans.
+    counts = shared.shared_persist(
+        ("mw_counts", spark.sparkContext.applicationId, sf_dir),
+        lambda: ev.groupBy("event_type", "cents").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
     )
     pc = (
         counts.filter(F.col("event_type") == "purchase")
@@ -335,7 +347,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("digit")
         )
     )
-    obs = cents.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    # persisted: the 9-row digit histogram feeds both the grid join and
+    # the n_tot scalar — one orders scan instead of two.
+    obs = shared.shared_persist(
+        ("benford_obs", spark.sparkContext.applicationId, sf_dir),
+        lambda: cents.groupBy("digit").agg(F.count(F.lit(1)).alias("obs")),
+    )
     expected = spark.sql(
         f"SELECT digit, exp_ppm FROM VALUES {_BENFORD_VALUES}"
         " AS t(digit, exp_ppm)"
@@ -694,21 +711,26 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full-data shuffle is the map-side-combined daily aggregate; the
     window bound derives from its 1-row MAX, broadcast back.
     """
-    daily = (
-        load(spark, sf_dir, "orders")
-        .select(
-            # calendar-day index, not unix_timestamp: instant conversion of
-            # a wall-clock timestamp is session-TZ-sensitive; DATEDIFF on
-            # the calendar date is not (the date_agg_monthly discipline).
-            F.expr(
-                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
-            ).cast("bigint").alias("xd"),
-            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
-                "cents"
-            ),
-        )
-        .groupBy("xd")
-        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    # persisted: the max-day scalar and both pair sides read this |days|-
+    # row aggregate — unpersisted it cost four full orders scans.
+    daily = shared.shared_persist(
+        ("theil_sen_daily", spark.sparkContext.applicationId, sf_dir),
+        lambda: (
+            load(spark, sf_dir, "orders")
+            .select(
+                # calendar-day index, not unix_timestamp: instant conversion
+                # of a wall-clock timestamp is session-TZ-sensitive; DATEDIFF
+                # on the calendar date is not (date_agg_monthly discipline).
+                F.expr(
+                    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+                ).cast("bigint").alias("xd"),
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .groupBy("xd")
+            .agg(F.sum("cents").cast("bigint").alias("rev"))
+        ),
     )
     last = daily.groupBy().agg(F.max("xd").alias("xmax"))
     recent = (
@@ -774,12 +796,18 @@ def cohens_d_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
     )
-    per_type = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
-        F.sum(
-            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
-        ).alias("q"),
+    # persisted: purchase and other splits read this |types|-row moment
+    # relation — one events scan instead of two.
+    per_type = shared.shared_persist(
+        ("cohens_moments", spark.sparkContext.applicationId, sf_dir),
+        lambda: ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("q"),
+        ),
     )
     p = per_type.filter(F.col("event_type") == "purchase").select(
         F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
