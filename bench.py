@@ -134,6 +134,7 @@ HEADLINE = [
     "theil_sen_slope",
     "cohens_d_by_type",
     "hybrid_rrf_fusion",
+    "rake_keywords",
     "stream_hadrolog_source_equivalence",
 ]
 

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadrodb_spark.functions import text as X
+from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.dedup import _EXACT_MOD, _EXACT_OFFSET
 from hadrodb_spark.operators.relational import load
 
@@ -508,3 +509,150 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# --- rake_keywords ----------------------------------------------------------
+# RAKE (Rose et al. 2010): candidate phrases are maximal stopword-free token
+# runs; a word's score is deg/freq (degree = Σ lengths of phrases containing
+# it); a phrase's score is the sum of its member words' scores.  The English
+# stopword profile doubles as the delimiter set.  Everything is exact
+# integer ppm: word score = (deg·10⁶) DIV freq, phrase score = Σ word ppm.
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 15
+_RAKE_STOPS = tuple(X.STOPWORDS["en"])
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: top-`_RAKE_TOPK` candidate
+    phrases by the classic degree/frequency score — the unsupervised
+    keyphrase pass a curation pipeline runs to label domains/topics
+    (tfidf_top_terms ranks single terms; RAKE surfaces multi-word units).
+
+    Exactness: runs split on the shared stopword literals via a cumulative
+    per-document counter; phrase strings assemble position-sorted; word
+    degree/frequency are exact corpus integers; scores are integer ppm
+    (positive-operand DIV) summed exactly per phrase — zero floats.
+
+    Scale: one posexplode into per-doc-bounded windows (run id + phrase
+    length), ONE persisted stopword-free word relation feeding both the
+    word-stat aggregate and the phrase aggregate, one equi-join of phrase
+    members to the vocab-sized stat relation.  Phrase length caps at
+    `_RAKE_MAX_LEN`, so phrase strings stay bounded.
+    """
+    from pyspark.sql.window import Window
+
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(X.tokens(F.col("text"))).alias("i", "tok"))
+        .withColumn("is_stop", F.array_contains(stops, F.col("tok")))
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    words = shared.shared_persist(
+        ("rake_words", spark.sparkContext.applicationId, sf_dir),
+        lambda: (
+            toks.withColumn(
+                "run", F.sum(F.col("is_stop").cast("int")).over(wrun)
+            )
+            .filter(~F.col("is_stop"))
+            .withColumn(
+                "plen",
+                F.count(F.lit(1)).over(Window.partitionBy("doc_id", "run")),
+            )
+        ),
+    )
+    wstats = words.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    ).select(
+        "tok",
+        F.expr("(deg * CAST(1000000 AS BIGINT)) DIV freq").alias("wscore"),
+    )
+    phrases = (
+        words.groupBy("doc_id", "run")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= _RAKE_MAX_LEN)
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+    )
+    member = phrases.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("tok")
+    )
+    scored = (
+        member.join(wstats, "tok")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("score_ppm"))
+    )
+    return (
+        phrases.join(scored, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_ppm")
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+ORACLE["rake_keywords"] = f"""
+    WITH base AS (
+      SELECT doc_id, {X.sql_tokens("text")} AS ts FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i, ts[i] AS tok,
+             ts[i] IN ({_RAKE_STOP_SQL}) AS is_stop
+      FROM (SELECT doc_id, ts, UNNEST(generate_series(1, len(ts))) AS i
+            FROM base WHERE len(ts) >= 1)
+    ),
+    runs AS (
+      SELECT doc_id, i, tok, is_stop,
+             SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM toks
+    ),
+    words AS (
+      SELECT doc_id, run, i, tok,
+             COUNT(*) OVER (PARTITION BY doc_id, run) AS plen
+      FROM runs WHERE NOT is_stop
+    ),
+    wstats AS (
+      SELECT tok,
+             (SUM(plen) * CAST(1000000 AS BIGINT)) // COUNT(*) AS wscore
+      FROM words GROUP BY tok
+    ),
+    phrase_inst AS (
+      SELECT doc_id, run, string_agg(tok, ' ' ORDER BY i) AS phrase,
+             COUNT(*) AS n_words
+      FROM words GROUP BY doc_id, run
+    ),
+    phrases AS (
+      SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phrase_inst WHERE n_words <= {_RAKE_MAX_LEN} GROUP BY phrase
+    ),
+    member AS (
+      SELECT phrase, UNNEST(string_split(phrase, ' ')) AS tok FROM phrases
+    ),
+    scored AS (
+      SELECT phrase, CAST(SUM(wscore) AS BIGINT) AS score_ppm
+      FROM member JOIN wstats USING (tok) GROUP BY phrase
+    )
+    SELECT p.phrase, p.n_words, p.n_occurrences, s.score_ppm
+    FROM phrases p JOIN scored s USING (phrase)
+    ORDER BY score_ppm DESC, phrase
+    LIMIT {_RAKE_TOPK}
+"""

@@ -210,6 +210,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   stream_hadrolog_source_equivalence (streamcheck.py — the NATIVE
 #   segment-log streaming source across a checkpoint restart: wave-2
 #   append mid-stream, resume must read only new bytes)
+#   rake_keywords (textops.py — RAKE keyphrase extraction, integer-ppm
+#   degree/frequency scores, zero floats)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

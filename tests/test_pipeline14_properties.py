@@ -481,3 +481,76 @@ def test_hybrid_rrf_fuses_its_own_legs(spark, sf_dir):
     # both legs contribute to the fused list at this fixture
     assert any(r[1] is not None for r in got)
     assert any(r[2] is not None for r in got)
+
+
+# ---------------------------------------------------------------- RAKE
+def _brute_rake(texts):
+    import re
+    from collections import defaultdict
+
+    from hadrodb_spark.operators.textops import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOPS,
+        _RAKE_TOPK,
+    )
+
+    stops = set(_RAKE_STOPS)
+    words = []
+    for d, t in enumerate(texts):
+        run = 0
+        for i, w in enumerate(
+            w for w in re.split(r"[^a-z0-9]+", t.lower()) if w
+        ):
+            if w in stops:
+                run += 1
+            else:
+                words.append((d, run, i, w))
+    plen = Counter((d, r) for d, r, _, _ in words)
+    freq = Counter(w for *_, w in words)
+    deg = Counter()
+    for d, r, _, w in words:
+        deg[w] += plen[(d, r)]
+    wscore = {w: (deg[w] * 1000000) // freq[w] for w in freq}
+    inst = defaultdict(list)
+    for d, r, i, w in words:
+        inst[(d, r)].append((i, w))
+    phr = Counter()
+    nwords = {}
+    for ws in inst.values():
+        ws.sort()
+        if len(ws) <= _RAKE_MAX_LEN:
+            p = " ".join(w for _, w in ws)
+            phr[p] += 1
+            nwords[p] = len(ws)
+    rows = [
+        (p, nwords[p], c, sum(wscore[w] for w in p.split(" ")))
+        for p, c in phr.items()
+    ]
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    return rows[:_RAKE_TOPK]
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "of", "to", "spark", "join", "scan", "fast", "key"]
+            ),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rake_matches_bruteforce(spark, tmp_path_factory, texts):
+    from hadrodb_spark.operators.textops import rake_keywords
+
+    d = tmp_path_factory.mktemp("rake")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in rake_keywords(spark, str(d)).collect()]
+    assert got == _brute_rake(texts)
