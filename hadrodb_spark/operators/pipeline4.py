@@ -643,7 +643,10 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Composed oracle: both legs ARE the registry's verified oracle texts,
-# wrapped as CTEs (lazy import dodges any module-order concern).
+# wrapped as CTEs.  NOTE: this runs AT IMPORT TIME (the ORACLE assignment
+# below calls it) — the function-local similarity import keeps the
+# dependency out of pipeline4's module header but is NOT lazy and gives
+# no circular-import protection; similarity must never import pipeline4.
 def _rrf_oracle() -> str:
     from hadrodb_spark.operators import similarity as _S
 

@@ -619,17 +619,28 @@ def stream_hadrolog_source_equivalence(
     """The NATIVE-FORMAT streaming source under the hash gate: events live
     in the reference's on-disk segment log (tombstoned 'error' rows
     included), and the hadrolog stream reader consumes them across a
-    CHECKPOINT RESTART — run 1 (availableNow) drains the odd-event_id
-    wave, wave 2 is then appended through the DataSource writer, and run
-    2 resumes from the SAME checkpoint, so it must consume ONLY the new
-    segments (re-reading wave 1 would double every count; losing the
-    resume would drop wave 2).  The union of the two sink snapshots must
-    aggregate to EXACTLY the duplicate-free non-tombstoned batch table —
-    one hash match certifies frame-aligned offset resume, msgpack typed
-    decode, and scan-time tombstone skip on the streaming path
+    CHECKPOINT RESTART — run 1 drains the odd-event_id wave, wave 2 is
+    then appended through the DataSource writer, and run 2 resumes from
+    the SAME checkpoint, so it must consume ONLY the new segments
+    (re-reading wave 1 would double every count; losing the resume would
+    drop wave 2).  The parquet file sink must then aggregate to EXACTLY
+    the duplicate-free non-tombstoned batch table — one hash match
+    certifies frame-aligned offset resume, msgpack typed decode, and
+    scan-time tombstone skip on the streaming path
     (``hadro/engine.py:139-177`` semantics; batch twin:
-    ``hadrolog_scan_decode``)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ``hadrolog_scan_decode``).
+
+    Engine reality check (r8-session-2 review): Python
+    ``DataSourceStreamReader`` sources cannot declare
+    ``SupportsTriggerAvailableNow``, so each ``availableNow`` run FALLS
+    BACK to single-batch execution (Spark warns).  Each bounded run here
+    is therefore ONE micro-batch; the state this row certifies is the
+    CROSS-RUN checkpoint-offset resume, not intra-run micro-batching
+    (the other six streaming rows cover that via the file source).  The
+    fallback's caveat — an uncommitted batch from a CRASHED run may be
+    skipped on restart — cannot occur here: each run terminates cleanly
+    before the next starts, and a crashed run surfaces as a query error,
+    never a silent skip."""
     import uuid
 
     from hadrodb_spark.sources import hadrolog
@@ -643,45 +654,49 @@ def stream_hadrolog_source_equivalence(
     # per-invocation working copy: run 2 appends, so the shared cache must
     # stay wave-1-only (hardlinks are cheap and the segments are immutable)
     base = tempfile.mkdtemp(prefix=f"hlstream_{uuid.uuid4().hex[:8]}_")
-    work = os.path.join(base, "log")
-    ckpt = os.path.join(base, "ckpt")  # shared across BOTH runs — the point
-    out = os.path.join(base, "out")    # parquet sink: recovery-capable
-    os.makedirs(work)
-    for fn in os.listdir(cache):
-        os.link(os.path.join(cache, fn), os.path.join(work, fn))
-    ddl = "event_id bigint, user_id bigint, event_type string, cents bigint"
-
-    def run_bounded() -> None:
-        q = (
-            spark.readStream.format("hadrolog")
-            .option("path", work)
-            .option("ddl", ddl)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    try:
+        work = os.path.join(base, "log")
+        ckpt = os.path.join(base, "ckpt")  # shared across BOTH runs
+        out = os.path.join(base, "out")    # parquet sink: recovery-capable
+        os.makedirs(work)
+        for fn in os.listdir(cache):
+            os.link(os.path.join(cache, fn), os.path.join(work, fn))
+        ddl = (
+            "event_id bigint, user_id bigint, event_type string, cents bigint"
         )
-        q.awaitTermination()
 
-    run_bounded()                               # drains wave 1
-    _write_native_wave(spark, sf_dir, work, 0)  # wave 2 lands mid-stream
-    run_bounded()                               # resumes; must read ONLY new
-    agg = (
-        spark.read.parquet(out)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("cents").cast("bigint").alias("total_cents"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        def run_bounded() -> None:
+            q = (
+                spark.readStream.format("hadrolog")
+                .option("path", work)
+                .option("ddl", ddl)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_bounded()                               # drains wave 1
+        _write_native_wave(spark, sf_dir, work, 0)  # wave 2 mid-stream
+        run_bounded()                               # resume; ONLY new bytes
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .orderBy("event_type")
         )
-        .orderBy("event_type")
-    )
-    rows = agg.collect()
-    schema = agg.schema
-    shutil.rmtree(base, ignore_errors=True)
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("event_type")
 
 

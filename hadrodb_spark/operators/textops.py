@@ -565,11 +565,17 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # deg·10⁶ runs in DECIMAL(38,0): deg is an uncapped Σ of run lengths,
+    # and a BIGINT numerator would silently wrap past ~9.2e12 while the
+    # DuckDB twin computes exactly in HUGEINT (the cusum overflow class;
+    # Spark's DIV truncates identically on DECIMAL — verified).
     wstats = words.groupBy("tok").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
     ).select(
         "tok",
-        F.expr("(deg * CAST(1000000 AS BIGINT)) DIV freq").alias("wscore"),
+        F.expr(
+            "CAST((CAST(deg AS DECIMAL(38,0)) * 1000000) DIV freq AS BIGINT)"
+        ).alias("wscore"),
     )
     phrases = (
         words.groupBy("doc_id", "run")
