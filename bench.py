@@ -135,6 +135,7 @@ HEADLINE = [
     "cohens_d_by_type",
     "hybrid_rrf_fusion",
     "rake_keywords",
+    "permutation_test_diff",
     "stream_hadrolog_source_equivalence",
 ]
 

@@ -889,3 +889,201 @@ ORACLE["cohens_d_by_type"] = f"""
     FROM o CROSS JOIN p
     ORDER BY other_type
 """
+
+
+# --- permutation_test_diff --------------------------------------------------
+_PERM_R = 64
+# ONE shared text for a group-mean difference over exact decimal sums.
+_PERM_DIFF = (
+    "ROUND(CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE)"
+    " - CAST({s0} AS DOUBLE) / CAST({n0} AS DOUBLE), 6)"
+)
+# Deterministic per-(row, replicate) coin: the md5 idiom (engine-identical
+# hex parse), parity of the first nibble.
+_PERM_COIN = (
+    "CAST(conv(substring(md5(CONCAT(CAST(event_id AS STRING), ':',"
+    " CAST(r AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2"
+)
+_PERM_COIN_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||"
+    " CAST(r AS VARCHAR)), 1, 1)) AS BIGINT) % 2"
+)
+
+
+def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (approximate-randomization flavor) for the
+    purchase-vs-click mean-value difference — the significance companion
+    to ``poisson_bootstrap_ci``'s interval and ``cohens_d_by_type``'s
+    effect size: under H₀ (labels exchangeable) the observed |Δmean|
+    should not be extreme among label-rerandomized replicates.  Each of
+    `_PERM_R` replicates reassigns every row by a deterministic md5 coin
+    (true randomization re-draws labels; group sizes vary binomially —
+    the documented approximate-randomization variant, which keeps the
+    pass fully deterministic and engine-identical).  p = fraction of
+    valid replicates with |Δ_r| ≥ |Δ_obs|, as exact integer ppm.
+
+    Exactness: sums are DECIMAL(38,0) cents; each Δ is the ONE shared
+    `_PERM_DIFF` text rounded at 6; the ≥ comparison runs on those exact
+    decimals; p_ppm is positive-operand DIV.  Replicates where the coin
+    empties a side emit NULL Δ and drop from both counts.
+
+    Scale: the 64× explode feeds ONE map-side-combined 64-group
+    aggregate (the poisson_bootstrap shape — partials reduce to ≤ 64
+    rows per partition before the exchange; no expanded-row shuffle).
+    """
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            (F.col("event_type") == "purchase").alias("is_p"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    obs = base.groupBy().agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("n_p"),
+        F.sum(
+            F.when(F.col("is_p"), F.col("cents")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s_p"),
+        F.sum(F.when(~F.col("is_p"), 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when(~F.col("is_p"), F.col("cents")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s_c"),
+    ).withColumn(
+        "diff_obs",
+        F.expr(
+            "CASE WHEN n_p = 0 OR n_c = 0 THEN NULL ELSE "
+            + _PERM_DIFF.format(s1="s_p", n1="n_p", s0="s_c", n0="n_c")
+            + " END"
+        ).cast("decimal(18,6)"),
+    )
+    reps = (
+        base.select(
+            "event_id",
+            "cents",
+            F.explode(F.expr(f"sequence(0, {_PERM_R - 1})")).alias("r"),
+        )
+        .withColumn("coin", F.expr(_PERM_COIN))
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("coin") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("coin") == 1, F.col("cents")).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s1"),
+            F.sum(F.when(F.col("coin") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("coin") == 0, F.col("cents")).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s0"),
+        )
+        .withColumn(
+            "diff_r",
+            F.expr(
+                "CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE "
+                + _PERM_DIFF.format(s1="s1", n1="n1", s0="s0", n0="n0")
+                + " END"
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .groupBy()
+        .agg(
+            F.max("n_p").cast("bigint").alias("n_purchase"),
+            F.max("n_c").cast("bigint").alias("n_click"),
+            F.max("diff_obs").cast("double").alias("diff_obs"),
+            F.sum(
+                F.when(
+                    F.col("diff_r").isNotNull() & F.col("diff_obs").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_r")) >= F.abs(F.col("diff_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "CASE WHEN n_valid = 0 THEN NULL"
+                " ELSE (n_extreme * CAST(1000000 AS BIGINT)) DIV n_valid END"
+            ).cast("bigint"),
+        )
+    )
+
+
+ORACLE["permutation_test_diff"] = f"""
+    WITH base AS (
+      SELECT event_id, event_type = 'purchase' AS is_p,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    obs AS (
+      SELECT SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS n_p,
+             SUM(CAST(CASE WHEN is_p THEN cents ELSE 0 END
+                 AS DECIMAL(38,0))) AS s_p,
+             SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS n_c,
+             SUM(CAST(CASE WHEN NOT is_p THEN cents ELSE 0 END
+                 AS DECIMAL(38,0))) AS s_c
+      FROM base
+    ),
+    obs2 AS (
+      SELECT n_p, n_c,
+             CAST(CASE WHEN n_p = 0 OR n_c = 0 THEN NULL ELSE
+               {_PERM_DIFF.format(s1="s_p", n1="n_p", s0="s_c", n0="n_c")}
+             END AS DECIMAL(18,6)) AS diff_obs
+      FROM obs
+    ),
+    reps AS (
+      SELECT r,
+             SUM(CASE WHEN coin = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CAST(CASE WHEN coin = 1 THEN cents ELSE 0 END
+                 AS DECIMAL(38,0))) AS s1,
+             SUM(CASE WHEN coin = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CAST(CASE WHEN coin = 0 THEN cents ELSE 0 END
+                 AS DECIMAL(38,0))) AS s0
+      FROM (
+        SELECT event_id, cents, r, {_PERM_COIN_DUCK} AS coin
+        FROM base CROSS JOIN (
+          SELECT UNNEST(generate_series(0, {_PERM_R - 1})) AS r
+        ) grid
+      )
+      GROUP BY r
+    ),
+    reps2 AS (
+      SELECT r,
+             CAST(CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+               {_PERM_DIFF.format(s1="s1", n1="n1", s0="s0", n0="n0")}
+             END AS DECIMAL(18,6)) AS diff_r
+      FROM reps
+    )
+    SELECT CAST(MAX(n_p) AS BIGINT) AS n_purchase,
+           CAST(MAX(n_c) AS BIGINT) AS n_click,
+           CAST(MAX(diff_obs) AS DOUBLE) AS diff_obs,
+           CAST(SUM(CASE WHEN diff_r IS NOT NULL AND diff_obs IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(CASE WHEN SUM(CASE WHEN diff_r IS NOT NULL
+                              AND diff_obs IS NOT NULL
+                              THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE (SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs)
+                          THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+                     // SUM(CASE WHEN diff_r IS NOT NULL
+                            AND diff_obs IS NOT NULL THEN 1 ELSE 0 END)
+                END AS BIGINT) AS p_ppm
+    FROM reps2 CROSS JOIN obs2
+"""

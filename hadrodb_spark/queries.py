@@ -212,6 +212,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   append mid-stream, resume must read only new bytes)
 #   rake_keywords (textops.py — RAKE keyphrase extraction, integer-ppm
 #   degree/frequency scores, zero floats)
+#   permutation_test_diff (pipeline14.py — md5-deterministic
+#   approximate-randomization p-value for the purchase-vs-click mean
+#   difference; completes bootstrap-CI / effect-size / significance)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

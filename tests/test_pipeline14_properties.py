@@ -554,3 +554,80 @@ def test_rake_matches_bruteforce(spark, tmp_path_factory, texts):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     got = [tuple(r) for r in rake_keywords(spark, str(d)).collect()]
     assert got == _brute_rake(texts)
+
+
+# ------------------------------------------------------- permutation
+def _brute_perm(rows):
+    import hashlib
+
+    from hadrodb_spark.operators.pipeline14 import _PERM_R
+
+    base = [
+        (i, t == "purchase", c)
+        for i, (t, c) in enumerate(rows)
+        if t in ("purchase", "click")
+    ]
+    if not base:
+        return [(None, None, None, None, None, None)]
+    n_p = sum(1 for _, p, _ in base if p)
+    s_p = sum(c for _, p, c in base if p)
+    n_c = len(base) - n_p
+    s_c = sum(c for _, p, c in base if not p)
+    diff_obs = (
+        _r6(float(s_p) / float(n_p) - float(s_c) / float(n_c))
+        if n_p and n_c
+        else None
+    )
+    n_valid = n_extreme = 0
+    for r in range(_PERM_R):
+        n1 = s1 = n0 = s0 = 0
+        for eid, _, c in base:
+            coin = int(hashlib.md5(f"{eid}:{r}".encode()).hexdigest()[0], 16) % 2
+            if coin:
+                n1 += 1
+                s1 += c
+            else:
+                n0 += 1
+                s0 += c
+        if n1 == 0 or n0 == 0:
+            continue
+        diff_r = _r6(float(s1) / float(n1) - float(s0) / float(n0))
+        if diff_obs is not None:
+            n_valid += 1
+            if abs(diff_r) >= abs(diff_obs):
+                n_extreme += 1
+    p = None if n_valid == 0 else (n_extreme * 1000000) // n_valid
+    return [
+        (
+            n_p,
+            n_c,
+            None if diff_obs is None else float(diff_obs),
+            n_valid,
+            n_extreme,
+            p,
+        )
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "view"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_permutation_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline14 import permutation_test_diff
+
+    d = tmp_path_factory.mktemp("perm")
+    epoch = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t, c / 100.0, epoch) for i, (t, c) in enumerate(rows)],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = [tuple(r) for r in permutation_test_diff(spark, str(d)).collect()]
+    assert got == _brute_perm(rows)
