@@ -136,6 +136,8 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "rake_keywords",
     "permutation_test_diff",
+    "mcnemar_gate_disagreement",
+    "spearman_rank_corr",
     "stream_hadrolog_source_equivalence",
 ]
 

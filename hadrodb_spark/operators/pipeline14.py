@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hadrodb_spark.functions import text as X
 from hadrodb_spark.operators import shared
 from hadrodb_spark.operators.pipeline8 import _sdiv
 from hadrodb_spark.operators.relational import load
@@ -1087,3 +1088,214 @@ ORACLE["permutation_test_diff"] = f"""
                 END AS BIGINT) AS p_ppm
     FROM reps2 CROSS JOIN obs2
 """
+
+
+# --- mcnemar_gate_disagreement ----------------------------------------------
+# Continuity-corrected McNemar statistic over exact integer cells: the one
+# shared float text is (|b−c|−1)²/(b+c), rounded at 6.
+_MCNEMAR = (
+    "ROUND(((ABS(CAST(b AS DOUBLE) - c) - 1e0)"
+    " * (ABS(CAST(b AS DOUBLE) - c) - 1e0)) / (CAST(b AS DOUBLE) + c), 6)"
+)
+
+
+def mcnemar_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two curation gates on the SAME
+    documents — "do the length gate and the lexical-diversity gate
+    disagree symmetrically, or does one systematically pass what the
+    other rejects?"  (chisq_independence compares unpaired marginals;
+    McNemar is the correct test when both classifiers score the same
+    items; ``classifier_agreement_kappa`` measures agreement magnitude,
+    this tests disagreement DIRECTION.)  Gate 1: n_chars ≥ 200.
+    Gate 2: 2·|distinct tokens| ≥ |tokens| (≥ 50% type-token ratio, the
+    repetition screen) — an exact integer comparison, no float ratio.
+
+    Exactness: the 2×2 cells are exact integer counts from ONE map-side
+    aggregate; the continuity-corrected statistic is one shared float
+    text rounded at 6, NULL when b + c = 0 (both engines would
+    otherwise hit 0/0); the b:(b+c) disagreement share is integer ppm.
+
+    Scale: map-only gate evaluation into a single global aggregate.
+    """
+    toks = X.tokens(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 200).alias("g1"),
+        (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).alias("g2"),
+    )
+    cells = docs.groupBy().agg(
+        F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("g1") & ~F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("g1") & ~F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            f"CASE WHEN b + c = 0 THEN NULL ELSE {_MCNEMAR} END"
+        ).alias("mcnemar_x2"),
+        F.expr(
+            "CASE WHEN b + c = 0 THEN NULL"
+            " ELSE (b * CAST(1000000 AS BIGINT)) DIV (b + c) END"
+        )
+        .cast("bigint")
+        .alias("b_share_ppm"),
+    )
+
+
+# --- spearman_rank_corr -------------------------------------------------
+# Pearson over DOUBLED midranks (2·midrank = 2·lt + eq + 1 stays an exact
+# integer under ties; the doubling cancels in the correlation).  One
+# shared float text: (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²)).
+_SPEARMAN = (
+    "ROUND(CAST(nd * sxy - sx * sy AS DOUBLE)"
+    " / (SQRT(CAST(nd * sxx - sx * sx AS DOUBLE))"
+    " * SQRT(CAST(nd * syy - sy * sy AS DOUBLE))), 6)"
+)
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document LENGTH (n_chars) and
+    TOKEN COUNT — the monotone-association audit (``corr_matrix`` gives
+    Pearson on raw values; Spearman is outlier-proof and catches any
+    monotone relation).  Ranks come from the VALUE-LEVEL count grids
+    (bounded by the distinct-length / distinct-token-count domains, the
+    Mann-Whitney construction — never a raw-row rank window); doubled
+    midranks keep every rank an exact integer under ties.
+
+    Exactness: both rank maps derive from exact integer counts via
+    bounded cumulative windows; per-doc doubled ranks join back through
+    those maps; all five moments are exact DECIMAL(38,0) sums; rho is
+    ONE shared two-SQRT text rounded at 6, NULL when either variable is
+    constant (zero variance ⇒ 0/0 on both engines otherwise).
+
+    Scale: one map-side-combined count per variable (grids bounded by
+    the value domains), two broadcast-joinable rank maps, one global
+    moment aggregate.  No raw-row window anywhere.
+    """
+    base = shared.shared_persist(
+        ("spearman_base", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "documents").select(
+            F.col("n_chars").alias("x"),
+            X.token_count(F.col("text")).alias("y"),
+        ),
+    )
+
+    def rank_map(col: str):
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    joined = (
+        base.join(F.broadcast(rank_map("x")), "x")
+        .join(F.broadcast(rank_map("y")), "y")
+        .select(
+            F.col("r2x").cast("decimal(38,0)").alias("rx"),
+            F.col("r2y").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    m = joined.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return m.select(
+        F.col("nd").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CASE WHEN nd * sxx - sx * sx = 0 OR nd * syy - sy * sy = 0"
+            f" THEN NULL ELSE {_SPEARMAN} END"
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE["mcnemar_gate_disagreement"] = f"""
+    WITH docs AS (
+      SELECT n_chars >= 200 AS g1,
+             2 * len(list_distinct({{toks}})) >= len({{toks}}) AS g2
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT g1 AND NOT g2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM docs
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b + c = 0 THEN NULL ELSE {_MCNEMAR} END AS mcnemar_x2,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                ELSE (b * CAST(1000000 AS BIGINT)) // (b + c) END
+                AS BIGINT) AS b_share_ppm
+    FROM cells
+"""
+
+ORACLE["spearman_rank_corr"] = f"""
+    WITH base AS (
+      SELECT n_chars AS x, CAST(len({{toks}}) AS BIGINT) AS y
+      FROM documents
+    ),
+    xr AS (
+      SELECT x,
+             2 * COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2x
+      FROM (SELECT x, COUNT(*) AS c FROM base GROUP BY x)
+    ),
+    yr AS (
+      SELECT y,
+             2 * COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2y
+      FROM (SELECT y, COUNT(*) AS c FROM base GROUP BY y)
+    ),
+    joined AS (
+      SELECT CAST(r2x AS DECIMAL(38,0)) AS rx,
+             CAST(r2y AS DECIMAL(38,0)) AS ry
+      FROM base JOIN xr USING (x) JOIN yr USING (y)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS nd,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM joined
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CASE WHEN nd * sxx - sx * sx = 0 OR nd * syy - sy * sy = 0
+                THEN NULL ELSE {_SPEARMAN} END AS spearman_rho
+    FROM m
+"""
+
+# substitute the shared DuckDB tokens expression into the gate/rank oracles
+ORACLE["mcnemar_gate_disagreement"] = ORACLE[
+    "mcnemar_gate_disagreement"
+].format(toks=X.sql_tokens("text"))
+ORACLE["spearman_rank_corr"] = ORACLE["spearman_rank_corr"].format(
+    toks=X.sql_tokens("text")
+)

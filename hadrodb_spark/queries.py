@@ -215,6 +215,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   permutation_test_diff (pipeline14.py — md5-deterministic
 #   approximate-randomization p-value for the purchase-vs-click mean
 #   difference; completes bootstrap-CI / effect-size / significance)
+#   mcnemar_gate_disagreement, spearman_rank_corr (pipeline14.py —
+#   paired-gate direction test; rank correlation via bounded value-grid
+#   midranks)
 _register(pipeline13)
 _register(pipeline14)
 _register(streamcheck)

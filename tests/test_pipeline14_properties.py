@@ -631,3 +631,115 @@ def test_permutation_matches_bruteforce(spark, tmp_path_factory, rows):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
     got = [tuple(r) for r in permutation_test_diff(spark, str(d)).collect()]
     assert got == _brute_perm(rows)
+
+
+# ------------------------------------------------------------- mcnemar
+def _toks(t):
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _brute_mcnemar(rows):
+    a = b = c = d = 0
+    for n_chars, text in rows:
+        g1 = n_chars >= 200
+        ts = _toks(text)
+        g2 = 2 * len(set(ts)) >= len(ts)
+        if g1 and g2:
+            a += 1
+        elif g1:
+            b += 1
+        elif g2:
+            c += 1
+        else:
+            d += 1
+    if b + c == 0:
+        x2, share = None, None
+    else:
+        ab = abs(float(b) - c)
+        x2 = float(_r6(((ab - 1.0) * (ab - 1.0)) / (float(b) + c)))
+        share = (b * 1000000) // (b + c)
+    return [(a, b, c, d, x2, share)]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=6
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_mcnemar_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline14 import mcnemar_gate_disagreement
+
+    d = tmp_path_factory.mktemp("mcn")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", n) for i, (n, t) in enumerate(rows)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in mcnemar_gate_disagreement(spark, str(d)).collect()]
+    assert got == _brute_mcnemar(rows)
+
+
+# ------------------------------------------------------------ spearman
+def _brute_spearman(rows):
+    xs = [n for n, _ in rows]
+    ys = [len(_toks(t)) for _, t in rows]
+
+    def ranks2(vals):
+        out = []
+        for v in vals:
+            lt = sum(1 for u in vals if u < v)
+            eq = sum(1 for u in vals if u == v)
+            out.append(2 * lt + eq + 1)
+        return out
+
+    rx, ry = ranks2(xs), ranks2(ys)
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        rho = None
+    else:
+        rho = float(
+            _r6(
+                float(n * sxy - sx * sy)
+                / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+            )
+        )
+    return [(n, rho)]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=8
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_spearman_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline14 import spearman_rank_corr
+
+    d = tmp_path_factory.mktemp("spr")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", n) for i, (n, t) in enumerate(rows)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in spearman_rank_corr(spark, str(d)).collect()]
+    assert got == _brute_spearman(rows)
