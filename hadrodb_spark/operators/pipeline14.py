@@ -932,14 +932,17 @@ def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the poisson_bootstrap shape — partials reduce to ≤ 64
     rows per partition before the exchange; no expanded-row shuffle).
     """
-    base = (
-        load(spark, sf_dir, "events")
+    # persisted: the observed aggregate AND the 64x replicate explode both
+    # read this filtered projection — one events scan instead of two.
+    base = shared.shared_persist(
+        ("perm_base", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "click"))
         .select(
             "event_id",
             (F.col("event_type") == "purchase").alias("is_p"),
             F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
-        )
+        ),
     )
     obs = base.groupBy().agg(
         F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("n_p"),
@@ -1117,10 +1120,12 @@ def mcnemar_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-only gate evaluation into a single global aggregate.
     """
-    toks = X.tokens(F.col("text"))
     docs = load(spark, sf_dir, "documents").select(
         (F.col("n_chars") >= 200).alias("g1"),
-        (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).alias("g2"),
+        (
+            2 * X.distinct_token_count(F.col("text"))
+            >= X.token_count(F.col("text"))
+        ).alias("g2"),
     )
     cells = docs.groupBy().agg(
         F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0))
@@ -1155,12 +1160,20 @@ def mcnemar_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- spearman_rank_corr -------------------------------------------------
 # Pearson over DOUBLED midranks (2·midrank = 2·lt + eq + 1 stays an exact
-# integer under ties; the doubling cancels in the correlation).  One
-# shared float text: (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²)).
-_SPEARMAN = (
-    "ROUND(CAST(nd * sxy - sx * sy AS DOUBLE)"
-    " / (SQRT(CAST(nd * sxx - sx * sx AS DOUBLE))"
-    " * SQRT(CAST(nd * syy - sy * sy AS DOUBLE))), 6)"
+# integer under ties; the doubling cancels in the correlation).  The
+# autocorr_daily/_AC shared-text shape: every aggregate casts to DOUBLE
+# BEFORE the n·s products — a native DECIMAL(38,0) multiply here reaches
+# ~4·n⁴ and hard-crashes BOTH engines past ~2·10⁹ docs (r8-s2 review;
+# the cusum overflow class, verified empirically on both).
+_SP_NUM = (
+    "(CAST(nd AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_SP_DEN = (
+    "(SQRT(CAST(nd AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(CAST(nd AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 )
 
 
@@ -1225,8 +1238,8 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("nd").cast("bigint").alias("n_docs"),
         F.expr(
-            "CASE WHEN nd * sxx - sx * sx = 0 OR nd * syy - sy * sy = 0"
-            f" THEN NULL ELSE {_SPEARMAN} END"
+            f"CASE WHEN {_SP_DEN} = 0 THEN NULL"
+            f" ELSE ROUND({_SP_NUM} / {_SP_DEN}, 6) END"
         ).alias("spearman_rho"),
     )
 
@@ -1287,8 +1300,8 @@ ORACLE["spearman_rank_corr"] = f"""
       FROM joined
     )
     SELECT CAST(nd AS BIGINT) AS n_docs,
-           CASE WHEN nd * sxx - sx * sx = 0 OR nd * syy - sy * sy = 0
-                THEN NULL ELSE {_SPEARMAN} END AS spearman_rho
+           CASE WHEN {_SP_DEN} = 0 THEN NULL
+                ELSE ROUND({_SP_NUM} / {_SP_DEN}, 6) END AS spearman_rho
     FROM m
 """
 

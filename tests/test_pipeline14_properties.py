@@ -314,6 +314,9 @@ def test_pipeline14_plan_shapes(spark, sf_dir):
     the tier; the MW rank grid's only wide joins are broadcastable."""
     from hadrodb_spark.operators.pipeline14 import (
         cohens_d_by_type,
+        mcnemar_gate_disagreement,
+        permutation_test_diff,
+        spearman_rank_corr,
         theil_sen_slope,
     )
 
@@ -325,6 +328,9 @@ def test_pipeline14_plan_shapes(spark, sf_dir):
         survival_km_daily,
         theil_sen_slope,
         cohens_d_by_type,
+        permutation_test_diff,
+        mcnemar_gate_disagreement,
+        spearman_rank_corr,
     ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, (fn.__name__, plan)
