@@ -95,7 +95,13 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.col("obs").cast("bigint").alias("obs"),
-        F.expr("(r_tot * c_tot * CAST(1000000 AS BIGINT)) DIV n_tot")
+        # r_tot·c_tot·10⁶ exceeds BIGINT once N reaches ~3M rows with
+        # concentrated marginals (r9 ADVICE) — route the numerator through
+        # DECIMAL(38,0) like the cusum/rake/spearman fixes; operands are
+        # non-negative so DIV == floor on both engines.
+        F.expr(
+            "(CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000) DIV n_tot"
+        )
         .cast("bigint")
         .alias("exp_ppm"),
         F.expr(_CHI_CONTRIB).cast("decimal(18,6)").alias("contrib"),
@@ -125,7 +131,9 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank test of the `value` distribution: 'purchase'
     events against EACH other event type — the nonparametric location-
     shift monitor (KS sees any distribution change; MW answers "did the
-    typical purchase value move vs clicks/views?").  Values quantize to
+    typical purchase value move vs clicks/views?").  NULL values are
+    excluded up front (a rank test has no ordering for missing data, and
+    the engines' default NULL sort position differs).  Values quantize to
     exact integer cents, ties get standard midranks, and the doubled U
     statistic plus the rank-biserial effect size (ppm fixed point) are
     exact integers end-to-end — no variance approximation, no float rank.
@@ -141,9 +149,17 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY CONSTRUCTION (the source_ks_shift censoring argument), so the
     per-pair cumulative window runs over a bounded relation.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    # NULL values are excluded BEFORE the count grid: a NULL cents group
+    # would sort NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting
+    # every lt prefix sum (r9 ADVICE).  A rank test has no ordering for
+    # missing values anyway — the exclusion is the statistic's contract.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
     )
     # persisted: the purchase/other splits and the type list all read this
     # bounded grid — unpersisted it cost three full events scans.
@@ -180,15 +196,16 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = merged.withColumn(
         "lt", F.coalesce(F.sum(F.col("cp") + F.col("co")).over(w), F.lit(0))
     )
+    # two_r1 ~ 2N² wraps a BIGINT sum near 2e9 events (r9 ADVICE) —
+    # accumulate as DECIMAL(38,0); the doubled-U output stays BIGINT
+    # because u₁×2 ≤ 2·n₁·n₂ is bounded by the group-product domain.
     stats = ranked.groupBy("other_type").agg(
         F.sum("cp").cast("bigint").alias("n_purchase"),
         F.sum("co").cast("bigint").alias("n_other"),
         F.sum(
-            F.col("cp")
+            F.col("cp").cast("decimal(38,0)")
             * (2 * F.col("lt") + F.col("cp") + F.col("co") + 1)
-        )
-        .cast("bigint")
-        .alias("two_r1"),
+        ).alias("two_r1"),
     )
     return (
         stats.select(
@@ -204,9 +221,12 @@ def mannwhitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "rank_biserial_ppm",
+            # u₁×2 · 10⁶ wraps BIGINT once n₁·n₂ passes ~4.6e12 (r9
+            # ADVICE) — DECIMAL(38,0) numerator; non-negative, so
+            # DIV == floor on both engines.
             F.expr(
                 "CASE WHEN n_purchase = 0 OR n_other = 0 THEN NULL"
-                " ELSE (u_purchase_x2 * CAST(1000000 AS BIGINT))"
+                " ELSE (CAST(u_purchase_x2 AS DECIMAL(38,0)) * 1000000)"
                 " DIV (n_purchase * n_other) - 1000000 END"
             ).cast("bigint"),
         )
@@ -505,7 +525,7 @@ ORACLE: dict[str, str] = {
         scored AS (
           SELECT source, lang,
                  CAST(obs AS BIGINT) AS obs,
-                 CAST((r_tot * c_tot * CAST(1000000 AS BIGINT)) // n_tot
+                 CAST((CAST(r_tot AS HUGEINT) * c_tot * 1000000) // n_tot
                       AS BIGINT) AS exp_ppm,
                  CAST({_CHI_CONTRIB} AS DECIMAL(18,6)) AS contrib,
                  CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof
@@ -523,7 +543,7 @@ ORACLE: dict[str, str] = {
         WITH counts AS (
           SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
                  COUNT(*) AS c
-          FROM events GROUP BY 1, 2
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
         pc AS (
           SELECT cents, c AS cp FROM counts WHERE event_type = 'purchase'
@@ -554,14 +574,14 @@ ORACLE: dict[str, str] = {
           SELECT other_type,
                  CAST(SUM(cp) AS BIGINT) AS n_purchase,
                  CAST(SUM(co) AS BIGINT) AS n_other,
-                 CAST(SUM(cp * (2 * lt + cp + co + 1)) AS BIGINT) AS two_r1
+                 SUM(CAST(cp AS HUGEINT) * (2 * lt + cp + co + 1)) AS two_r1
           FROM ranked GROUP BY other_type
         )
         SELECT other_type, n_purchase, n_other,
                CAST(two_r1 - n_purchase * (n_purchase + 1) AS BIGINT)
                  AS u_purchase_x2,
                CAST(CASE WHEN n_purchase = 0 OR n_other = 0 THEN NULL
-                    ELSE (u_purchase_x2 * CAST(1000000 AS BIGINT))
+                    ELSE (CAST(u_purchase_x2 AS HUGEINT) * 1000000)
                          // (n_purchase * n_other) - 1000000 END AS BIGINT)
                  AS rank_biserial_ppm
         FROM stats
@@ -1196,12 +1216,18 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value domains), two broadcast-joinable rank maps, one global
     moment aggregate.  No raw-row window anywhere.
     """
+    # NULL x/y rows are excluded up front: they'd drop from the moment
+    # join anyway (NULL never equi-joins), but their count-grid groups
+    # would shift every other value's rank prefix sum under the engines'
+    # opposite default NULL sort positions (r9 ADVICE).
     base = shared.shared_persist(
         ("spearman_base", spark.sparkContext.applicationId, sf_dir),
-        lambda: load(spark, sf_dir, "documents").select(
+        lambda: load(spark, sf_dir, "documents")
+        .select(
             F.col("n_chars").alias("x"),
             X.token_count(F.col("text")).alias("y"),
-        ),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull()),
     )
 
     def rank_map(col: str):
@@ -1272,6 +1298,7 @@ ORACLE["spearman_rank_corr"] = f"""
     WITH base AS (
       SELECT n_chars AS x, CAST(len({{toks}}) AS BIGINT) AS y
       FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(len({{toks}}) AS BIGINT) IS NOT NULL
     ),
     xr AS (
       SELECT x,

@@ -21,6 +21,7 @@ the result a closed-form batch relation.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tempfile
@@ -34,6 +35,31 @@ from hadrodb_spark.streaming.events import EVENT_SCHEMA, tumbling_counts
 ROWS_ONLY: tuple[str, ...] = ()
 
 _FIXTURE_VERSION = 1
+
+
+def _utc_pinned(fn):
+    """Run ``fn`` with the session TZ pinned to UTC, then RESTORE the
+    caller's prior value (r9 ADVICE: the old permanent ``conf.set`` made
+    every later query in a caller-supplied non-UTC session order-
+    dependent).  Safe to restore at return: every TZ-sensitive expression
+    (date_format/date_trunc/window) executes eagerly inside the wrapped
+    body — the compared relation is either fully collected by ``_drain``
+    or a plan over TZ-free types (strings / integers / decimal sums)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, *args, **kwargs):
+        key = "spark.sql.session.timeZone"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "UTC")
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return wrapper
 
 
 def _build_fixture(dest: str, build) -> None:
@@ -114,6 +140,7 @@ def _build_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> None:
     )
 
 
+@_utc_pinned
 def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts computed by the STREAMING engine — file
     source (2 files per trigger ⇒ incremental state over ≥ 4 real
@@ -125,7 +152,6 @@ def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output discipline: window bounds as UTC strings (no raw timestamps),
     counts bigint, value totals decimal-summed then double."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir)
     if not os.path.isdir(fixture):
         _build_stream_fixture(spark, sf_dir, fixture)
@@ -172,6 +198,7 @@ def _build_dup_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> No
     _build_fixture(dest, build)
 
 
+@_utc_pinned
 def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup state proven against batch semantics: the fixture
     holds every event PLUS an exact duplicate of the even-id half in
@@ -184,7 +211,6 @@ def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-type aggregate runs batch-side over the sink table, keeping
     the compared relation |event_type| rows with decimal-exact sums."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_dup"
     if not os.path.isdir(fixture):
         _build_dup_stream_fixture(spark, sf_dir, fixture)
@@ -266,6 +292,7 @@ def _build_session_stream_fixture(
     _build_fixture(dest, build)
 
 
+@_utc_pinned
 def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window MERGE state proven against batch semantics — the
     hardest stateful path (sessions split across micro-batches must merge
@@ -278,7 +305,6 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window_batch`` runs, now through the streaming engine."""
     from hadrodb_spark.streaming.events import session_windows
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_sess"
     if not os.path.isdir(fixture):
         _build_session_stream_fixture(spark, sf_dir, fixture)
@@ -322,6 +348,7 @@ ORACLE["stream_session_equivalence"] = """
 """
 
 
+@_utc_pinned
 def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join state proven against batch semantics:
     purchases within 1 hour AFTER a signup by the same user, both sides
@@ -337,7 +364,6 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output aggregates the match set batch-side (per signup-hour
     counts, decimal-exact purchase value) to keep the compared relation
     small and tie-free."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_sess"
     if not os.path.isdir(fixture):
         _build_session_stream_fixture(spark, sf_dir, fixture)
@@ -402,6 +428,7 @@ ORACLE["stream_join_equivalence"] = """
 """
 
 
+@_utc_pinned
 def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARBITRARY stateful processing (``applyInPandasWithState`` — the
     escape hatch windowed aggregation can't express) proven against batch
@@ -418,7 +445,6 @@ def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     so each user's snapshots genuinely accumulate across micro-batches."""
     from hadrodb_spark.streaming.ingest import running_user_totals
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     fixture = _stream_events_dir(sf_dir) + "_sess"
     if not os.path.isdir(fixture):
         _build_session_stream_fixture(spark, sf_dir, fixture)
@@ -492,6 +518,7 @@ def _build_sink_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
     _build_fixture(dest, build)
 
 
+@_utc_pinned
 def stream_sink_collection_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -505,7 +532,6 @@ def stream_sink_collection_equivalence(
     ingest commit protocol AND the last-writer-wins read path end to
     end.  (The source/state paths are the five rows above; this closes
     source → state → sink.)"""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from hadrodb_spark.sources.collection import HadroCollection
 
     fixture = _stream_events_dir(sf_dir) + "_sink"
@@ -537,6 +563,7 @@ ORACLE["stream_sink_collection_equivalence"] = """
 """
 
 
+@_utc_pinned
 def stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OVERLAPPING-window state proven against batch semantics: with a
     2-hour window sliding every 30 minutes, each event must update FOUR
@@ -551,7 +578,6 @@ def stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output discipline: window starts as UTC strings, counts bigint,
     value totals decimal-summed then double."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from hadrodb_spark.streaming.events import sliding_counts
 
     fixture = _stream_events_dir(sf_dir)
@@ -613,6 +639,7 @@ def _write_native_wave(spark, sf_dir: str, dest: str, parity: int) -> None:
     )
 
 
+@_utc_pinned
 def stream_hadrolog_source_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
