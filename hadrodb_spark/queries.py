@@ -68,58 +68,63 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1/r2/r3/r4 CORRECTNESS key sets).  Cumulative driver coverage entering
-# round 8: 236/276 (r1 relational; r2 pipeline3/sqlsuite/pipeline4; r3
-# dedup/vector/KV/text/multimodal; r4 analytics/asof/pipeline5/
-# relational3/relational4; r5 sessionize + the 34 r4-session additions;
-# r6/r7 the dedup_incremental/kv-tier/interchange/pipeline7/pipeline6
-# window — r7 shipped no changes so its window repeated r6's).
+# r1-r8 CORRECTNESS key sets).  Cumulative driver coverage entering
+# round 9: 276/300 — every entry that existed at round-8 START has a
+# green row in some CORRECTNESS_r*.json; the 24 round-8 session-2
+# additions below have never been driver-verified.
 #
-# ROUND-8 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (VERDICT r7 task #1: rotate onto the 40 entries with no
-# green row in ANY CORRECTNESS_r1-r7, computed from the artifacts at r8
-# start — the set matches the round-6/round-7 verdict lists exactly):
-#   [0-39]  the 40 never-driver-verified entries, grouped by module:
-#           asof (join_scd2_temporal), dedup (dedup_threshold_curve),
-#           similarity (embedding_cluster_cohesion, ann_range_search,
-#           vector_topk_ivfpq), kv (kv_erasure_audit), textops
-#           (dedup_rate_by_source, classifier_agreement_kappa,
-#           vocab_coverage), pipeline2 (length_gate_disc),
-#           multimodal_ops (multimodal_phash_neardup), nativefmt
-#           (hadrolog_compact_roundtrip), pipeline3 (source_js_divergence,
-#           mixture_apply), sqlsuite (sql_recursive_copurchase),
-#           relational4 (window_rolling_median,
-#           window_first_last_ignore_nulls), pipeline8 (5), pipeline9 (5),
-#           pipeline10 (5), pipeline11 (5), pipeline12 (3).
-#   [40-49] re-checks of everything round-8's own diffs touch plus
-#           high-value greens: source_ks_shift (grid-bound rework this
-#           round), hadrolog_scan_decode (writer property-test round),
-#           vector_topk + vector_topk_kmeans_ivf (recall-contract round
-#           touches similarity.py), sql_tpch_q9_like (retire the r7
-#           jitter reading with a fresh driver row), sql_tpch_q1_like,
-#           scan_lineitem, dedup_near, sessionize, curation_pipeline.
+# ROUND-9 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (VERDICT r8 task #1: rotate onto the 24 entries with no
+# green row in ANY CORRECTNESS_r1-r8, computed from the artifacts at r9
+# start — the set matches the round-8 verdict list exactly):
+#   [0-23]  the 24 never-driver-verified entries: similarity
+#           (ann_recall_audit, dim_truncation_recall), textops
+#           (rake_keywords), pipeline4 (hybrid_rrf_fusion), pipeline13
+#           (dsir_importance, bigram_xent), pipeline14 (the 10-query
+#           statistical-audit tier), streamcheck (the 8 streaming-
+#           equivalence rows).
+#   [24-49] re-checks leading with what round-9's own diffs touch: the
+#           full kv storage tier + both hadrolog rows (the cross-host
+#           conditional-put commit path and the exactly-once ingest
+#           fault drill rework collection.py / streaming/ingest.py this
+#           round), then the standing high-value greens (q1/q9/scan/
+#           dedup_near/dedup_exact/sessionize/curation_pipeline/
+#           vector_topk/source_ks_shift/project_columns).
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  New round-8 queries register BELOW the window (round-9
-# queue), same procedure as rounds 3-7.  After a green r8 the cumulative
-# driver coverage is 276/276 — every registry entry certified at least
+# OF THIS ROUND.  New round-9 queries register BELOW the window (round-10
+# queue), same procedure as rounds 3-8.  After a green r9 the cumulative
+# driver coverage is 300/300 — every registry entry certified at least
 # once.
-_register(asof, only=["join_scd2_temporal"])
-_register(dedup, only=["dedup_threshold_curve"])
-_register(similarity, only=[
-    "embedding_cluster_cohesion", "ann_range_search", "vector_topk_ivfpq",
+_register(similarity, only=["ann_recall_audit", "dim_truncation_recall"])
+_register(textops, only=["rake_keywords"])
+_register(pipeline4, only=["hybrid_rrf_fusion"])
+_register(pipeline13)   # dsir_importance, bigram_xent
+_register(pipeline14)   # chisq / mannwhitney / cusum / benford / KM /
+#                         theil-sen / cohens-d / permutation / mcnemar /
+#                         spearman — the statistical-audit tier
+_register(streamcheck)  # the 8 oracle-backed streaming-equivalence rows
+# positions 24-49: re-checks (see header note)
+_register(kv, only=[
+    "kv_history", "kv_time_travel", "kv_snapshot_diff",
+    "kv_merge_equivalence", "kv_optimize_equivalence",
+    "kv_export_import_roundtrip", "kv_erasure_audit", "kv_get_latest",
+    "kv_delete_tombstone", "kv_ids", "kv_count", "compact_equivalence",
+    "scan_skips_deleted", "where_filter",
 ])
-_register(kv, only=["kv_erasure_audit"])
-_register(textops, only=[
-    "dedup_rate_by_source", "classifier_agreement_kappa", "vocab_coverage",
+_register(nativefmt, only=[
+    "hadrolog_scan_decode", "hadrolog_compact_roundtrip",
 ])
-_register(pipeline2, only=["length_gate_disc"])
-_register(multimodal_ops, only=["multimodal_phash_neardup"])
-_register(nativefmt, only=["hadrolog_compact_roundtrip"])
-_register(pipeline3, only=["source_js_divergence", "mixture_apply"])
-_register(sqlsuite, only=["sql_recursive_copurchase"])
-_register(relational4, only=[
-    "window_rolling_median", "window_first_last_ignore_nulls",
+_register(relational, only=[
+    "sql_tpch_q1_like", "scan_lineitem", "project_columns",
 ])
+_register(sqlsuite, only=["sql_tpch_q9_like"])
+_register(dedup, only=["dedup_near", "dedup_exact"])
+_register(sessionize, only=["sessionize"])
+_register(pipeline2, only=["curation_pipeline"])
+_register(similarity, only=["vector_topk"])
+_register(pipeline7, only=["source_ks_shift"])
+# --- verified tiers (after the window; every entry below has a green row
+# in some CORRECTNESS_r1-r7) ---
 _register(pipeline8)   # PSI drift, k-anonymity, embargo split, PCA, Markov
 _register(pipeline9)   # dow seasonality, winsorize, Gini/HHI, MI, upsample
 _register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
@@ -127,17 +132,6 @@ _register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
 _register(pipeline11)  # FK integrity, cohort LTV, vocab overlap,
 #                        user entropy, exact rolling actives
 _register(pipeline12)  # revenue Pareto, one-way ANOVA, ship-lag percentiles
-# positions 40-49: re-checks (see header note)
-_register(pipeline7, only=["source_ks_shift"])
-_register(nativefmt, only=["hadrolog_scan_decode"])
-_register(similarity, only=["vector_topk", "vector_topk_kmeans_ivf"])
-_register(sqlsuite, only=["sql_tpch_q9_like"])
-_register(relational, only=["sql_tpch_q1_like", "scan_lineitem"])
-_register(dedup, only=["dedup_near"])
-_register(sessionize, only=["sessionize"])
-_register(pipeline2, only=["curation_pipeline"])
-# --- verified tiers (after the window; every entry below has a green row
-# in some CORRECTNESS_r1-r7) ---
 _register(kv, only=[
     "kv_time_travel", "kv_snapshot_diff", "kv_merge_equivalence",
     "kv_optimize_equivalence", "kv_export_import_roundtrip", "kv_history",
@@ -181,46 +175,11 @@ _register(relational4)
 _register(relational)
 _register(relational2)
 _register(pipeline7)  # round-6 queue, session-3 additions
-# --- ROUND-9 QUEUE marker: the old round-7 queue (the 40 entries) was
-# rotated INTO the round-8 window above.  New round-8 queries register
-# from here DOWN; collect them BY NAME at r9 start (same procedure).
-# Round-9 queue so far (names live mid-registry inside wholesale-registered
-# modules — collect by NAME, not position):
-#   ann_recall_audit (similarity.py — measured recall@k for the ANN family)
-#   dsir_importance, bigram_xent (pipeline13.py — DSIR data selection,
-#   bigram-LM perplexity proxy)
-#   dim_truncation_recall (similarity.py)
-#   stream_tumbling_equivalence, stream_dedup_equivalence,
-#   stream_session_equivalence, stream_join_equivalence,
-#   stream_custom_state_equivalence, stream_sink_collection_equivalence
-#   (streamcheck.py
-#   — first oracle-backed
-#   STREAMING rows: availableNow micro-batched runs vs batch SQL;
-#   windowed-agg, dedup, session-merge, stream-stream-join, arbitrary
-#   applyInPandasWithState state, and the exactly-once collection sink;
-#   stream_sliding_equivalence — overlapping-window multi-assignment
-#   state, oracle re-derives the window algebra from first principles)
-#   chisq_independence, mannwhitney_shift, cusum_changepoint,
-#   benford_first_digit, survival_km_daily, theil_sen_slope,
-#   cohens_d_by_type (pipeline14.py — the statistical-audit tier:
-#   independence / rank-shift / changepoint / Benford / Kaplan-Meier /
-#   robust trend / effect size)
-#   hybrid_rrf_fusion (pipeline4.py — reciprocal-rank fusion of the
-#   verified BM25 + cosine legs; composed oracle wraps their texts)
-#   stream_hadrolog_source_equivalence (streamcheck.py — the NATIVE
-#   segment-log streaming source across a checkpoint restart: wave-2
-#   append mid-stream, resume must read only new bytes)
-#   rake_keywords (textops.py — RAKE keyphrase extraction, integer-ppm
-#   degree/frequency scores, zero floats)
-#   permutation_test_diff (pipeline14.py — md5-deterministic
-#   approximate-randomization p-value for the purchase-vs-click mean
-#   difference; completes bootstrap-CI / effect-size / significance)
-#   mcnemar_gate_disagreement, spearman_rank_corr (pipeline14.py —
-#   paired-gate direction test; rank correlation via bounded value-grid
-#   midranks)
-_register(pipeline13)
-_register(pipeline14)
-_register(streamcheck)
+# --- ROUND-10 QUEUE marker: the old round-9 queue (the 24 entries) was
+# rotated INTO the round-9 window above.  New round-9 queries register
+# from here DOWN; collect them BY NAME at round-10 start (same
+# procedure: `name in queries.QUERIES` guards collisions).
+
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
