@@ -151,7 +151,7 @@ def test_consistency_modes_commit_granularity(spark, tmp_path):
     rel.set("a", {"title": "1", "author": None})
     rel.set("b", {"title": "2", "author": None})
     rel.flush()
-    n_commits = lambda c: __import__("json").load(open(c._manifest_path))["commits"]
+    n_commits = lambda c: c._read_manifest()["commits"]
     assert n_commits(agg) == 2
     assert n_commits(rel) == 1
 
