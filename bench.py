@@ -199,28 +199,37 @@ def main() -> None:
     t_all1, s_all1 = cpu_stat()
     steal_pct = round(100.0 * (s_all1 - s_all0) / max(t_all1 - t_all0, 1), 2)
 
-    # Noise-floor self-labeling (round-7 verdict task #7): when host steal
-    # exceeded ~2% during the measurement pass, cross-round comparisons are
-    # archaeology (measured ±35% swings on identical bits).  We do NOT
-    # refuse to emit — the driver records whatever stdout ends with, and an
-    # empty artifact is worse than a labelled one — instead we (a) take one
-    # extra warm pass so `best` gets a sample from a hopefully-calmer
-    # window, and (b) stamp the line with `noisy` so readers know which
-    # rounds to trust.
-    retry_steal_pct = None
-    if steal_pct > 2.0:
+    # Best-of-passes protocol (round-9 verdict task #3): the r8 committed
+    # artifact ran under steal 0.6% and drifted everything ~1.4× vs the
+    # builder's calm runs — a single measurement window holds the whole
+    # round hostage.  So ALWAYS take at least one more FULL warm pass,
+    # minutes apart from the first, folding each query's time into `best`
+    # (per-query min across passes), and record each pass's own steal so
+    # readers can see which window produced the mins.  If every pass so
+    # far was noisy (>2% steal), take one extra pass (bounded at 3 total).
+    # WARM FIELD SEMANTICS STAY FROZEN (always pass 1's second run);
+    # `best` is the field cross-round comparisons should use.
+    pass_steal_pct = [steal_pct]
+    extra_passes = 1
+    while extra_passes <= 2:
         t_r0, s_r0 = cpu_stat()
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             best[name] = round(min(best[name], time.perf_counter() - t0), 3)
         t_r1, s_r1 = cpu_stat()
-        retry_steal_pct = round(100.0 * (s_r1 - s_r0) / max(t_r1 - t_r0, 1), 2)
-    # `noisy` labels the pass the WARM fields came from: the retry can only
+        pass_steal_pct.append(
+            round(100.0 * (s_r1 - s_r0) / max(t_r1 - t_r0, 1), 2)
+        )
+        extra_passes += 1
+        if min(pass_steal_pct) <= 2.0:
+            break
+    # `noisy` labels the pass the WARM fields came from: later passes only
     # refresh `best` (warm's second-run semantics are frozen since r1), so
-    # a calm retry must NOT clear the flag — value / r01 / r02 warm totals
-    # still carry the noisy window.  retry_steal_pct tells readers whether
-    # the *_warm_best fields got calm samples.
+    # a calm later pass must NOT clear the flag — value / r01 / r02 warm
+    # totals still carry the first window.  retry_steal_pct keeps its
+    # pre-r9 meaning (steal during the first extra pass).
+    retry_steal_pct = pass_steal_pct[1]
     noisy = steal_pct > 2.0
 
     total_cold = round(sum(cold.values()), 3)
@@ -247,6 +256,7 @@ def main() -> None:
         ),
         "steal_pct": steal_pct,
         "retry_steal_pct": retry_steal_pct,
+        "pass_steal_pct": pass_steal_pct,
         "noisy": noisy,
         "n_queries": len(HEADLINE),
     }

@@ -4,11 +4,32 @@ then compare row count, column names, and order-insensitive values.
 
 Comparison is EXACT (string-normalized cell values) — stricter than any
 plausible hash, so passing here should imply passing the driver's check.
+
+Changed-since mode (round-9 verdict task #7): at 300 queries a full run
+costs ~20 minutes, so set ``SPARK_GRAFT_PARITY_CACHE=/path/cache.json``
+to skip pairs whose certification fingerprint is unchanged since their
+last recorded PASS.  The fingerprint covers the oracle SQL text, the
+query's defining module source, and every hadrodb_spark module that
+module directly imports (one level) — so editing a query, its oracle,
+its module, or a directly-imported helper re-certifies it, while a
+no-change run skips it with an auditable reason (pytest ``-rs`` lists
+the skips; the cache file records name → fingerprint).  LIMITATION,
+by design: an edit to a helper imported INDIRECTLY (two+ hops) does not
+invalidate — use the cache for iteration, and run one full uncached
+sweep before freezing a round.  Unset the env var (the default) for the
+always-full behavior.
 """
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import inspect
+import json
 import math
+import os
+import re
+import sys
 
 import duckdb
 import pytest
@@ -52,9 +73,77 @@ def _canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# --- changed-since cache (opt-in; see module docstring) --------------------
+_CACHE_PATH = os.environ.get("SPARK_GRAFT_PARITY_CACHE", "")
+_cache: dict[str, str] = {}
+if _CACHE_PATH and os.path.exists(_CACHE_PATH):
+    with open(_CACHE_PATH) as _f:
+        _cache = json.load(_f)
+_cache_dirty = False
+
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+(hadrodb_spark[.\w]*)\s+import|import\s+(hadrodb_spark[.\w]*))",
+    re.MULTILINE,
+)
+_mod_digest_memo: dict[str, str] = {}
+
+
+def _module_digest(mod_name: str) -> str:
+    """sha256 of the module source plus the sources of every
+    hadrodb_spark module it DIRECTLY imports (one level, memoized)."""
+    if mod_name in _mod_digest_memo:
+        return _mod_digest_memo[mod_name]
+    _mod_digest_memo[mod_name] = ""  # cycle guard
+    try:
+        src = inspect.getsource(sys.modules[mod_name])
+    except (KeyError, OSError, TypeError):
+        _mod_digest_memo[mod_name] = "<unreadable>"
+        return _mod_digest_memo[mod_name]
+    h = hashlib.sha256(src.encode())
+    for m in _IMPORT_RE.finditer(src):
+        dep = m.group(1) or m.group(2)
+        if dep != mod_name and dep in sys.modules:
+            try:
+                h.update(inspect.getsource(sys.modules[dep]).encode())
+            except (OSError, TypeError):
+                h.update(b"<unreadable>")
+    _mod_digest_memo[mod_name] = h.hexdigest()
+    return _mod_digest_memo[mod_name]
+
+
+def _fingerprint(name: str, sf_dir: str) -> str:
+    h = hashlib.sha256()
+    h.update(sf_dir.encode())
+    h.update(ORACLES.get(name, "<no-oracle>").encode())
+    h.update(_module_digest(QUERIES[name].__module__).encode())
+    return h.hexdigest()
+
+
+def _record_pass(name: str, sf_dir: str) -> None:
+    global _cache_dirty
+    if not _CACHE_PATH:
+        return
+    _cache[name] = _fingerprint(name, sf_dir)
+    _cache_dirty = True
+
+
+@atexit.register
+def _flush_cache() -> None:
+    if _CACHE_PATH and _cache_dirty:
+        tmp = _CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, _CACHE_PATH)
+
+
+def _skip_if_certified(name: str, sf_dir: str) -> None:
+    if _CACHE_PATH and _cache.get(name) == _fingerprint(name, sf_dir):
+        pytest.skip(f"certified unchanged (fingerprint match in {_CACHE_PATH})")
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
+    _skip_if_certified(name, sf_dir)
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -75,6 +164,7 @@ def test_oracle_parity(spark, sf_dir, name):
     if s != d:
         diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+    _record_pass(name, sf_dir)
 
 
 def test_no_hugeint_oracle_outputs(sf_dir):

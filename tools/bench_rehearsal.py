@@ -1,11 +1,18 @@
-"""sf1.0 bench rehearsal (r7 VERDICT task #3): run the N most expensive
-headline queries at a larger scale factor (built by ``make_scale.py``) and
-print one BENCH-style JSON line, so the SCALE.md plan arguments get
-MEASUREMENTS — per-query wall time should grow ~linearly (≤ ~10× at 10×
-data for the scan-bound queries; the bounded-cardinality aggregates grow
-sub-linearly), and nothing should blow up driver memory.
+"""sf1.0 bench rehearsal (r7 VERDICT task #3; envelope per r8 task #4):
+run the most expensive headline queries at a larger scale factor (built by
+``make_scale.py``) and print one BENCH-style JSON line, so the SCALE.md
+plan arguments get MEASUREMENTS — per-query wall time should grow
+~linearly (≤ ~10× at 10× data for the scan-bound queries; the
+bounded-cardinality aggregates grow sub-linearly), and nothing should
+blow up driver memory.
 
 ``python tools/bench_rehearsal.py <sf_dir> [name ...]``
+
+Set ``SPARK_GRAFT_SF1_ENVELOPE=/root/repo/BENCH_SF1_r09.json`` to also
+write the driver's artifact envelope (``{"n", "rc", "cpus", "sf",
+"tail", "parsed"}`` — the exact shape the driver records for
+``BENCH_r{N}.json``), making scale trends machine-diffable round over
+round instead of tail-scraped.
 """
 
 from __future__ import annotations
@@ -17,6 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The 10 most expensive batch queries (r8 selection, kept stable for
+# round-over-round diffing) + the 8 streaming-equivalence rows (each runs
+# the REAL micro-batch engine against its batch twin, so rehearsing them
+# measures state-store growth with data volume) + the two heaviest
+# statistical-audit entries.
 DEFAULT = [
     "poisson_bootstrap_ci",
     "sql_tpch_q9_like",
@@ -28,6 +40,16 @@ DEFAULT = [
     "contamination_ngram",
     "fk_integrity_audit",
     "source_ks_shift",
+    "theil_sen_slope",
+    "survival_km_daily",
+    "stream_tumbling_equivalence",
+    "stream_dedup_equivalence",
+    "stream_session_equivalence",
+    "stream_join_equivalence",
+    "stream_custom_state_equivalence",
+    "stream_sink_collection_equivalence",
+    "stream_sliding_equivalence",
+    "stream_hadrolog_source_equivalence",
 ]
 
 
@@ -59,22 +81,33 @@ def main() -> int:
             file=sys.stderr,
         )
     t1s, s1s = cpu_stat()
-    print(
-        json.dumps(
-            {
-                "metric": "sf1_rehearsal_warm_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "sf_dir": sf_dir,
-                "queries": warm,
-                "queries_cold": cold,
-                "steal_pct": round(
-                    100.0 * (s1s - s0s) / max(t1s - t0s, 1), 2
-                ),
-            },
-            separators=(",", ":"),
-        )
-    )
+    parsed = {
+        "metric": "sf1_rehearsal_warm_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "queries": warm,
+        "queries_cold": cold,
+        "steal_pct": round(100.0 * (s1s - s0s) / max(t1s - t0s, 1), 2),
+    }
+    line = json.dumps(parsed, separators=(",", ":"))
+    print(line)
+    envelope_path = os.environ.get("SPARK_GRAFT_SF1_ENVELOPE", "")
+    if envelope_path:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        with open(envelope_path, "w") as f:
+            json.dump(
+                {
+                    "n": len(names),
+                    "rc": 0,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+                    "sf": sf,
+                    "tail": line[-2000:],
+                    "parsed": parsed,
+                },
+                f,
+                indent=1,
+            )
     return 0
 
 
