@@ -845,17 +845,42 @@ class HadroCollection:
         return df
 
     @staticmethod
-    def _latest(log: DataFrame) -> DataFrame:
-        """Latest version per key via a row_number window — the KeyDir as a
-        lazy computation, never resident on one node.
+    def _latest(log: DataFrame, skew_safe: bool = False) -> DataFrame:
+        """Latest version per key — the KeyDir as a lazy computation,
+        never resident on one node.
 
-        Measured A/B vs a ``max_by(struct(*cols))`` hash aggregate at sf0.1:
-        the window wins 2× on full scans (no per-row struct packing) and 10×
-        on point gets, because Catalyst pushes key predicates THROUGH the
-        window to the Parquet scan but not through the packed aggregate.
-        The aggregate form would win only on hot-key logs (many versions per
-        key) where map-side combining shrinks the shuffle; compact() is the
-        real answer there."""
+        Default path: a row_number window.  Measured A/B vs the
+        ``max_by`` hash aggregate at sf0.1: the window wins 2× on full
+        scans (no per-row struct packing) and 10× on point gets, because
+        Catalyst pushes key predicates THROUGH the window to the Parquet
+        scan but not through the packed aggregate.
+
+        ``skew_safe=True`` (round-9 VERDICT task #6): a window partition
+        cannot be split — AQE's skew handling applies to joins and
+        rebalances, NOT to window exchanges, so a 90%-one-key log pins
+        90% of the merge on one task no matter what AQE does.  The
+        ``max_by(struct(values), struct(_seq,_sub))`` aggregate fixes
+        that structurally: partial aggregation combines every hot key
+        down to ONE row per map task BEFORE the shuffle (plan-pinned:
+        ``partial_max_by`` in tests/test_bucketed_skew.py), so the
+        reduce side sees ≤ one row per (task, key) regardless of skew.
+        Opt in per session via ``spark.hadrodb.skewSafeMerge=true`` for
+        hot-key upsert workloads; ``compact()`` remains the steady-state
+        answer (post-compaction reads skip the merge entirely)."""
+        if skew_safe:
+            cols = log.columns
+            value_cols = [c for c in cols if c != KEY_COL]
+            packed = log.groupBy(KEY_COL).agg(
+                F.max_by(
+                    F.struct(*value_cols), F.struct(SEQ_COL, SUB_COL)
+                ).alias("_top")
+            )
+            return packed.select(
+                *[
+                    F.col(KEY_COL) if c == KEY_COL else F.col(f"_top.{c}").alias(c)
+                    for c in cols
+                ]
+            )
         w = Window.partitionBy(KEY_COL).orderBy(
             F.col(SEQ_COL).desc(), F.col(SUB_COL).desc()
         )
@@ -865,6 +890,15 @@ class HadroCollection:
             .drop("_rn")
         )
 
+    def _skew_safe_merge(self) -> bool:
+        try:
+            return (
+                self.spark.conf.get("spark.hadrodb.skewSafeMerge", "false")
+                or "false"
+            ).lower() == "true"
+        except Exception:
+            return False
+
     def _lww(self) -> DataFrame:
         log = self._log()
         # post-compaction fast path: the manifest proves one version per key
@@ -872,7 +906,7 @@ class HadroCollection:
         # then pure Parquet scans (pushdown + pruning, zero shuffle)
         if not self._pending and self._read_manifest()["clean"]:
             return log
-        return self._latest(log)
+        return self._latest(log, skew_safe=self._skew_safe_merge())
 
     def _pruned_lww(self, keys: Sequence[str]) -> DataFrame | None:
         """LWW view pruned — via manifest key bounds — to the commit dirs
