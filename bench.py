@@ -139,6 +139,13 @@ HEADLINE = [
     "mcnemar_gate_disagreement",
     "spearman_rank_corr",
     "stream_hadrolog_source_equivalence",
+    # round-9 additions (pipeline15 statistical-audit tier 2) — subtract
+    # for cross-round total comparisons; prefix subtotals stay comparable
+    "kruskal_wallis_value",
+    "kendall_tau_censored",
+    "levene_variance_homogeneity",
+    "conformal_coverage_audit",
+    "embedding_pair_cosine_hist",
 ]
 
 

@@ -147,7 +147,8 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Degenerate inputs (zero within-group variance, or n = k) have
             # no finite F — emit NULL identically on both engines instead
             # of exposing IEEE-Infinity vs engine-error divergence.
-            "CASE WHEN ssw_sum = 0 OR CAST(n_dec AS BIGINT) = k THEN NULL"
+            "CASE WHEN ssw_sum = 0 OR k <= 1 OR CAST(n_dec AS BIGINT) = k"
+            " THEN NULL"
             " ELSE ROUND(((CAST(q_tot AS DOUBLE)"
             " - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)"
             "   / CAST(n_dec AS DOUBLE))"
@@ -284,7 +285,8 @@ ORACLE: dict[str, str] = {
                CAST(n_dec AS BIGINT) AS n,
                CAST(k - 1 AS BIGINT) AS df_between,
                CAST(CAST(n_dec AS BIGINT) - k AS BIGINT) AS df_within,
-               CASE WHEN ssw_sum = 0 OR CAST(n_dec AS BIGINT) = k THEN NULL
+               CASE WHEN ssw_sum = 0 OR k <= 1 OR CAST(n_dec AS BIGINT) = k
+                    THEN NULL
                ELSE ROUND(((CAST(q_tot AS DOUBLE)
                        - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
                          / CAST(n_dec AS DOUBLE))

@@ -34,6 +34,7 @@ from hadrodb_spark.operators import (
     pipeline12,
     pipeline13,
     pipeline14,
+    pipeline15,
     relational,
     relational2,
     relational3,
@@ -179,6 +180,14 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # rotated INTO the round-9 window above.  New round-9 queries register
 # from here DOWN; collect them BY NAME at round-10 start (same
 # procedure: `name in queries.QUERIES` guards collisions).
+# Round-10 queue so far:
+#   kruskal_wallis_value, kendall_tau_censored,
+#   levene_variance_homogeneity, conformal_coverage_audit,
+#   embedding_pair_cosine_hist (pipeline15.py — statistical-audit
+#   tier 2: k-group rank ANOVA, grid-based tau-b concordance,
+#   variance-homogeneity gate, split-conformal calibration audit,
+#   embedding-collapse diagnostic)
+_register(pipeline15)
 
 
 

@@ -1,0 +1,333 @@
+"""Property tests for the pipeline15 statistical-audit tier 2:
+brute-force mirrors of the Kruskal-Wallis doubled-midrank algebra, the
+Kendall tau-b dominance-grid pair counting, the Brown-Forsythe
+median-deviation ANOVA, and the split-conformal quantile/coverage
+bookkeeping on adversarial tiny inputs (single groups, all-tied values,
+NULLs, values crossing the censoring cap, empty test halves) — plus a
+planted-collapse check for the embedding pair-cosine histogram.
+
+Float discipline in the brute mirrors: Spark's ROUND is HALF-UP on the
+double's decimal rendering, Python's round() is banker's — so every
+rounding goes through Decimal(repr(x)).quantize(..., ROUND_HALF_UP), and
+every float expression replays the SHARED op-order text exactly."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline15 import (
+    _PAIR_K,
+    _TAU_CAP,
+    conformal_coverage_audit,
+    embedding_pair_cosine_hist,
+    kendall_tau_censored,
+    kruskal_wallis_value,
+    levene_variance_homogeneity,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _r6(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def _write_events(spark, d, rows):
+    """rows: list of (event_id, event_type, cents-or-None)."""
+    spark.createDataFrame(
+        [
+            (i, t, None if c is None else c / 100.0, _EPOCH)
+            for i, t, c in rows
+        ],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+
+# ------------------------------------------------------------ kruskal-wallis
+def _brute_kw(rows):
+    vals = [(t, c) for _, t, c in rows if c is not None]
+    if not vals:
+        return []
+    allc = sorted(c for _, c in vals)
+    n = len(allc)
+    ct = Counter(allc)
+    types = sorted({t for t, _ in vals})
+    k = len(types)
+    tie_sum = sum(c * c * c - c for c in ct.values())
+    per = []
+    term_sum = Decimal(0)
+    for t in types:
+        mine = [c for tt, c in vals if tt == t]
+        n_i = len(mine)
+        two_r = sum(
+            2 * sum(1 for x in allc if x < v) + ct[v] + 1 for v in mine
+        )
+        term = _r6(float(two_r) * float(two_r) / 4.0 / float(n_i))
+        term_sum += term
+        per.append((t, n_i, two_r))
+    if n <= 1:
+        h = None
+    else:
+        h = float(
+            _r6(
+                12.0
+                * float(term_sum)
+                / (float(n) * (float(n) + 1.0))
+                - 3.0 * (float(n) + 1.0)
+            )
+        )
+    if h is None or tie_sum == n * n * n - n:
+        hc = None
+    else:
+        hc = float(
+            _r6(
+                h
+                / (
+                    1.0
+                    - float(tie_sum)
+                    / (float(n) * float(n) * float(n) - float(n))
+                )
+            )
+        )
+    return [(t, n_i, two_r, k, n, h, hc) for t, n_i, two_r in per]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "view"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kruskal_wallis_matches_bruteforce(spark, tmp_path_factory, rows):
+    d = tmp_path_factory.mktemp("kw")
+    _write_events(spark, d, [(i, t, c) for i, (t, c) in enumerate(rows)])
+    got = [tuple(r) for r in kruskal_wallis_value(spark, str(d)).collect()]
+    assert got == _brute_kw([(i, t, c) for i, (t, c) in enumerate(rows)])
+
+
+# --------------------------------------------------------------- kendall tau
+def _brute_tau(docs):
+    pts = [(min(x, _TAU_CAP), min(y, _TAU_CAP)) for x, y in docs]
+    n = len(pts)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0 or dy == 0:
+                continue
+            if (dx > 0) == (dy > 0):
+                conc += 1
+            else:
+                disc += 1
+    cx = Counter(x for x, _ in pts)
+    cy = Counter(y for _, y in pts)
+    t2x = sum(c * (c - 1) for c in cx.values())
+    t2y = sum(c * (c - 1) for c in cy.values())
+    np2 = n * (n - 1)
+    if np2 - t2x <= 0 or np2 - t2y <= 0:
+        tau = None
+    else:
+        tau = float(
+            _r6(
+                2.0
+                * (float(conc) - float(disc))
+                / math.sqrt(
+                    (float(np2) - float(t2x)) * (float(np2) - float(t2y))
+                )
+            )
+        )
+    return [(n, conc, disc, t2x, t2y, np2, tau)]
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),  # crosses the 511 cap
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kendall_tau_matches_bruteforce(spark, tmp_path_factory, docs):
+    d = tmp_path_factory.mktemp("tau")
+    spark.createDataFrame(
+        [
+            (i, "w " * y, "en", "s", x)
+            for i, (x, y) in enumerate(docs)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in kendall_tau_censored(spark, str(d)).collect()]
+    assert got == _brute_tau(docs)
+
+
+# ------------------------------------------------------------------- levene
+def _pdisc(sorted_vals, p):
+    """percentile_disc: smallest value whose cumulative share ≥ p."""
+    n = len(sorted_vals)
+    return sorted_vals[math.ceil(p * n) - 1]
+
+
+def _brute_levene(rows):
+    vals = [(t, c) for _, t, c in rows if c is not None]
+    if not vals:
+        return []
+    types = sorted({t for t, _ in vals})
+    k = len(types)
+    n = len(vals)
+    s_tot = Decimal(0)
+    q_tot = Decimal(0)
+    ssw = Decimal(0)
+    for t in types:
+        mine = sorted(c for tt, c in vals if tt == t)
+        med = _pdisc(mine, 0.5)
+        zs = [abs(c - med) for c in mine]
+        ni, si, qi = len(zs), sum(zs), sum(z * z for z in zs)
+        s_tot += si
+        q_tot += qi
+        ssw += _r6(float(ni * qi - si * si) / float(ni))
+    if ssw == 0 or k == 1 or n == k:
+        w = None
+    else:
+        w = float(
+            _r6(
+                (
+                    (
+                        float(q_tot)
+                        - float(s_tot) * float(s_tot) / float(n)
+                    )
+                    - float(ssw)
+                )
+                / (k - 1)
+                / (float(ssw) / (n - k))
+            )
+        )
+    return [(k, n, k - 1, n - k, w)]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_levene_matches_bruteforce(spark, tmp_path_factory, rows):
+    rows = [(i, t, c) for i, (t, c) in enumerate(rows)]
+    if all(c is None for _, _, c in rows):
+        return  # empty statistic: the aggregate relation has no rows
+    d = tmp_path_factory.mktemp("lev")
+    _write_events(spark, d, rows)
+    got = [tuple(r) for r in levene_variance_homogeneity(spark, str(d)).collect()]
+    assert got == _brute_levene(rows)
+
+
+def test_levene_all_tied_is_null(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lev0")
+    _write_events(
+        spark, d, [(i, "click" if i % 2 else "view", 500) for i in range(12)]
+    )
+    (row,) = levene_variance_homogeneity(spark, str(d)).collect()
+    assert row["w_stat"] is None  # zero within-group deviation everywhere
+
+
+# ---------------------------------------------------------------- conformal
+def _brute_conformal(rows):
+    vals = [(i, t, c) for i, t, c in rows if c is not None]
+    types = sorted({t for _, t, _ in vals})
+    out = []
+    for t in types:
+        cal = sorted(c for i, tt, c in vals if tt == t and i % 2 == 0)
+        test = [c for i, tt, c in vals if tt == t and i % 2 == 1]
+        n_cal, n_test = len(cal), len(test)
+        k = (9 * (n_cal + 1) + 9) // 10
+        qhat = cal[k - 1] if k <= n_cal else None
+        if n_test == 0:
+            cov = None
+        elif qhat is None:
+            cov = 1000000
+        else:
+            cov = sum(1 for c in test if c <= qhat) * 1000000 // n_test
+        out.append((t, n_cal, n_test, k, qhat, cov))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "click", "view"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_conformal_matches_bruteforce(spark, tmp_path_factory, rows):
+    rows = [(i, t, c) for i, (t, c) in enumerate(rows)]
+    d = tmp_path_factory.mktemp("conf")
+    _write_events(spark, d, rows)
+    got = [tuple(r) for r in conformal_coverage_audit(spark, str(d)).collect()]
+    assert got == _brute_conformal(rows)
+
+
+# ----------------------------------------------------- pair-cosine histogram
+def _write_embeddings(spark, d, vecs):
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    ).coalesce(2).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+
+def test_pair_cosine_hist_planted_collapse(spark, tmp_path_factory):
+    """A fully collapsed space (every vector identical) must put all 256
+    pairs in the +1.0 bin with exactly-10⁶-ppm share — the diagnostic the
+    histogram exists to surface."""
+    d = tmp_path_factory.mktemp("cosA")
+    _write_embeddings(spark, d, [[0.5, 0.25, 0.125, 1.0]] * (2 * _PAIR_K + 77))
+    got = [tuple(r) for r in embedding_pair_cosine_hist(spark, str(d)).collect()]
+    assert got == [(10, _PAIR_K, 1000000)]
+
+
+def test_pair_cosine_hist_structure_and_determinism(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cosB")
+    # deterministic non-collapsed vectors, all coordinates dyadic (exact
+    # in float32): direction varies with vec_id
+    vecs = [
+        [((i * 7 + j * 13) % 31 - 15) / 16.0 for j in range(8)]
+        for i in range(2 * _PAIR_K + 50)
+    ]
+    _write_embeddings(spark, d, vecs)
+    got = [tuple(r) for r in embedding_pair_cosine_hist(spark, str(d)).collect()]
+    assert sum(r[1] for r in got) == _PAIR_K
+    assert all(-10 <= r[0] <= 10 for r in got)
+    assert all(r[2] == r[1] * 1000000 // _PAIR_K for r in got)
+    assert len({r[0] for r in got}) > 1  # genuinely spread, not collapsed
+    again = [
+        tuple(r) for r in embedding_pair_cosine_hist(spark, str(d)).collect()
+    ]
+    assert got == again
