@@ -146,6 +146,7 @@ HEADLINE = [
     "levene_variance_homogeneity",
     "conformal_coverage_audit",
     "embedding_pair_cosine_hist",
+    "vector_topk_filtered",
 ]
 
 

@@ -1195,3 +1195,46 @@ def _dim_truncation_oracle() -> str:
 
 
 ORACLE["dim_truncation_recall"] = _dim_truncation_oracle()
+
+
+def vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-k restricted to a
+    metadata predicate (``label IN (1, 3)``) — the vector-database
+    operation plain top-k can't express (post-filtering a top-k list
+    returns fewer than k hits; the correct semantics filter FIRST, then
+    rank).  The 100 TB story is pre-filtering at the SCAN: the label
+    predicate pushes into the parquet reader (plan-pinned PushedFilters
+    in tests/test_plans.py), so row groups without matching labels are
+    never decoded and the scored set is only the qualifying subset —
+    at selectivity s the scan cost drops toward s·N before a single
+    dot product runs.  Query vector broadcast + TakeOrdered top-k, the
+    ``vector_topk`` scale shape.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("label").isin(1, 3))
+        .filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOPK)
+
+
+ORACLE["vector_topk_filtered"] = f"""
+    SELECT vec_id, label,
+           ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+    FROM embeddings, (SELECT embedding AS q_emb FROM embeddings
+                      WHERE vec_id = {_QUERY_ID}) q
+    WHERE vec_id <> {_QUERY_ID} AND label IN (1, 3)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_TOPK}
+"""

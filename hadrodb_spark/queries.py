@@ -181,6 +181,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 # from here DOWN; collect them BY NAME at round-10 start (same
 # procedure: `name in queries.QUERIES` guards collisions).
 # Round-10 queue so far:
+#   vector_topk_filtered (similarity.py — filtered vector search with
+#   plan-pinned label pushdown; lands MID-REGISTRY via the wholesale
+#   similarity register — collect BY NAME)
 #   kruskal_wallis_value, kendall_tau_censored,
 #   levene_variance_homogeneity, conformal_coverage_audit,
 #   embedding_pair_cosine_hist (pipeline15.py — statistical-audit

@@ -968,3 +968,21 @@ def test_bigram_xent_single_gram_aggregate(spark, sf_dir):
     # exactly one exchange keyed by the bigram text (the window re-sorts
     # reuse it); a second would mean the gram relation aggregated twice
     assert plan.count("Exchange hashpartitioning(bg") <= 1, plan
+
+
+def test_vector_topk_filtered_pushes_label_predicate(spark, sf_dir):
+    """The filtered-ANN contract: the label predicate must reach the
+    parquet scan (pre-filtering), not run post-scan — at 100 TB this is
+    the difference between decoding s*N and N vector rows."""
+    from hadrodb_spark.operators.similarity import vector_topk_filtered
+
+    df = vector_topk_filtered(spark, sf_dir)
+    plan = E.formatted_plan(df)
+    import re
+
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any(
+        re.search(r"In\(label, \[1,\s*3\]\)", ln) for ln in pushed
+    ), "\n".join(pushed) or plan
