@@ -147,6 +147,10 @@ HEADLINE = [
     "conformal_coverage_audit",
     "embedding_pair_cosine_hist",
     "vector_topk_filtered",
+    "cochran_q_gates",
+    "readability_flesch",
+    "jackknife_source_sensitivity",
+    "autocorr_lag_grid",
 ]
 
 

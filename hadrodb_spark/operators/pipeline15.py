@@ -791,3 +791,374 @@ ORACLE["embedding_pair_cosine_hist"] = f"""
 ORACLE["kendall_tau_censored"] = ORACLE["kendall_tau_censored"].format(
     toks=X.sql_tokens("text")
 )
+
+
+# --- cochran_q_gates --------------------------------------------------------
+_COCHRAN_Q = (
+    "CASE WHEN (3 * sl - ll2) = 0 THEN NULL"
+    " ELSE ROUND(2.0 * (3.0 * CAST(gg2 AS DOUBLE)"
+    " - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))"
+    " / (3.0 * CAST(sl AS DOUBLE) - CAST(ll2 AS DOUBLE)), 6) END"
+)
+
+
+def cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE curation gates at once — the k-treatment
+    completion of ``mcnemar_gate_disagreement`` (McNemar compares two
+    gates; Q asks "do ANY of the k gates pass different proportions of
+    the same docs?" without k² pairwise tests).  Gates: length ≥ 200
+    chars, type-token ratio ≥ ½ (both exactly the McNemar pair), and
+    token count ≥ 40 — three binary verdicts on the SAME documents, the
+    matched-design requirement Q exists for.
+
+    Exactness: Q = (k−1)·(k·ΣGⱼ² − (ΣGⱼ)²) / (k·ΣLᵢ − ΣLᵢ²) is integer
+    arithmetic end-to-end (Gⱼ = per-gate pass counts, Lᵢ = per-doc pass
+    count ∈ {0..3}); the one division is a single shared float text
+    rounded at 6, NULL when every doc passes all or none (denominator
+    0).
+
+    Scale: ONE map-side-combined aggregate over per-doc integer gate
+    expressions — no grid, no join, no window.  |output| = 1 row.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END").alias("g1"),
+        (
+            (2 * X.distinct_token_count(F.col("text")))
+            >= X.token_count(F.col("text"))
+        )
+        .cast("int")
+        .alias("g2"),
+        (X.token_count(F.col("text")) >= 40).cast("int").alias("g3"),
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("g1").cast("bigint").alias("g1_pass"),
+        F.sum("g2").cast("bigint").alias("g2_pass"),
+        F.sum("g3").cast("bigint").alias("g3_pass"),
+        F.sum(
+            (F.col("g1") + F.col("g2") + F.col("g3"))
+            * (F.col("g1") + F.col("g2") + F.col("g3"))
+        )
+        .cast("bigint")
+        .alias("ll2"),
+    )
+    return agg.select(
+        "n_docs",
+        "g1_pass",
+        "g2_pass",
+        "g3_pass",
+        F.expr(
+            "g1_pass * g1_pass + g2_pass * g2_pass + g3_pass * g3_pass"
+        ).alias("_gg2"),
+        F.expr("g1_pass + g2_pass + g3_pass").alias("_sl"),
+        "ll2",
+    ).selectExpr(
+        "n_docs",
+        "g1_pass",
+        "g2_pass",
+        "g3_pass",
+        "ll2",
+        "CAST(2 AS BIGINT) AS df",
+        _COCHRAN_Q.replace("gg2", "_gg2").replace("sl", "_sl") + " AS q_stat",
+    )
+
+
+ORACLE["cochran_q_gates"] = f"""
+    WITH docs AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN 2 * len(list_distinct({{toks}})) >= len({{toks}})
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN len({{toks}}) >= 40 THEN 1 ELSE 0 END AS g3
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(g1) AS BIGINT) AS g1_pass,
+             CAST(SUM(g2) AS BIGINT) AS g2_pass,
+             CAST(SUM(g3) AS BIGINT) AS g3_pass,
+             CAST(SUM((g1 + g2 + g3) * (g1 + g2 + g3)) AS BIGINT) AS ll2
+      FROM docs
+    )
+    SELECT n_docs, g1_pass, g2_pass, g3_pass, ll2,
+           CAST(2 AS BIGINT) AS df,
+           {_COCHRAN_Q.replace("gg2", "(g1_pass * g1_pass + g2_pass * g2_pass + g3_pass * g3_pass)").replace("sl", "(g1_pass + g2_pass + g3_pass)")} AS q_stat
+    FROM agg
+"""
+
+
+# --- readability_flesch ------------------------------------------------------
+_FLESCH = (
+    "ROUND(206.835"
+    " - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))"
+    " - 84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE)), 6)"
+)
+
+
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability gate
+    quality-filter stacks use alongside length/stopword/entropy gates
+    (very low ease flags boilerplate/legalese; impossibly high flags
+    word-salad).  Syllables are the deterministic vowel-group count
+    ([aeiouy]+ runs in the lowercased text) — the standard heuristic,
+    engine-identical because both regex dialects agree on this class;
+    sentences are terminal-punctuation runs, floored at 1 per doc.
+
+    Exactness: per-source word / sentence / syllable totals are exact
+    integer sums; the pooled Flesch score (computed from SOURCE-level
+    totals — the deterministic aggregate formulation, documented as
+    such) is ONE shared float text rounded at 6, NULL-free because
+    words ≥ 1 docs are guaranteed by the words > 0 filter.
+
+    Scale: map-only per-doc integer features + one map-side-combined
+    groupBy(source).  |output| = |sources|.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            X.token_count(F.col("text")).alias("words"),
+            F.greatest(
+                F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"),
+                F.lit(1),
+            )
+            .cast("bigint")
+            .alias("sents"),
+            F.expr(
+                "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+                " AS BIGINT)"
+            ).alias("sylls"),
+        )
+        .filter(F.col("words") > 0)
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sents").cast("bigint").alias("sents"),
+        F.sum("sylls").cast("bigint").alias("sylls"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sents",
+        "sylls",
+        F.expr(_FLESCH).alias("flesch_pooled"),
+    ).orderBy("source")
+
+
+ORACLE["readability_flesch"] = f"""
+    WITH docs AS (
+      SELECT source,
+             CAST(len({{toks}}) AS BIGINT) AS words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS sylls
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sents) AS BIGINT) AS sents,
+           CAST(SUM(sylls) AS BIGINT) AS sylls,
+           {_FLESCH.replace("words", "CAST(SUM(words) AS BIGINT)").replace("sents", "CAST(SUM(sents) AS BIGINT)").replace("sylls", "CAST(SUM(sylls) AS BIGINT)")} AS flesch_pooled
+    FROM docs
+    WHERE words > 0
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# --- jackknife_source_sensitivity -------------------------------------------
+
+
+def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out sensitivity of the corpus mean length — the
+    "which source is dragging my distribution" audit: for each source,
+    the corpus mean n_chars recomputed WITHOUT it, exactly, from totals
+    (a closed-form jackknife — no resampling, no second scan).  A source
+    whose removal shifts the mean far from the pooled value dominates
+    the corpus statistics and is the first place to look when a drift
+    monitor fires.
+
+    Exactness: per-source (count, Σchars) are exact integers; pooled and
+    leave-one-out means surface as centichar fixed point (100·T DIV N —
+    non-negative operands, floor = trunc on both engines); the shift is
+    an exact integer difference.  NULL when a source IS the whole corpus.
+
+    Scale: ONE map-side-combined groupBy(source); globals derive from
+    that |sources|-row relation via a broadcast 1-row cross join.
+    """
+    per = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("chars"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_tot"),
+        F.sum("chars").alias("t_tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("chars").cast("bigint").alias("chars"),
+            F.expr("(100 * t_tot) DIV n_tot").cast("bigint").alias(
+                "mean_centichar"
+            ),
+            F.expr(
+                "CASE WHEN n_tot = n_docs THEN NULL"
+                " ELSE (100 * (t_tot - chars)) DIV (n_tot - n_docs) END"
+            )
+            .cast("bigint")
+            .alias("loo_mean_centichar"),
+        )
+        .withColumn(
+            "shift_centichar",
+            (F.col("loo_mean_centichar") - F.col("mean_centichar")).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["jackknife_source_sensitivity"] = """
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(CAST(n_chars AS HUGEINT)) AS chars
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot, SUM(chars) AS t_tot
+      FROM per
+    )
+    SELECT source, n_docs,
+           CAST(chars AS BIGINT) AS chars,
+           CAST((100 * t_tot) // n_tot AS BIGINT) AS mean_centichar,
+           CAST(CASE WHEN n_tot = n_docs THEN NULL
+                ELSE (100 * (t_tot - chars)) // (n_tot - n_docs) END
+                AS BIGINT) AS loo_mean_centichar,
+           CAST(CASE WHEN n_tot = n_docs THEN NULL
+                ELSE (100 * (t_tot - chars)) // (n_tot - n_docs)
+                     - (100 * t_tot) // n_tot END
+                AS BIGINT) AS shift_centichar
+    FROM per CROSS JOIN tot
+    ORDER BY source
+"""
+
+
+# --- autocorr_lag_grid -------------------------------------------------------
+_LAG_MAX = 7
+
+
+def autocorr_lag_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full autocorrelation profile (lags 1..7) of daily revenue per
+    event type — ``autocorr_daily`` gives the lag-1 scalar; the ACF
+    SHAPE separates trend (slow decay) from weekly seasonality (a lag-7
+    spike) from noise (flat), which is what an ops dashboard actually
+    plots.  Pairs come from an exact epoch-day self-join (day t with
+    day t+lag — calendar gaps pair nothing, never a silent shift).
+
+    Exactness: daily totals are exact integer cents on epoch-day
+    integers; the 7-lag pair grid is an equi-join of the bounded daily
+    relation with itself; all five moments are exact DECIMAL(38,0)
+    sums; Pearson r is the shared pipeline7 fixed-op-order text, NULL
+    on constant series.
+
+    Scale: one map-side-combined (type, day) aggregate; the lag
+    explode × self-join runs on that |types|·|days| relation — bounded
+    by the calendar, not the corpus.
+    """
+    from hadrodb_spark.operators.pipeline7 import _AC_DEN, _AC_NUM
+
+    daily = shared.shared_persist(
+        ("acf_daily", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(unix_micros(ts) DIV 1000000) DIV 86400").alias("d"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("total")),
+    )
+    lags = spark.range(1, _LAG_MAX + 1).select(F.col("id").alias("lag"))
+    lhs = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("d") + F.col("lag")).alias("d2"),
+        F.col("total").alias("x"),
+    )
+    pairs = lhs.join(
+        daily.select("event_type", F.col("d").alias("d2"), F.col("total").alias("y")),
+        ["event_type", "d2"],
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(lag AS BIGINT) AS lag",
+        "CAST(n AS BIGINT) AS n_pairs",
+        f"CASE WHEN {_AC_DEN} = 0 THEN NULL"
+        f" ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS r",
+    ).orderBy("event_type", "lag")
+
+
+def _acf_oracle() -> str:
+    from hadrodb_spark.operators.pipeline7 import _AC_DEN, _AC_NUM
+
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000) // 86400 AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total
+      FROM events
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.total AS x, b.total AS y
+      FROM daily a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {_LAG_MAX})) AS lag) l
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+    ),
+    agg AS (
+      SELECT event_type, lag,
+             COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM pairs
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN {_AC_DEN} = 0 THEN NULL
+                ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS r
+    FROM agg
+    ORDER BY event_type, lag
+"""
+
+
+ORACLE["autocorr_lag_grid"] = _acf_oracle()
+
+# substitute the shared DuckDB tokens expression into the gate oracles
+ORACLE["cochran_q_gates"] = ORACLE["cochran_q_gates"].format(
+    toks=X.sql_tokens("text")
+)
+ORACLE["readability_flesch"] = ORACLE["readability_flesch"].format(
+    toks=X.sql_tokens("text")
+)

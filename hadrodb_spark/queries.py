@@ -190,6 +190,10 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   tier 2: k-group rank ANOVA, grid-based tau-b concordance,
 #   variance-homogeneity gate, split-conformal calibration audit,
 #   embedding-collapse diagnostic)
+#   cochran_q_gates, readability_flesch, jackknife_source_sensitivity,
+#   autocorr_lag_grid (pipeline15.py batch 2 — k-gate paired test,
+#   Flesch readability gate, leave-one-source-out mean sensitivity,
+#   7-lag ACF profile)
 _register(pipeline15)
 
 

@@ -331,3 +331,224 @@ def test_pair_cosine_hist_structure_and_determinism(spark, tmp_path_factory):
         tuple(r) for r in embedding_pair_cosine_hist(spark, str(d)).collect()
     ]
     assert got == again
+
+
+# ------------------------------------------------------------- cochran's Q
+def _brute_cochran(docs):
+    """docs: list of (n_chars, token list)."""
+    n = len(docs)
+    g1s = g2s = g3s = ll2 = 0
+    for n_chars, toks in docs:
+        g1 = 1 if n_chars >= 200 else 0
+        g2 = 1 if 2 * len(set(toks)) >= len(toks) else 0
+        g3 = 1 if len(toks) >= 40 else 0
+        g1s, g2s, g3s = g1s + g1, g2s + g2, g3s + g3
+        ll2 += (g1 + g2 + g3) ** 2
+    gg2 = g1s * g1s + g2s * g2s + g3s * g3s
+    sl = g1s + g2s + g3s
+    if 3 * sl - ll2 == 0:
+        q = None
+    else:
+        q = float(
+            _r6(
+                2.0
+                * (3.0 * float(gg2) - float(sl) * float(sl))
+                / (3.0 * float(sl) - float(ll2))
+            )
+        )
+    return [(n, g1s, g2s, g3s, ll2, 2, q)]
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=1,
+                max_size=50,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cochran_q_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline15 import cochran_q_gates
+
+    d = tmp_path_factory.mktemp("cq")
+    spark.createDataFrame(
+        [
+            (i, " ".join(toks), "en", "s", n_chars)
+            for i, (n_chars, toks) in enumerate(docs)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in cochran_q_gates(spark, str(d)).collect()]
+    assert got == _brute_cochran(docs)
+
+
+# --------------------------------------------------------------- flesch
+def _brute_flesch(docs):
+    """docs: list of (source, text) with [a-z .!?] content only."""
+    import re as _re
+
+    per = {}
+    for src, text in docs:
+        words = len([t for t in _re.split("[^a-z0-9]+", text.lower()) if t])
+        if words == 0:
+            continue
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        sylls = len(_re.findall(r"[aeiouy]+", text.lower()))
+        n, w, s, y = per.get(src, (0, 0, 0, 0))
+        per[src] = (n + 1, w + words, s + sents, y + sylls)
+    out = []
+    for src in sorted(per):
+        n, w, s, y = per[src]
+        fl = float(
+            _r6(206.835 - 1.015 * (float(w) / float(s)) - 84.6 * (float(y) / float(w)))
+        )
+        out.append((src, n, w, s, y, fl))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.text(
+                alphabet=list("abcou .!?"), min_size=0, max_size=60
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_flesch_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline15 import readability_flesch
+
+    d = tmp_path_factory.mktemp("fl")
+    spark.createDataFrame(
+        [(i, text, "en", src, len(text)) for i, (src, text) in enumerate(docs)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in readability_flesch(spark, str(d)).collect()]
+    assert got == _brute_flesch(docs)
+
+
+# ------------------------------------------------------------- jackknife
+def _brute_jackknife(docs):
+    """docs: list of (source, n_chars-or-None)."""
+    per = {}
+    for src, c in docs:
+        if c is None:
+            continue
+        n, t = per.get(src, (0, 0))
+        per[src] = (n + 1, t + c)
+    n_tot = sum(n for n, _ in per.values())
+    t_tot = sum(t for _, t in per.values())
+    out = []
+    for src in sorted(per):
+        n, t = per[src]
+        mean = (100 * t_tot) // n_tot
+        if n_tot == n:
+            loo = shift = None
+        else:
+            loo = (100 * (t_tot - t)) // (n_tot - n)
+            shift = loo - mean
+        out.append((src, n, t, mean, loo, shift))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5000)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_jackknife_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline15 import jackknife_source_sensitivity
+
+    if all(c is None for _, c in docs):
+        return  # empty corpus: no aggregate rows to compare
+    d = tmp_path_factory.mktemp("jk")
+    spark.createDataFrame(
+        [(i, "t", "en", src, c) for i, (src, c) in enumerate(docs)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in jackknife_source_sensitivity(spark, str(d)).collect()]
+    assert got == _brute_jackknife(docs)
+
+
+# ------------------------------------------------------------ ACF lag grid
+def _brute_acf(rows):
+    """rows: list of (event_type, day, cents)."""
+    daily = {}
+    for t, day, c in rows:
+        daily[(t, day)] = daily.get((t, day), 0) + c
+    out = []
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        days = {d: v for (tt, d), v in daily.items() if tt == t}
+        for lag in range(1, 8):
+            pairs = [
+                (days[d], days[d + lag]) for d in sorted(days) if d + lag in days
+            ]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            den = math.sqrt(
+                float(n) * float(sxx) - float(sx) * float(sx)
+            ) * math.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+            if den == 0.0:
+                r = None
+            else:
+                num = float(n) * float(sxy) - float(sx) * float(sy)
+                r = float(_r6(num / den))
+            out.append((t, lag, n, r))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=12),  # epoch day
+            st.integers(min_value=0, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_acf_grid_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline15 import autocorr_lag_grid
+
+    d = tmp_path_factory.mktemp("acf")
+    spark.createDataFrame(
+        [
+            (
+                i,
+                t,
+                c / 100.0,
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(days=day, hours=5),
+            )
+            for i, (t, day, c) in enumerate(rows)
+        ],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = [tuple(r) for r in autocorr_lag_grid(spark, str(d)).collect()]
+    assert got == _brute_acf(rows)
