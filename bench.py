@@ -151,6 +151,8 @@ HEADLINE = [
     "readability_flesch",
     "jackknife_source_sensitivity",
     "autocorr_lag_grid",
+    "graph_degree_assortativity",
+    "graph_kcore",
 ]
 
 

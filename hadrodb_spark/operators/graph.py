@@ -256,3 +256,227 @@ ORACLE: dict[str, str] = {
         FROM it3 ORDER BY pr DESC, src LIMIT {_PR_TOPK}
     """,
 }
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation between the degrees at the two ends of every edge, the
+    standard "do hubs connect to hubs?" health metric (social graphs are
+    assortative, spam/bot link farms strongly disassortative — a useful
+    curation signal on web-scale link data).
+
+    Exactness: degrees are exact integer counts; the (deg_u, deg_v) pair
+    list enumerates each undirected edge in BOTH directions (the standard
+    symmetric formulation); all five moments are exact DECIMAL(38,0)
+    sums; r is the shared pipeline7 Pearson text, NULL on a regular
+    graph (zero degree variance).
+
+    Scale: degree = one groupBy over the directed edge list; the pair
+    relation is two broadcast-joinable lookups back onto edges; moments
+    are one global aggregate.  Everything is bounded by |E|.
+    """
+    from hadrodb_spark.operators.pipeline7 import _AC_DEN, _AC_NUM
+
+    e = _edges(spark, sf_dir)
+    dir_e = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        dir_e.join(deg.withColumnRenamed("src", "u_key"), F.col("src") == F.col("u_key"))
+        .select("src", "dst", F.col("deg").alias("x"))
+        .join(deg.withColumnRenamed("src", "v_key"), F.col("dst") == F.col("v_key"))
+        .select(F.col("x"), F.col("deg").alias("y"))
+    )
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nodes = deg.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        agg.crossJoin(F.broadcast(nodes))
+        .selectExpr(
+            "n_nodes",
+            "CAST(n DIV 2 AS BIGINT) AS n_edges",
+            f"CASE WHEN {_AC_DEN} = 0 THEN NULL"
+            f" ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS assortativity",
+        )
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase graph by iterative
+    peeling: repeatedly drop nodes with degree < k and the edges they
+    carry.  The k-core is the standard dense-substructure extractor —
+    in data curation it separates organically-linked content from
+    stragglers and spam chains that fall off after one or two peels.
+
+    Semantics BY CONSTRUCTION: exactly ``_KCORE_ROUNDS`` unrolled peels
+    (identical CTE algebra on both engines); ``converged`` reports
+    whether round 4 removed nothing — i.e. whether the reported subgraph
+    IS the fixpoint (true on every tested fixture; if a deeper graph
+    ever needed more rounds, the flag surfaces it instead of silently
+    under-peeling).
+
+    Exactness: counts and degrees are exact integers end-to-end — no
+    floats anywhere.
+
+    Scale: each peel is one degree aggregate + two semi-joins on the
+    shrinking edge relation, with ``localCheckpoint`` truncating the
+    lineage per round (components.py's iterative pattern) — WITHOUT the
+    cut, each round's plan re-expands the lineitem self-join subtree
+    ~2× per reference and four unrolled rounds OOM the optimizer
+    (measured: driver heap exhaustion at sf0.01 before the first task
+    ran).  At 100 TB the same loop runs to convergence instead of a
+    fixed unroll.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    converged_known_rounds = []
+    for _ in range(_KCORE_ROUNDS):
+        dir_e = edges.select(F.col("a").alias("n")).unionByName(
+            edges.select(F.col("b").alias("n"))
+        )
+        deg = dir_e.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            deg.filter(F.col("deg") >= _KCORE_K).select("n").localCheckpoint()
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        converged_known_rounds.append(keep)
+    survivors = converged_known_rounds[-1]
+    before_last = converged_known_rounds[-2]
+    dir_final = edges.select(F.col("a").alias("n")).unionByName(
+        edges.select(F.col("b").alias("n"))
+    )
+    deg_final = dir_final.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg_final.filter(F.col("deg") >= _KCORE_K)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+            F.min("deg").cast("bigint").alias("min_core_degree"),
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.groupBy().agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_core_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                before_last.groupBy()
+                .agg(F.count(F.lit(1)).alias("nb"))
+                .crossJoin(
+                    survivors.groupBy().agg(F.count(F.lit(1)).alias("na"))
+                )
+                .select((F.col("nb") == F.col("na")).alias("converged"))
+            )
+        )
+        .select(
+            F.lit(_KCORE_K).cast("bigint").alias("k"),
+            F.lit(_KCORE_ROUNDS).cast("bigint").alias("rounds"),
+            "n_core_nodes",
+            "n_core_edges",
+            "min_core_degree",
+            "converged",
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    # every CTE is AS MATERIALIZED: each round references its predecessor
+    # three times, so DuckDB's default inlining re-expands the base
+    # self-join ~3^rounds times (measured: 469 s at sf0.001 vs 0.2 s
+    # materialized — the same plan explosion localCheckpoint cures on
+    # the Spark side).
+    parts = [
+        "WITH " + _EDGE_CTE.replace("edges AS (", "edges AS MATERIALIZED (", 1)
+        + ",",
+        "e0 AS MATERIALIZED (SELECT a, b FROM edges)",
+    ]
+    prev = "e0"
+    keeps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        keeps.append(f"k{i}")
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
+          ) GROUP BY n
+        ),
+        k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {_KCORE_K}),
+        e{i} AS MATERIALIZED (
+          SELECT a, b FROM {prev}
+          WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+        )"""
+        )
+        prev = f"e{i}"
+    last, before = keeps[-1], keeps[-2]
+    parts.append(
+        f""",
+        dfin AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
+          ) GROUP BY n
+        )
+        SELECT CAST({_KCORE_K} AS BIGINT) AS k,
+               CAST({_KCORE_ROUNDS} AS BIGINT) AS rounds,
+               CAST((SELECT COUNT(*) FROM dfin WHERE deg >= {_KCORE_K})
+                    AS BIGINT) AS n_core_nodes,
+               CAST((SELECT COUNT(*) FROM {prev}) AS BIGINT) AS n_core_edges,
+               CAST((SELECT MIN(deg) FROM dfin WHERE deg >= {_KCORE_K})
+                    AS BIGINT) AS min_core_degree,
+               (SELECT COUNT(*) FROM {before}) = (SELECT COUNT(*) FROM {last})
+                 AS converged"""
+    )
+    return "".join(parts)
+
+
+def _assort_oracle() -> str:
+    from hadrodb_spark.operators.pipeline7 import _AC_DEN, _AC_NUM
+
+    return f"""
+        WITH {_EDGE_CTE},
+        dir AS (
+          SELECT a AS src, b AS dst FROM edges
+          UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+        pairs AS (
+          SELECT du.deg AS x, dv.deg AS y
+          FROM dir JOIN deg du ON dir.src = du.src
+                   JOIN deg dv ON dir.dst = dv.src
+        ),
+        agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM pairs
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST(n // 2 AS BIGINT) AS n_edges,
+               CASE WHEN {_AC_DEN} = 0 THEN NULL
+                    ELSE ROUND({_AC_NUM} / {_AC_DEN}, 6) END AS assortativity
+        FROM agg
+    """
+
+
+ORACLE["graph_degree_assortativity"] = _assort_oracle()
+ORACLE["graph_kcore"] = _kcore_oracle()

@@ -194,6 +194,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   autocorr_lag_grid (pipeline15.py batch 2 — k-gate paired test,
 #   Flesch readability gate, leave-one-source-out mean sensitivity,
 #   7-lag ACF profile)
+#   graph_degree_assortativity, graph_kcore (graph.py — degree-mixing
+#   Pearson + unrolled 3-core peeling; land MID-REGISTRY via the
+#   wholesale graph register — collect BY NAME)
 _register(pipeline15)
 
 

@@ -552,3 +552,63 @@ def test_acf_grid_matches_bruteforce(spark, tmp_path_factory, rows):
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
     got = [tuple(r) for r in autocorr_lag_grid(spark, str(d)).collect()]
     assert got == _brute_acf(rows)
+
+
+# ------------------------------------------------------- graph batch (r9)
+def _write_lineitem_graph(spark, d, orders):
+    """orders: list of part-id lists; one synthetic order per list."""
+    rows = [
+        (100 + i, int(p), 1)
+        for i, parts in enumerate(orders)
+        for p in parts
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey LONG, l_partkey LONG, l_quantity LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+
+def test_kcore_peels_chain_keeps_clique(spark, tmp_path_factory):
+    """A K5 clique (every node degree 4) plus a 4-node chain (degrees
+    ≤ 2): the 3-core must be exactly the clique, reached at a fixpoint."""
+    from hadrodb_spark.operators.graph import graph_kcore
+
+    d = tmp_path_factory.mktemp("kcore")
+    _write_lineitem_graph(
+        spark, d, [[1, 2, 3, 4, 5], [10, 11], [11, 12], [12, 13]]
+    )
+    (row,) = graph_kcore(spark, str(d)).collect()
+    assert tuple(row) == (3, 4, 5, 10, 4, True)
+
+
+def test_kcore_cascade_needs_iteration(spark, tmp_path_factory):
+    """A pendant chain hanging off a clique peels ROUND BY ROUND (each
+    removal drops the next node's degree below k) — the case a single
+    degree filter gets wrong and the unrolled iteration exists for."""
+    from hadrodb_spark.operators.graph import graph_kcore
+
+    d = tmp_path_factory.mktemp("kcasc")
+    # K4 on {1..4}; chain 4-20-21 where 20 initially has degree 2,
+    # 21 degree 1: removing 21 drops 20 to degree 1, needing round 2.
+    _write_lineitem_graph(
+        spark, d, [[1, 2, 3, 4], [4, 20], [20, 21], [20, 22]]
+    )
+    (row,) = graph_kcore(spark, str(d)).collect()
+    assert tuple(row) == (3, 4, 4, 6, 3, True)
+
+
+def test_assortativity_star_vs_ring(spark, tmp_path_factory):
+    from hadrodb_spark.operators.graph import graph_degree_assortativity
+
+    d = tmp_path_factory.mktemp("star")
+    _write_lineitem_graph(spark, d, [[1, k] for k in range(2, 8)])
+    (row,) = graph_degree_assortativity(spark, str(d)).collect()
+    assert row["n_nodes"] == 7 and row["n_edges"] == 6
+    assert row["assortativity"] == -1.0  # pure hub-to-leaf mixing
+
+    d2 = tmp_path_factory.mktemp("ring")
+    _write_lineitem_graph(
+        spark, d2, [[1, 2], [2, 3], [3, 4], [1, 4]]
+    )
+    (row2,) = graph_degree_assortativity(spark, str(d2)).collect()
+    # regular graph: zero degree variance ⇒ undefined, NULL on both engines
+    assert row2["assortativity"] is None
