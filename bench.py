@@ -153,6 +153,8 @@ HEADLINE = [
     "autocorr_lag_grid",
     "graph_degree_assortativity",
     "graph_kcore",
+    "gate_phi_matrix",
+    "mixture_ess",
 ]
 
 

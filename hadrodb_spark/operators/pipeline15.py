@@ -1162,3 +1162,216 @@ ORACLE["cochran_q_gates"] = ORACLE["cochran_q_gates"].format(
 ORACLE["readability_flesch"] = ORACLE["readability_flesch"].format(
     toks=X.sql_tokens("text")
 )
+
+
+# --- gate_phi_matrix ---------------------------------------------------------
+_PHI = (
+    "CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0"
+    " THEN NULL"
+    " ELSE ROUND((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    " - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / SQRT((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))"
+    " * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))"
+    " * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6) END"
+)
+
+
+def gate_phi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise phi coefficients among the three curation gates — the
+    gate-redundancy audit that closes the gate-analysis family (McNemar
+    tests ONE pair's marginal disagreement, Cochran's Q tests all k at
+    once; phi says which pairs are measuring the same thing, i.e. which
+    gate a funnel can drop without changing the kept set).
+
+    Exactness: per-doc gate verdicts collapse into an 8-bin bitmap
+    histogram in ONE map-side aggregate; each pair's 2×2 cells are exact
+    integer sums over those 8 bins; phi is one shared float text rounded
+    at 6, NULL when a gate is constant.
+
+    Scale: one map-side-combined 8-group aggregate; the pair matrix is
+    a 3-row inline expansion of that constant-size relation.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CASE WHEN n_chars >= 200 THEN 4 ELSE 0 END"
+        ).alias("b1"),
+        F.when(
+            (2 * X.distinct_token_count(F.col("text")))
+            >= X.token_count(F.col("text")),
+            2,
+        )
+        .otherwise(0)
+        .alias("b2"),
+        F.when(X.token_count(F.col("text")) >= 40, 1).otherwise(0).alias("b3"),
+    )
+    hist = docs.groupBy(
+        (F.col("b1") + F.col("b2") + F.col("b3")).alias("pat")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # bit 4 = gate1 (length), bit 2 = gate2 (TTR), bit 1 = gate3 (tokens)
+    cells = hist.groupBy().agg(
+        *[
+            F.sum(
+                F.when(
+                    (
+                        F.col("pat")
+                        .bitwiseAND(F.lit(hi))
+                        .cast("boolean")
+                        == F.lit(hv)
+                    )
+                    & (
+                        F.col("pat")
+                        .bitwiseAND(F.lit(lo))
+                        .cast("boolean")
+                        == F.lit(lv)
+                    ),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{name}_{cell}")
+            for name, hi, lo in (
+                ("g12", 4, 2),
+                ("g13", 4, 1),
+                ("g23", 2, 1),
+            )
+            for cell, hv, lv in (
+                ("a", True, True),
+                ("b", True, False),
+                ("c", False, True),
+                ("d", False, False),
+            )
+        ]
+    )
+    pairs = cells.selectExpr(
+        "inline(array("
+        "struct('len_ttr' AS pair, g12_a AS a, g12_b AS b, g12_c AS c, g12_d AS d),"
+        "struct('len_tok' AS pair, g13_a AS a, g13_b AS b, g13_c AS c,"
+        " g13_d AS d),"
+        "struct('ttr_tok' AS pair, g23_a AS a, g23_b AS b, g23_c AS c,"
+        " g23_d AS d)))"
+    )
+    return pairs.selectExpr(
+        "pair", "a", "b", "c", "d", f"{_PHI} AS phi"
+    ).orderBy("pair")
+
+
+ORACLE["gate_phi_matrix"] = f"""
+    WITH docs AS (
+      SELECT (CASE WHEN n_chars >= 200 THEN 4 ELSE 0 END)
+             + (CASE WHEN 2 * len(list_distinct({{toks}})) >= len({{toks}})
+                     THEN 2 ELSE 0 END)
+             + (CASE WHEN len({{toks}}) >= 40 THEN 1 ELSE 0 END) AS pat
+      FROM documents
+    ),
+    hist AS (SELECT pat, COUNT(*) AS n FROM docs GROUP BY pat),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN (pat & 4) <> 0 AND (pat & 2) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g12_a,
+        CAST(SUM(CASE WHEN (pat & 4) <> 0 AND (pat & 2) = 0 THEN n ELSE 0 END) AS BIGINT) AS g12_b,
+        CAST(SUM(CASE WHEN (pat & 4) = 0 AND (pat & 2) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g12_c,
+        CAST(SUM(CASE WHEN (pat & 4) = 0 AND (pat & 2) = 0 THEN n ELSE 0 END) AS BIGINT) AS g12_d,
+        CAST(SUM(CASE WHEN (pat & 4) <> 0 AND (pat & 1) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g13_a,
+        CAST(SUM(CASE WHEN (pat & 4) <> 0 AND (pat & 1) = 0 THEN n ELSE 0 END) AS BIGINT) AS g13_b,
+        CAST(SUM(CASE WHEN (pat & 4) = 0 AND (pat & 1) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g13_c,
+        CAST(SUM(CASE WHEN (pat & 4) = 0 AND (pat & 1) = 0 THEN n ELSE 0 END) AS BIGINT) AS g13_d,
+        CAST(SUM(CASE WHEN (pat & 2) <> 0 AND (pat & 1) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g23_a,
+        CAST(SUM(CASE WHEN (pat & 2) <> 0 AND (pat & 1) = 0 THEN n ELSE 0 END) AS BIGINT) AS g23_b,
+        CAST(SUM(CASE WHEN (pat & 2) = 0 AND (pat & 1) <> 0 THEN n ELSE 0 END) AS BIGINT) AS g23_c,
+        CAST(SUM(CASE WHEN (pat & 2) = 0 AND (pat & 1) = 0 THEN n ELSE 0 END) AS BIGINT) AS g23_d
+      FROM hist
+    ),
+    pairs AS (
+      SELECT 'len_ttr' AS pair, g12_a AS a, g12_b AS b, g12_c AS c, g12_d AS d FROM cells
+      UNION ALL
+      SELECT 'len_tok', g13_a, g13_b, g13_c, g13_d FROM cells
+      UNION ALL
+      SELECT 'ttr_tok', g23_a, g23_b, g23_c, g23_d FROM cells
+    )
+    SELECT pair, a, b, c, d, {_PHI} AS phi
+    FROM pairs
+    ORDER BY pair
+"""
+
+
+# --- mixture_ess -------------------------------------------------------------
+
+
+def mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of length-weighted sampling per source —
+    the importance-weighting health check (DSIR/mixture pipelines weight
+    documents; ESS = (Σw)²/Σw² says how many EFFECTIVE documents survive
+    the weighting: ESS ≪ n means a few heavy docs dominate and the
+    weighted estimate is noise).  Weights here are capped char lengths
+    (LEAST(n_chars, 4096)) — the canonical token-budget weighting.
+
+    Exactness: Σw and Σw² are exact DECIMAL(38,0) sums of bounded
+    integers; the normalized ESS ratio is EXACT integer ppm via the
+    cross-multiplied form 10⁶·(Σw)² DIV (n·Σw²); the absolute ESS is one
+    shared float text rounded at 6.  NULL on all-zero weights.
+
+    Scale: ONE map-side-combined groupBy(source) — no join, no window.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.least(F.col("n_chars"), F.lit(4096)).cast("long").alias("w"),
+        )
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+        F.sum(
+            F.col("w").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")
+        ).alias("sw2"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sw").cast("bigint").alias("sum_w"),
+        F.col("sw2").cast("bigint").alias("sum_w2"),
+        F.expr(
+            "CASE WHEN sw2 = 0 THEN NULL"
+            " ELSE ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+            " / CAST(sw2 AS DOUBLE), 6) END"
+        ).alias("ess"),
+        F.expr(
+            "CASE WHEN sw2 = 0 THEN NULL"
+            " ELSE (1000000 * sw * sw) DIV (n_docs * sw2) END"
+        )
+        .cast("bigint")
+        .alias("ess_ratio_ppm"),
+    ).orderBy("source")
+
+
+ORACLE["mixture_ess"] = """
+    WITH docs AS (
+      SELECT source, LEAST(n_chars, 4096) AS w
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(CAST(w AS DECIMAL(38,0))) AS sw,
+             SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sw2
+      FROM docs GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(sw AS BIGINT) AS sum_w,
+           CAST(sw2 AS BIGINT) AS sum_w2,
+           CASE WHEN sw2 = 0 THEN NULL
+                ELSE ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                           / CAST(sw2 AS DOUBLE), 6) END AS ess,
+           CAST(CASE WHEN sw2 = 0 THEN NULL
+                ELSE (1000000 * CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT))
+                     // (n_docs * CAST(sw2 AS HUGEINT)) END
+                AS BIGINT) AS ess_ratio_ppm
+    FROM agg
+    ORDER BY source
+"""
+
+ORACLE["gate_phi_matrix"] = ORACLE["gate_phi_matrix"].format(
+    toks=X.sql_tokens("text")
+)

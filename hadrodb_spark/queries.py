@@ -197,6 +197,8 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   graph_degree_assortativity, graph_kcore (graph.py — degree-mixing
 #   Pearson + unrolled 3-core peeling; land MID-REGISTRY via the
 #   wholesale graph register — collect BY NAME)
+#   gate_phi_matrix, mixture_ess (pipeline15.py batch 3 — gate-redundancy
+#   phi coefficients, effective-sample-size weighting audit)
 _register(pipeline15)
 
 

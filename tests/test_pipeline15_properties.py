@@ -612,3 +612,112 @@ def test_assortativity_star_vs_ring(spark, tmp_path_factory):
     (row2,) = graph_degree_assortativity(spark, str(d2)).collect()
     # regular graph: zero degree variance ⇒ undefined, NULL on both engines
     assert row2["assortativity"] is None
+
+
+# ---------------------------------------------------------- phi matrix / ESS
+def _brute_phi(docs):
+    """docs: list of (n_chars, token list) — mirrors cochran's gates."""
+    cells = {p: [0, 0, 0, 0] for p in ("len_ttr", "len_tok", "ttr_tok")}
+    for n_chars, toks in docs:
+        g1 = n_chars >= 200
+        g2 = 2 * len(set(toks)) >= len(toks)
+        g3 = len(toks) >= 40
+        for pair, (u, v) in (
+            ("len_ttr", (g1, g2)),
+            ("len_tok", (g1, g3)),
+            ("ttr_tok", (g2, g3)),
+        ):
+            idx = 0 if (u and v) else 1 if u else 2 if v else 3
+            cells[pair][idx] += 1
+    out = []
+    for pair in sorted(cells):
+        a, b, c, d = cells[pair]
+        if a + b == 0 or c + d == 0 or a + c == 0 or b + d == 0:
+            phi = None
+        else:
+            phi = float(
+                _r6(
+                    (float(a) * float(d) - float(b) * float(c))
+                    / math.sqrt(
+                        (float(a) + float(b))
+                        * (float(c) + float(d))
+                        * (float(a) + float(c))
+                        * (float(b) + float(d))
+                    )
+                )
+            )
+        out.append((pair, a, b, c, d, phi))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=50
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gate_phi_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline15 import gate_phi_matrix
+
+    d = tmp_path_factory.mktemp("phi")
+    spark.createDataFrame(
+        [
+            (i, " ".join(toks), "en", "s", n_chars)
+            for i, (n_chars, toks) in enumerate(docs)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in gate_phi_matrix(spark, str(d)).collect()]
+    assert got == _brute_phi(docs)
+
+
+def _brute_ess(docs):
+    per = {}
+    for src, c in docs:
+        if c is None:
+            continue
+        w = min(c, 4096)
+        n, sw, sw2 = per.get(src, (0, 0, 0))
+        per[src] = (n + 1, sw + w, sw2 + w * w)
+    out = []
+    for src in sorted(per):
+        n, sw, sw2 = per[src]
+        if sw2 == 0:
+            ess = ppm = None
+        else:
+            ess = float(_r6(float(sw) * float(sw) / float(sw2)))
+            ppm = (1000000 * sw * sw) // (n * sw2)
+        out.append((src, n, sw, sw2, ess, ppm))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9000)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mixture_ess_matches_bruteforce(spark, tmp_path_factory, docs):
+    from hadrodb_spark.operators.pipeline15 import mixture_ess
+
+    if all(c is None for _, c in docs):
+        return
+    d = tmp_path_factory.mktemp("ess")
+    spark.createDataFrame(
+        [(i, "t", "en", src, c) for i, (src, c) in enumerate(docs)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [tuple(r) for r in mixture_ess(spark, str(d)).collect()]
+    assert got == _brute_ess(docs)
