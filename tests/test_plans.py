@@ -986,3 +986,89 @@ def test_vector_topk_filtered_pushes_label_predicate(spark, sf_dir):
     assert any(
         re.search(r"In\(label, \[1,\s*3\]\)", ln) for ln in pushed
     ), "\n".join(pushed) or plan
+
+
+def test_phi_and_ess_are_join_free_single_aggregate(spark, sf_dir):
+    """gate_phi_matrix reduces to one 8-bin histogram aggregate and
+    mixture_ess to one keyed moment aggregate — any Join in either plan
+    means the bounded-relation design regressed to a row-scale join."""
+    from hadrodb_spark.operators.pipeline15 import gate_phi_matrix, mixture_ess
+
+    for fn in (gate_phi_matrix, mixture_ess):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+
+
+def test_kruskal_grid_aggregates_before_rank_join(spark, sf_dir):
+    """The KW rank join must consume the (event_type, cents) AGGREGATE,
+    never raw events: below the first join, an aggregate (or the
+    persisted counts cache) must appear before any file scan."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline15 import kruskal_wallis_value
+
+    try:
+        plan = (
+            kruskal_wallis_value(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        first_join = plan.index("Join")
+        below = plan[first_join:]
+        first_file_scan = below.index("FileScan") if "FileScan" in below else len(below)
+        cached_or_agg = min(
+            [
+                below.index(s)
+                for s in (
+                    "HashAggregate",
+                    "InMemoryTableScan",
+                    "TableCacheQueryStage",
+                )
+                if s in below
+            ]
+        )
+        assert cached_or_agg < first_file_scan, plan
+    finally:
+        shared.release_shared()
+
+
+def test_conformal_single_counts_relation(spark, sf_dir):
+    """conformal_coverage_audit derives calib quantile, test totals, AND
+    coverage from ONE persisted (type, parity, cents) count grid — the
+    plan must reuse the cache (≥2 InMemoryTableScan/TableCacheQueryStage
+    consumers), not rescan events per consumer."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline15 import conformal_coverage_audit
+
+    try:
+        df = conformal_coverage_audit(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        cache_hits = plan.count("InMemoryTableScan") + plan.count(
+            "TableCacheQueryStage"
+        )
+        # NOTE: the printed plan repeats the cached relation's FileScan
+        # under every InMemoryTableScan consumer, so counting FileScan
+        # text is meaningless — the cache-consumer count is the pin (at
+        # runtime only the InMemoryRelation is scanned per consumer).
+        assert cache_hits >= 2, plan
+    finally:
+        shared.release_shared()
+
+
+def test_filtered_topk_no_shuffle_before_topk(spark, sf_dir):
+    """vector_topk_filtered is scan → broadcast query join → TakeOrdered:
+    zero shuffles on the corpus side (the broadcast is the only
+    exchange class allowed)."""
+    from hadrodb_spark.operators.similarity import vector_topk_filtered
+
+    df = vector_topk_filtered(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    import re
+
+    non_broadcast_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert not non_broadcast_exchanges, plan
