@@ -1,0 +1,846 @@
+"""Round-9 session-3 statistical-audit tier 3: the sequence / association
+statistics that close out the hypothesis-test family — Bowker symmetry
+(is the user journey's transition matrix symmetric, the k×k McNemar),
+Markov entropy rate (how predictable is the next event), Mann-Kendall
+trend + the Wald-Wolfowitz runs test (the nonparametric monotone-trend /
+randomness pair every time-series monitor runs before fitting anything),
+Cramér's V (effect size for categorical association — chi-square says
+"dependent", V says "how much"), and Welch's t (the unequal-variance mean
+comparison that completes cohens_d/permutation_test/mannwhitney).
+
+Reference parity: the reference (mabel-dev/hadrodb, ``hadro/engine.py``)
+is a record store that defers analytics upstream; SURVEY.md §2.3 scopes
+dataset-health audits on top of it.
+
+Exactness discipline (the repo invariant): counts, cent totals, and pair
+counts stay exact integers (DECIMAL(38,0) Spark-side / HUGEINT
+DuckDB-side for anything that can pass ~1e18 — the r8/r9 overflow
+class); every division or transcendental runs ONCE under a SHARED
+op-order text, rounded at 6; every integer DIV keeps non-negative
+operands (trunc == floor on both engines); NULL inputs are excluded
+BEFORE any grid (the engines' default NULL sort positions differ).
+
+Scale design (per-query stories in the docstrings): every statistic
+reduces to a bounded-cardinality relation before any window, self-join,
+or grid — the |types|² transition matrix, the calendar-day revenue
+series, the |priorities|×|statuses| marginal grid, 2-group moment rows.
+The only full-data shuffles are map-side-combined counts/sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadrodb_spark.operators import shared
+from hadrodb_spark.operators.relational import load
+
+ROWS_ONLY: tuple[str, ...] = ()
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------- helpers
+def _trans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-order transition counts (from_type, to_type, n) over each
+    user's (ts, event_id)-ordered stream — the same derivation
+    ``event_transition_matrix`` certifies, persisted once for the two
+    matrix statistics below (bowker / entropy rate both consume it)."""
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    return shared.shared_persist(
+        ("p16_trans", spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+_TRANS_SQL = """
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+      )
+      WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily order revenue in integer cents on epoch-day integers —
+    the bounded calendar series the two trend tests below share (same
+    cents quantization as ``cusum_changepoint``; the day number goes
+    through DATE arithmetic because epoch() of a wall-clock timestamp is
+    session-TZ-sensitive — the theil_sen_slope lesson)."""
+    def build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .select(
+                F.expr(
+                    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+                )
+                .cast("bigint")
+                .alias("d"),
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+                .alias("cents"),
+            )
+            .groupBy("d")
+            .agg(F.sum("cents").cast("bigint").alias("total"))
+        )
+
+    return shared.shared_persist(
+        ("p16_daily_rev", spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+_DAILY_SQL = """
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total
+      FROM orders
+      GROUP BY 1
+"""
+
+
+# --- bowker_symmetry ---------------------------------------------------------
+# Bowker's test of matrix symmetry: B = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)
+# over unordered type pairs with at least one observed transition.  Each
+# term is an exact integer ppm (numerator routed DECIMAL/HUGEINT — the
+# (n_ij − n_ji)²·10⁶ product wraps BIGINT once a direction passes ~1e6
+# transitions); operands are non-negative, so DIV == floor on both engines.
+_BOWKER_TERM_SPARK = (
+    "(CAST(n_up - n_dn AS DECIMAL(38,0)) * (n_up - n_dn) * 1000000)"
+    " DIV (n_up + n_dn)"
+)
+_BOWKER_TERM_DUCK = (
+    "(CAST(n_up - n_dn AS HUGEINT) * (n_up - n_dn) * 1000000)"
+    " // (n_up + n_dn)"
+)
+
+
+def bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test over the event transition matrix — the k×k
+    generalization of ``mcnemar_gate_disagreement``: "do users flow
+    A→B as often as B→A?"  A symmetric matrix means the journey has no
+    directional drift; a large B localizes funnel direction into the
+    off-diagonal imbalance.  Self-transitions carry no direction and are
+    excluded (standard Bowker).
+
+    Exactness: transition counts are exact bigints from the certified
+    ``event_transition_matrix`` derivation; each pair's term is an exact
+    integer ppm with the numerator routed DECIMAL(38,0)/HUGEINT (the
+    r8/r9 overflow class); df = the number of unordered pairs with any
+    observed transition.
+
+    Scale: ONE user-window shuffle on the raw stream (shared with the
+    entropy-rate query via shared_persist), then everything runs on the
+    ≤|types|² matrix — bounded by the type catalog, not the corpus.
+    """
+    trans = _trans_counts(spark, sf_dir)
+    pairs = (
+        trans.filter(F.col("from_type") != F.col("to_type"))
+        .select(
+            F.least("from_type", "to_type").alias("i"),
+            F.greatest("from_type", "to_type").alias("j"),
+            F.when(F.col("from_type") < F.col("to_type"), F.col("n"))
+            .otherwise(F.lit(0))
+            .alias("up"),
+            F.when(F.col("from_type") > F.col("to_type"), F.col("n"))
+            .otherwise(F.lit(0))
+            .alias("dn"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("up").cast("bigint").alias("n_up"),
+            F.sum("dn").cast("bigint").alias("n_dn"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("n_up") + F.col("n_dn")).cast("bigint")
+        .alias("n_transitions"),
+        F.sum(F.expr(_BOWKER_TERM_SPARK)).cast("bigint").alias("b_ppm"),
+    )
+
+
+ORACLE["bowker_symmetry"] = f"""
+    WITH trans AS ({_TRANS_SQL}),
+    pairs AS (
+      SELECT LEAST(from_type, to_type) AS i,
+             GREATEST(from_type, to_type) AS j,
+             CAST(SUM(CASE WHEN from_type < to_type THEN n ELSE 0 END)
+                  AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN from_type > to_type THEN n ELSE 0 END)
+                  AS BIGINT) AS n_dn
+      FROM trans
+      WHERE from_type <> to_type
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_up + n_dn) AS BIGINT) AS n_transitions,
+           CAST(SUM({_BOWKER_TERM_DUCK}) AS BIGINT) AS b_ppm
+    FROM pairs
+"""
+
+
+# --- markov_entropy_rate -----------------------------------------------------
+# Per-cell Shannon term p·log2(1/p) with p = n/row_total, ONE shared float
+# text rounded at 6; per-row entropies are exact DECIMAL sums of those
+# terms; the rate divides the exact count-weighted sum once.
+_ENT_TERM = (
+    "ROUND(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)"
+    " * LOG2(CAST(row_total AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+)
+_ENT_RATE = "ROUND(CAST(wsum AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)"
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the next event type given the current one —
+    the predictability audit of ``event_transition_matrix``: H(row) per
+    current type in bits, and the empirical entropy rate (transition-
+    count-weighted mean of the row entropies).  A rate near 0 means the
+    journey is deterministic (a bot signature); near log2(k) means types
+    are shuffled noise.
+
+    Exactness: counts and row totals are exact bigints; each cell's
+    p·log2(1/p) is ONE shared float text rounded at 6; row entropies are
+    exact DECIMAL(18,6) sums; the weighting n_row·h multiplies bounded
+    decimals (≤ 10⁶-scaled bits — never near the 38-digit cap) and the
+    rate divides once under a shared text.  Self-loops keep their mass
+    (log2(1) = 0 exactly in both engines when n = row_total).
+
+    Scale: the one user-window shuffle is shared with ``bowker_symmetry``
+    via shared_persist; the entropy algebra runs on the ≤|types|² matrix
+    and the |types|-row summary — catalog-bounded.
+    """
+    trans = _trans_counts(spark, sf_dir)
+    wrow = Window.partitionBy("from_type")
+    cells = trans.select(
+        "from_type",
+        "n",
+        F.sum("n").over(wrow).cast("bigint").alias("row_total"),
+    )
+    rows_ = cells.groupBy("from_type").agg(
+        F.max("row_total").cast("bigint").alias("n_row"),
+        F.sum(F.expr(_ENT_TERM).cast("decimal(18,6)")).alias("h"),
+    )
+    wall = Window.partitionBy()
+    return (
+        rows_.select(
+            "from_type",
+            "n_row",
+            F.col("h").cast("decimal(18,6)").alias("h6"),
+            F.sum(
+                F.col("n_row").cast("decimal(19,0)")
+                * F.col("h").cast("decimal(18,6)")
+            )
+            .over(wall)
+            .alias("wsum"),
+            F.sum("n_row").over(wall).cast("bigint").alias("n_tot"),
+        )
+        .select(
+            "from_type",
+            "n_row",
+            F.col("h6").cast("double").alias("h_bits"),
+            F.expr(_ENT_RATE).alias("entropy_rate_bits"),
+        )
+        .orderBy("from_type")
+    )
+
+
+ORACLE["markov_entropy_rate"] = f"""
+    WITH trans AS ({_TRANS_SQL}),
+    cells AS (
+      SELECT from_type, n,
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS row_total
+      FROM trans
+    ),
+    rows_ AS (
+      SELECT from_type,
+             CAST(MAX(row_total) AS BIGINT) AS n_row,
+             SUM(CAST({_ENT_TERM} AS DECIMAL(18,6))) AS h
+      FROM cells GROUP BY from_type
+    ),
+    tot AS (
+      SELECT from_type, n_row, h,
+             SUM(CAST(n_row AS DECIMAL(19,0)) * CAST(h AS DECIMAL(18,6)))
+               OVER () AS wsum,
+             CAST(SUM(n_row) OVER () AS BIGINT) AS n_tot
+      FROM rows_
+    )
+    SELECT from_type, n_row,
+           CAST(CAST(h AS DECIMAL(18,6)) AS DOUBLE) AS h_bits,
+           {_ENT_RATE} AS entropy_rate_bits
+    FROM tot
+    ORDER BY from_type
+"""
+
+
+# --- mann_kendall_trend ------------------------------------------------------
+# S = Σ_{i<j} sign(x_j − x_i) over the day-ordered series;
+# Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (tie groups t), kept as the
+# exact integer var18; z applies the standard ±1 continuity correction.
+_MK_Z = (
+    "CASE WHEN var18 <= 0 THEN NULL"
+    " WHEN s_stat > 0 THEN ROUND((CAST(s_stat AS DOUBLE) - 1.0)"
+    " / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6)"
+    " WHEN s_stat < 0 THEN ROUND((CAST(s_stat AS DOUBLE) + 1.0)"
+    " / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6)"
+    " ELSE 0.0 END"
+)
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order revenue — the
+    nonparametric "is revenue drifting?" monitor that pairs with
+    ``theil_sen_slope`` (MK decides IF there is a trend, Theil-Sen says
+    how steep) and needs no distributional assumptions, unlike
+    ``regression_line``.
+
+    Exactness: daily totals are exact integer cents on epoch days;
+    concordant/discordant/tied pair counts are exact bigints from the
+    ordered day-pair grid; var18 keeps the ×18-scaled variance integer
+    (n ≤ 36 500 days for a century ⇒ n³ < 5·10¹³, well inside BIGINT);
+    z is one shared float text with the ±1 continuity correction.
+
+    Scale: the series aggregates to ONE row per calendar day before the
+    pair grid, so the self-join is days² — bounded by the calendar span,
+    not the corpus (2 400 days here ⇒ 2.9M pairs; a century ⇒ 6.7·10⁸,
+    still executor-trivial; past that the O(n log n) prefix-rank
+    inversion count replaces the grid — same outputs).
+    """
+    daily = _daily_rev(spark, sf_dir)
+    a = daily.select(F.col("d").alias("da"), F.col("total").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("total").alias("xb"))
+    pair_stats = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            # COALESCE: a single-day series has an EMPTY pair grid — zero
+            # pairs, not NULL pairs (SUM over no rows is NULL in both
+            # engines).
+            F.coalesce(
+                F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.coalesce(
+                F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_discordant"),
+            F.coalesce(
+                F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_tied_pairs"),
+        )
+    )
+    base = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("total")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n_days",
+            "n_concordant",
+            "n_discordant",
+            "n_tied_pairs",
+            "CAST(n_concordant - n_discordant AS BIGINT) AS s_stat",
+            "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+            " AS BIGINT) AS var18",
+        )
+        .selectExpr(
+            "n_days",
+            "n_concordant",
+            "n_discordant",
+            "n_tied_pairs",
+            "s_stat",
+            "var18",
+            f"{_MK_Z} AS z",
+        )
+    )
+
+
+ORACLE["mann_kendall_trend"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pair_stats AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN b.total > a.total THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_concordant,
+        CAST(COALESCE(SUM(CASE WHEN b.total < a.total THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_discordant,
+        CAST(COALESCE(SUM(CASE WHEN b.total = a.total THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_tied_pairs
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY total)
+    ),
+    s AS (
+      SELECT n_days, n_concordant, n_discordant, n_tied_pairs,
+             CAST(n_concordant - n_discordant AS BIGINT) AS s_stat,
+             CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                  AS BIGINT) AS var18
+      FROM base, pair_stats, ties
+    )
+    SELECT n_days, n_concordant, n_discordant, n_tied_pairs, s_stat, var18,
+           {_MK_Z} AS z
+    FROM s
+"""
+
+
+# --- runs_test_updown --------------------------------------------------------
+# Wald-Wolfowitz runs test on the up/down sign sequence of daily revenue
+# deltas (zero deltas carry no direction and are excluded, the standard
+# treatment).  E[R] and Var[R] are the two-category moments; the guard
+# 2·n_up·n_dn ≤ n keeps the degenerate variance (= 0) out of the division.
+_RT_E = (
+    "CASE WHEN n_up = 0 OR n_dn = 0 THEN NULL"
+    " ELSE ROUND(2.0 * CAST(n_up AS DOUBLE) * n_dn"
+    " / (CAST(n_up AS DOUBLE) + n_dn) + 1.0, 6) END"
+)
+_RT_Z = (
+    "CASE WHEN n_up = 0 OR n_dn = 0"
+    " OR 2 * n_up * n_dn <= n_up + n_dn THEN NULL"
+    " ELSE ROUND((CAST(n_runs AS DOUBLE)"
+    " - (2.0 * CAST(n_up AS DOUBLE) * n_dn"
+    "    / (CAST(n_up AS DOUBLE) + n_dn) + 1.0))"
+    " / SQRT(2.0 * CAST(n_up AS DOUBLE) * n_dn"
+    "        * (2.0 * CAST(n_up AS DOUBLE) * n_dn - n_up - n_dn)"
+    "        / ((CAST(n_up AS DOUBLE) + n_dn)"
+    "           * (CAST(n_up AS DOUBLE) + n_dn)"
+    "           * (CAST(n_up AS DOUBLE) + n_dn - 1.0))), 6) END"
+)
+
+
+def runs_test_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue movement —
+    the pre-flight check for every sequential monitor in the registry
+    (``cusum_changepoint`` / ``autocorr_lag_grid`` assume the null is an
+    exchangeable series; too FEW runs means momentum/trend, too MANY
+    means oscillation/overcorrection).  Signs come from day-over-day
+    deltas on the calendar grid; zero deltas are excluded (no direction).
+
+    Exactness: the sign sequence derives from exact cent deltas under
+    the total day order; run boundaries are exact lag comparisons; n_up /
+    n_dn / n_runs are exact bigints; E[R] and z are each ONE shared
+    float text with integer-compared degenerate guards.
+
+    Scale: both lag windows run over the one-row-per-day relation
+    (calendar-bounded, shared with ``mann_kendall_trend`` via
+    shared_persist) under a single unpartitioned sort — ≤ 36 500 rows
+    for a century, a driver-trivial window after the map-side-combined
+    daily aggregate.
+    """
+    daily = _daily_rev(spark, sf_dir)
+    wd = Window.orderBy("d")
+    signs = (
+        daily.select(
+            "d",
+            (F.col("total") - F.lag("total").over(wd)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select(
+            "d",
+            F.when(F.col("delta") > 0, F.lit(1)).otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    ws = Window.orderBy("d")
+    marked = signs.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(ws).isNull()
+            | (F.lag("sgn").over(ws) == F.col("sgn")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("boundary"),
+    )
+    agg = marked.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dn"),
+        F.expr(
+            "CASE WHEN COUNT(*) = 0 THEN 0"
+            " ELSE 1 + SUM(boundary) END"
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return agg.selectExpr(
+        "CAST(n_up + n_dn AS BIGINT) AS n_signs",
+        "n_up",
+        "n_dn",
+        "n_runs",
+        f"{_RT_E} AS e_runs",
+        f"{_RT_Z} AS z",
+    )
+
+
+ORACLE["runs_test_updown"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    signs AS (
+      SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+      FROM (
+        SELECT d, total - LAG(total) OVER (ORDER BY d) AS delta FROM daily
+      )
+      WHERE delta IS NOT NULL AND delta <> 0
+    ),
+    marked AS (
+      SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+                    OR LAG(sgn) OVER (ORDER BY d) = sgn THEN 0
+                  ELSE 1 END AS boundary
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dn,
+             CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                       ELSE 1 + SUM(boundary) END AS BIGINT) AS n_runs
+      FROM marked
+    )
+    SELECT CAST(n_up + n_dn AS BIGINT) AS n_signs, n_up, n_dn, n_runs,
+           {_RT_E} AS e_runs,
+           {_RT_Z} AS z
+    FROM agg
+"""
+
+
+# --- cramers_v_priority_status -----------------------------------------------
+# Same cross-multiplied Pearson cell text as chisq_independence (imported,
+# so the certified op order is shared), then V = sqrt(χ² / (N · min(r,c)−1)).
+_CRAMER_V = (
+    "CASE WHEN n_tot = 0 OR mindim <= 0 THEN NULL"
+    " ELSE ROUND(SQRT(CAST(chi2 AS DOUBLE)"
+    " / (CAST(n_tot AS DOUBLE) * mindim)), 6) END"
+)
+
+
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for order priority × order status — the EFFECT SIZE the
+    ``chisq_independence`` p-value hides: at 100 TB every chi-square is
+    "significant"; V ∈ [0,1] is scale-free and says whether the
+    association is operationally real (fulfillment status should NOT
+    depend on priority — a nonzero V is an SLA violation signal).
+
+    Exactness: observed counts and marginals are exact bigints over the
+    FULL priority×status grid (zero cells included); each cell reuses
+    ``pipeline14._CHI_CONTRIB`` — the already-certified cross-multiplied
+    shared float text with its DECIMAL(38,0) numerator; χ² is the exact
+    DECIMAL sum of 6dp cell terms; V is one shared SQRT text with
+    degenerate guards (single-row or single-column grid ⇒ NULL).
+
+    Scale: one map-side-combined (priority, status) count is the only
+    full-data shuffle; marginals, the broadcast cross-join grid, and the
+    window total all run on ≤ |priorities|·|statuses| rows.
+    """
+    from hadrodb_spark.operators.pipeline14 import _CHI_CONTRIB
+
+    cells = shared.shared_persist(
+        ("p16_ps_cells", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs")),
+    )
+    rmarg = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").cast("bigint").alias("r_tot")
+    )
+    cmarg = cells.groupBy("o_orderstatus").agg(
+        F.sum("obs").cast("bigint").alias("c_tot")
+    )
+    grid = (
+        rmarg.crossJoin(F.broadcast(cmarg))
+        .join(cells, ["o_orderpriority", "o_orderstatus"], "left")
+        .select(
+            "r_tot",
+            "c_tot",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    wall = Window.partitionBy()
+    terms = grid.select(
+        "r_tot",
+        "c_tot",
+        "obs",
+        F.sum("obs").over(wall).cast("bigint").alias("n_tot"),
+    ).select(
+        "n_tot",
+        F.expr(_CHI_CONTRIB).cast("decimal(18,6)").alias("contrib"),
+    )
+    agg = terms.groupBy("n_tot").agg(F.sum("contrib").alias("chi2sum"))
+    dims = (
+        rmarg.agg(F.count(F.lit(1)).cast("bigint").alias("n_priorities"))
+        .crossJoin(
+            F.broadcast(
+                cmarg.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_statuses")
+                )
+            )
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "CAST(n_tot AS BIGINT) AS n_total",
+            "n_priorities",
+            "n_statuses",
+            "CAST(chi2sum AS DOUBLE) AS chi2",
+            "CAST(LEAST(n_priorities - 1, n_statuses - 1) AS BIGINT)"
+            " AS mindim",
+            "n_tot",
+        )
+        .selectExpr(
+            "n_total",
+            "n_priorities",
+            "n_statuses",
+            "chi2",
+            f"{_CRAMER_V} AS cramers_v",
+        )
+    )
+
+
+def _cramer_oracle() -> str:
+    from hadrodb_spark.operators.pipeline14 import _CHI_CONTRIB
+
+    return f"""
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rmarg AS (
+      SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS r_tot
+      FROM cells GROUP BY 1
+    ),
+    cmarg AS (
+      SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS c_tot
+      FROM cells GROUP BY 1
+    ),
+    grid AS (
+      SELECT r.r_tot, c.c_tot,
+             CAST(COALESCE(x.obs, 0) AS BIGINT) AS obs
+      FROM rmarg r CROSS JOIN cmarg c
+      LEFT JOIN cells x
+        ON x.o_orderpriority = r.o_orderpriority
+       AND x.o_orderstatus = c.o_orderstatus
+    ),
+    terms AS (
+      SELECT n_tot, CAST({_CHI_CONTRIB} AS DECIMAL(18,6)) AS contrib
+      FROM (
+        SELECT r_tot, c_tot, obs,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n_tot
+        FROM grid
+      )
+    ),
+    agg AS (SELECT n_tot, SUM(contrib) AS chi2sum FROM terms GROUP BY n_tot),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rmarg) AS n_priorities,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cmarg) AS n_statuses
+    ),
+    fin AS (
+      SELECT CAST(n_tot AS BIGINT) AS n_total, n_priorities, n_statuses,
+             CAST(chi2sum AS DOUBLE) AS chi2,
+             CAST(LEAST(n_priorities - 1, n_statuses - 1) AS BIGINT)
+               AS mindim,
+             n_tot
+      FROM agg, dims
+    )
+    SELECT n_total, n_priorities, n_statuses, chi2,
+           {_CRAMER_V} AS cramers_v
+    FROM fin
+    """
+
+
+# --- welch_t_value -----------------------------------------------------------
+# Unequal-variance two-sample t on exact DECIMAL/HUGEINT moments:
+# ssqᵢ = nᵢ·Σx² − (Σx)² (exact), uᵢ = varᵢ/nᵢ = ssqᵢ/(nᵢ²(nᵢ−1)) as ONE
+# rounded float text each; t and the Welch–Satterthwaite df then combine
+# the ROUNDED u's, so both engines see bit-identical inputs.
+_WELCH_U = "ROUND(CAST(ssq{g} AS DOUBLE) / (CAST(n{g} AS DOUBLE) * n{g} * (n{g} - 1.0)), 6)"
+_WELCH_MD = "ROUND(CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2, 6)"
+_WELCH_T = (
+    "CASE WHEN u1 + u2 <= 0 THEN NULL"
+    " ELSE ROUND((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)"
+    " / SQRT(u1 + u2), 6) END"
+)
+_WELCH_DF = (
+    "CASE WHEN u1 + u2 <= 0 THEN NULL"
+    " ELSE ROUND((u1 + u2) * (u1 + u2)"
+    " / (u1 * u1 / (n1 - 1.0) + u2 * u2 / (n2 - 1.0)), 6) END"
+)
+
+
+def welch_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between purchase and click event values —
+    the parametric completion of the two-sample family:
+    ``mannwhitney_shift`` is distribution-free, ``cohens_d_by_type``
+    standardizes the gap, ``permutation_test_diff`` simulates the null;
+    Welch gives the analytic t WITHOUT the equal-variance assumption the
+    pooled test (and Cohen's pooled SD) silently makes — the right
+    default when purchase values are heavy-tailed and clicks are not.
+
+    Exactness: cents, counts, Σx and Σx² accumulate exactly
+    (DECIMAL(38,0) Spark-side, HUGEINT DuckDB-side for the n·Σx² − (Σx)²
+    products — the r8/r9 overflow class); u₁/u₂ (= varᵢ/nᵢ) are each ONE
+    shared float text rounded at 6, and t/df combine only those rounded
+    columns, so op order is pinned end-to-end.  Either group with n < 2
+    ⇒ NULL t/df; zero combined variance guarded.
+
+    Scale: ONE map-side-combined conditional aggregate over the filtered
+    stream (two groups ⇒ a 1-row moment relation); everything after is
+    1-row arithmetic.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select(
+            F.col("event_type"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    m = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sx1"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("cents").cast("decimal(38,0)") * F.col("cents"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sxx1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sx2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("cents").cast("decimal(38,0)") * F.col("cents"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sxx2"),
+    )
+    withssq = m.selectExpr(
+        "n1",
+        "sx1",
+        "n2",
+        "sx2",
+        "CAST(n1 AS DECIMAL(38,0)) * sxx1 - sx1 * sx1 AS ssq1",
+        "CAST(n2 AS DECIMAL(38,0)) * sxx2 - sx2 * sx2 AS ssq2",
+    )
+    withu = withssq.selectExpr(
+        "n1",
+        "sx1",
+        "n2",
+        "sx2",
+        f"CASE WHEN n1 < 2 THEN NULL ELSE {_WELCH_U.format(g=1)} END AS u1",
+        f"CASE WHEN n2 < 2 THEN NULL ELSE {_WELCH_U.format(g=2)} END AS u2",
+    )
+    return withu.selectExpr(
+        "n1 AS n_purchase",
+        "n2 AS n_click",
+        f"CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+        f" ELSE {_WELCH_MD} END AS mean_diff_cents",
+        f"{_WELCH_T} AS t_welch",
+        f"{_WELCH_DF} AS df_welch",
+    )
+
+
+ORACLE["welch_t_value"] = f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sx1,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxx1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sx2,
+        SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxx2
+      FROM ev
+    ),
+    withssq AS (
+      SELECT n1, sx1, n2, sx2,
+             CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS ssq1,
+             CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2 AS ssq2
+      FROM m
+    ),
+    withu AS (
+      SELECT n1, sx1, n2, sx2,
+             CASE WHEN n1 < 2 THEN NULL
+                  ELSE {_WELCH_U.format(g=1)} END AS u1,
+             CASE WHEN n2 < 2 THEN NULL
+                  ELSE {_WELCH_U.format(g=2)} END AS u2
+      FROM withssq
+    )
+    SELECT n1 AS n_purchase, n2 AS n_click,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE {_WELCH_MD} END AS mean_diff_cents,
+           {_WELCH_T} AS t_welch,
+           {_WELCH_DF} AS df_welch
+    FROM withu
+"""
+
+ORACLE["cramers_v_priority_status"] = _cramer_oracle()

@@ -35,6 +35,7 @@ from hadrodb_spark.operators import (
     pipeline13,
     pipeline14,
     pipeline15,
+    pipeline16,
     relational,
     relational2,
     relational3,
@@ -200,6 +201,7 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   gate_phi_matrix, mixture_ess (pipeline15.py batch 3 — gate-redundancy
 #   phi coefficients, effective-sample-size weighting audit)
 _register(pipeline15)
+_register(pipeline16)
 
 
 

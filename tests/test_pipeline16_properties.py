@@ -1,0 +1,449 @@
+"""Property tests for the pipeline16 statistical-audit tier 3:
+brute-force mirrors of the Bowker pair-folding, the Markov entropy-rate
+algebra, the Mann-Kendall pair/tie bookkeeping, the Wald-Wolfowitz runs
+counting, Cramér's V over the full marginal grid, and the Welch moment
+arithmetic — on adversarial tiny inputs (single users, self-loop-only
+streams, single-day series, all-tied values, groups below n=2, single-row
+grids) the parquet fixtures never produce.
+
+Float discipline in the brute mirrors: Spark's ROUND is HALF-UP on the
+double's decimal rendering, Python's round() is banker's — so every
+rounding goes through Decimal(repr(x)).quantize(..., ROUND_HALF_UP), and
+every float expression replays the SHARED op-order text exactly."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadrodb_spark.operators.pipeline16 import (
+    bowker_symmetry,
+    cramers_v_priority_status,
+    mann_kendall_trend,
+    markov_entropy_rate,
+    runs_test_updown,
+    welch_t_value,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _r6(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+# ------------------------------------------------------------ event fixtures
+def _write_events(spark, d, rows):
+    """rows: list of (event_id, user_id, event_type, cents-or-None); ts
+    increases with event_id so the (ts, event_id) stream order is the
+    row order within each user."""
+    spark.createDataFrame(
+        [
+            (
+                i,
+                _EPOCH + datetime.timedelta(seconds=i),
+                u,
+                t,
+                None if c is None else c / 100.0,
+            )
+            for i, u, t, c in rows
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+
+def _transitions(rows):
+    """Exact (from_type, to_type) transition counts per the certified
+    (user, ts, event_id) stream order."""
+    per_user = defaultdict(list)
+    for i, u, t, _ in sorted(rows):
+        per_user[u].append(t)
+    trans = Counter()
+    for seq in per_user.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    return trans
+
+
+_STREAMS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _stream_rows(stream):
+    return [(i, u, _TYPES[t], 100) for i, (u, t) in enumerate(stream)]
+
+
+# ------------------------------------------------------------------- bowker
+def _brute_bowker(rows):
+    trans = _transitions(rows)
+    pairs = defaultdict(lambda: [0, 0])
+    for (a, b), n in trans.items():
+        if a == b:
+            continue
+        i, j = min(a, b), max(a, b)
+        pairs[(i, j)][0 if a < b else 1] += n
+    if not pairs:
+        return (0, None, None)
+    n_pairs = len(pairs)
+    n_trans = sum(u + v for u, v in pairs.values())
+    b_ppm = sum(
+        ((u - v) * (u - v) * 1_000_000) // (u + v) for u, v in pairs.values()
+    )
+    return (n_pairs, n_trans, b_ppm)
+
+
+@settings(**_SETTINGS)
+@given(stream=_STREAMS)
+def test_bowker_matches_bruteforce(spark, tmp_path_factory, stream):
+    d = tmp_path_factory.mktemp("bowker")
+    rows = _stream_rows(stream)
+    _write_events(spark, d, rows)
+    got = [tuple(r) for r in bowker_symmetry(spark, str(d)).collect()]
+    assert got == [_brute_bowker(rows)]
+
+
+def test_bowker_symmetric_stream_is_zero(spark, tmp_path_factory):
+    # a perfect A→B→A→B… stream has n_up == n_dn for its one pair
+    d = tmp_path_factory.mktemp("bowker0")
+    rows = [(i, 1, _TYPES[i % 2], 100) for i in range(9)]
+    _write_events(spark, d, rows)
+    (row,) = bowker_symmetry(spark, str(d)).collect()
+    assert (row.n_pairs, row.n_transitions, row.b_ppm) == (1, 8, 0)
+
+
+# ------------------------------------------------------------- entropy rate
+def _brute_entropy(rows):
+    trans = _transitions(rows)
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    out = []
+    wsum = Decimal(0)
+    n_tot = sum(row_tot.values())
+    hs = {}
+    for a in sorted(row_tot):
+        h = Decimal(0)
+        rt = row_tot[a]
+        for (x, _), n in trans.items():
+            if x != a:
+                continue
+            h += _r6(float(n) / float(rt) * math.log2(float(rt) / float(n)))
+        hs[a] = h
+        wsum += Decimal(rt) * h
+    rate = float(_r6(float(wsum) / float(n_tot))) if row_tot else None
+    for a in sorted(row_tot):
+        out.append((a, row_tot[a], float(hs[a]), rate))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(stream=_STREAMS)
+def test_entropy_rate_matches_bruteforce(spark, tmp_path_factory, stream):
+    d = tmp_path_factory.mktemp("entropy")
+    rows = _stream_rows(stream)
+    _write_events(spark, d, rows)
+    got = [tuple(r) for r in markov_entropy_rate(spark, str(d)).collect()]
+    assert got == _brute_entropy(rows)
+
+
+def test_entropy_rate_deterministic_stream_is_zero(spark, tmp_path_factory):
+    # A→B→A→B…: every row has exactly one successor ⇒ rate is exactly 0
+    d = tmp_path_factory.mktemp("entropy0")
+    rows = [(i, 1, _TYPES[i % 2], 100) for i in range(10)]
+    _write_events(spark, d, rows)
+    res = markov_entropy_rate(spark, str(d)).collect()
+    assert all(r.h_bits == 0.0 and r.entropy_rate_bits == 0.0 for r in res)
+
+
+# ------------------------------------------------------------ order fixtures
+def _write_orders(spark, d, day_cents, priority_status=None):
+    """day_cents: list of (day, cents).  priority_status: optional
+    parallel list of (priority, status) tuples (defaults to constants)."""
+    ps = priority_status or [("1-URGENT", "O")] * len(day_cents)
+    spark.createDataFrame(
+        [
+            (i, 1, s, c / 100.0, _EPOCH + datetime.timedelta(days=day), p)
+            for i, ((day, c), (p, s)) in enumerate(zip(day_cents, ps))
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+
+def _daily(day_cents):
+    tot = Counter()
+    for day, c in day_cents:
+        tot[day] += c
+    return [tot[d] for d in sorted(tot)]
+
+
+_DAY_CENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=-500, max_value=500),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+# ------------------------------------------------------------- mann-kendall
+def _brute_mk(day_cents):
+    xs = _daily(day_cents)
+    n = len(xs)
+    conc = disc = tied = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if xs[j] > xs[i]:
+                conc += 1
+            elif xs[j] < xs[i]:
+                disc += 1
+            else:
+                tied += 1
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+    )
+    s = conc - disc
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if var18 <= 0:
+        z = None
+    elif s > 0:
+        z = float(_r6((float(s) - 1.0) / math.sqrt(float(var18) / 18.0)))
+    elif s < 0:
+        z = float(_r6((float(s) + 1.0) / math.sqrt(float(var18) / 18.0)))
+    else:
+        z = 0.0
+    return (n, conc, disc, tied, s, var18, z)
+
+
+@settings(**_SETTINGS)
+@given(day_cents=_DAY_CENTS)
+def test_mann_kendall_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    d = tmp_path_factory.mktemp("mk")
+    _write_orders(spark, d, day_cents)
+    got = [tuple(r) for r in mann_kendall_trend(spark, str(d)).collect()]
+    assert got == [_brute_mk(day_cents)]
+
+
+def test_mann_kendall_monotone_series(spark, tmp_path_factory):
+    # strictly increasing daily revenue ⇒ every pair concordant
+    d = tmp_path_factory.mktemp("mk_mono")
+    day_cents = [(day, 100 + day) for day in range(10)]
+    _write_orders(spark, d, day_cents)
+    (row,) = mann_kendall_trend(spark, str(d)).collect()
+    assert row.s_stat == row.n_concordant == 45
+    assert row.n_discordant == row.n_tied_pairs == 0
+    assert row.z > 0
+
+
+# ---------------------------------------------------------------- runs test
+def _brute_runs(day_cents):
+    xs = _daily(day_cents)
+    signs = []
+    for a, b in zip(xs, xs[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    if not signs:
+        return (None, None, None, 0, None, None)
+    n_up = signs.count(1)
+    n_dn = signs.count(-1)
+    n_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    if n_up == 0 or n_dn == 0:
+        e = None
+    else:
+        e = float(
+            _r6(2.0 * float(n_up) * n_dn / (float(n_up) + n_dn) + 1.0)
+        )
+    if n_up == 0 or n_dn == 0 or 2 * n_up * n_dn <= n_up + n_dn:
+        z = None
+    else:
+        ef = 2.0 * float(n_up) * n_dn / (float(n_up) + n_dn) + 1.0
+        var = (
+            2.0
+            * float(n_up)
+            * n_dn
+            * (2.0 * float(n_up) * n_dn - n_up - n_dn)
+            / (
+                (float(n_up) + n_dn)
+                * (float(n_up) + n_dn)
+                * (float(n_up) + n_dn - 1.0)
+            )
+        )
+        z = float(_r6((float(n_runs) - ef) / math.sqrt(var)))
+    return (n_up + n_dn, n_up, n_dn, n_runs, e, z)
+
+
+@settings(**_SETTINGS)
+@given(day_cents=_DAY_CENTS)
+def test_runs_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    d = tmp_path_factory.mktemp("runs")
+    _write_orders(spark, d, day_cents)
+    got = [tuple(r) for r in runs_test_updown(spark, str(d)).collect()]
+    assert got == [_brute_runs(day_cents)]
+
+
+def test_runs_alternating_series(spark, tmp_path_factory):
+    # up-down-up-down…: every delta flips sign ⇒ n_runs == n_signs
+    d = tmp_path_factory.mktemp("runs_alt")
+    day_cents = [(day, 100 if day % 2 else 200) for day in range(9)]
+    _write_orders(spark, d, day_cents)
+    (row,) = runs_test_updown(spark, str(d)).collect()
+    assert row.n_runs == row.n_signs == 8
+    assert row.z > 0  # far more runs than E[R]
+
+
+# ----------------------------------------------------------------- cramér V
+_GRID_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # priority index
+        st.integers(min_value=0, max_value=2),  # status index
+    ),
+    min_size=1,
+    max_size=40,
+)
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+_STATS = ["F", "O", "P"]
+
+
+def _brute_cramer(pairs):
+    cells = Counter(pairs)
+    rmarg = Counter(p for p, _ in pairs)
+    cmarg = Counter(s for _, s in pairs)
+    n = len(pairs)
+    chi2 = Decimal(0)
+    for p in rmarg:
+        for s in cmarg:
+            obs = cells.get((p, s), 0)
+            num = n * obs - rmarg[p] * cmarg[s]
+            chi2 += _r6(
+                (float(num) * float(num))
+                / (float(n) * float(rmarg[p]) * cmarg[s])
+            )
+    mindim = min(len(rmarg) - 1, len(cmarg) - 1)
+    v = (
+        None
+        if n == 0 or mindim <= 0
+        else float(_r6(math.sqrt(float(chi2) / (float(n) * mindim))))
+    )
+    return (n, len(rmarg), len(cmarg), float(chi2), v)
+
+
+@settings(**_SETTINGS)
+@given(grid=_GRID_ROWS)
+def test_cramers_v_matches_bruteforce(spark, tmp_path_factory, grid):
+    d = tmp_path_factory.mktemp("cramer")
+    ps = [(_PRIOS[p], _STATS[s]) for p, s in grid]
+    _write_orders(spark, d, [(0, 100)] * len(ps), ps)
+    got = [
+        tuple(r) for r in cramers_v_priority_status(spark, str(d)).collect()
+    ]
+    assert got == [_brute_cramer(ps)]
+
+
+def test_cramers_v_single_row_grid_is_null(spark, tmp_path_factory):
+    # one priority level ⇒ min(r−1, c−1) = 0 ⇒ V undefined (NULL), χ² = 0
+    d = tmp_path_factory.mktemp("cramer1")
+    ps = [("1-URGENT", s) for s in ["F", "O", "P", "O"]]
+    _write_orders(spark, d, [(0, 100)] * len(ps), ps)
+    (row,) = cramers_v_priority_status(spark, str(d)).collect()
+    assert row.cramers_v is None and row.n_priorities == 1
+
+
+# ------------------------------------------------------------------- welch
+_WELCH_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["purchase", "click", "view"]),
+        st.one_of(
+            st.none(), st.integers(min_value=-10_000, max_value=10_000)
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_welch(rows):
+    def moments(t):
+        xs = [c for tt, c in rows if tt == t and c is not None]
+        return len(xs), sum(xs), sum(x * x for x in xs)
+
+    n1, sx1, sxx1 = moments("purchase")
+    n2, sx2, sxx2 = moments("click")
+    ssq1 = n1 * sxx1 - sx1 * sx1
+    ssq2 = n2 * sxx2 - sx2 * sx2
+    u1 = (
+        None
+        if n1 < 2
+        else _r6(float(ssq1) / (float(n1) * n1 * (n1 - 1.0)))
+    )
+    u2 = (
+        None
+        if n2 < 2
+        else _r6(float(ssq2) / (float(n2) * n2 * (n2 - 1.0)))
+    )
+    md = (
+        None
+        if n1 == 0 or n2 == 0
+        else float(_r6(float(sx1) / n1 - float(sx2) / n2))
+    )
+    if u1 is None or u2 is None or float(u1) + float(u2) <= 0:
+        t = df = None
+    else:
+        us = float(u1) + float(u2)
+        t = float(
+            _r6((float(sx1) / n1 - float(sx2) / n2) / math.sqrt(us))
+        )
+        df = float(
+            _r6(
+                us
+                * us
+                / (
+                    float(u1) * float(u1) / (n1 - 1.0)
+                    + float(u2) * float(u2) / (n2 - 1.0)
+                )
+            )
+        )
+    return (n1, n2, md, t, df)
+
+
+@settings(**_SETTINGS)
+@given(rows=_WELCH_ROWS)
+def test_welch_matches_bruteforce(spark, tmp_path_factory, rows):
+    d = tmp_path_factory.mktemp("welch")
+    ev = [(i, 1, t, c) for i, (t, c) in enumerate(rows)]
+    _write_events(spark, d, ev)
+    got = [tuple(r) for r in welch_t_value(spark, str(d)).collect()]
+    assert got == [_brute_welch(rows)]
+
+
+def test_welch_small_group_is_null(spark, tmp_path_factory):
+    # n_click = 1 < 2 ⇒ u2 undefined ⇒ t/df NULL, mean diff still defined
+    d = tmp_path_factory.mktemp("welch1")
+    ev = [
+        (0, 1, "purchase", 100),
+        (1, 1, "purchase", 300),
+        (2, 1, "click", 200),
+    ]
+    _write_events(spark, d, ev)
+    (row,) = welch_t_value(spark, str(d)).collect()
+    assert row.t_welch is None and row.df_welch is None
+    assert row.mean_diff_cents == 0.0
