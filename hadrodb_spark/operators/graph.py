@@ -480,3 +480,239 @@ def _assort_oracle() -> str:
 
 ORACLE["graph_degree_assortativity"] = _assort_oracle()
 ORACLE["graph_kcore"] = _kcore_oracle()
+
+
+# --- clustering coefficient ---------------------------------------------------
+# Global C = 3·triangles / wedges (wedges = Σ deg(deg−1)/2) and the mean
+# local coefficient over deg≥2 nodes — both exact integer ppm; the ×-10⁶
+# products route DECIMAL(38,0)/HUGEINT (triangle counts pass 10¹² at
+# 100 TB, so T·3·10⁶ wraps BIGINT — the r8/r9 overflow class).
+_CC_LOCAL_SPARK = (
+    "(CAST(t AS DECIMAL(38,0)) * 2000000) DIV (deg * (deg - 1))"
+)
+_CC_LOCAL_DUCK = "(CAST(t AS HUGEINT) * 2000000) // (deg * (deg - 1))"
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global + mean-local clustering coefficient of the co-purchase graph —
+    the triangle-density audit that separates a clustered catalog
+    (products bought in cohesive bundles) from a hub-and-spoke one, and
+    the standard companion to ``graph_triangles`` / ``graph_degree_
+    assortativity``.
+
+    Exactness: triangle and wedge counts are exact bigints (ordered
+    triple join counts each triangle once; per-node triangle counts fan
+    each closed triple to its 3 corners); the two coefficients are exact
+    integer ppm via non-negative DECIMAL-routed DIV; NULL when the graph
+    has no wedge (or no deg≥2 node).
+
+    Scale: same ordered-edge-list triangle plan as ``graph_triangles``
+    (fan-out bounded by forward degree; at 100 TB order endpoints by
+    degree for the O(m^1.5) bound); degrees and wedges are one
+    map-side-combined aggregate; everything else is node-table sized.
+    """
+    e = _edges(spark, sf_dir)
+    dirs = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tnode = (
+        tri.select(F.col("x").alias("src"))
+        .unionByName(tri.select(F.col("y").alias("src")))
+        .unionByName(tri.select(F.col("z").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    local_agg = (
+        deg.join(tnode, "src", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("t"),
+        )
+        .select(F.expr(_CC_LOCAL_SPARK).cast("bigint").alias("local_ppm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deg2"),
+            F.coalesce(F.sum("local_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("local_sum"),
+        )
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(
+            F.sum((F.col("deg") * (F.col("deg") - 1)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("wedges_x2"),
+    )
+    tric = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    ec = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        base.crossJoin(F.broadcast(tric))
+        .crossJoin(F.broadcast(ec))
+        .crossJoin(F.broadcast(local_agg))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "CAST(wedges_x2 DIV 2 AS BIGINT) AS n_wedges",
+            "n_triangles",
+            "CASE WHEN wedges_x2 = 0 THEN NULL"
+            " ELSE CAST((CAST(n_triangles AS DECIMAL(38,0)) * 6000000)"
+            " DIV wedges_x2 AS BIGINT) END AS global_c_ppm",
+            "CASE WHEN n_deg2 = 0 THEN NULL"
+            " ELSE CAST(local_sum DIV n_deg2 AS BIGINT) END"
+            " AS mean_local_c_ppm",
+        )
+    )
+
+
+ORACLE["graph_clustering_coefficient"] = f"""
+    WITH {_EDGE_CTE},
+    dir AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM dir GROUP BY src
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tnode AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT x AS src FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY src
+    ),
+    local_agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_deg2,
+             CAST(COALESCE(SUM(local_ppm), 0) AS BIGINT) AS local_sum
+      FROM (
+        SELECT CAST({_CC_LOCAL_DUCK} AS BIGINT) AS local_ppm
+        FROM (
+          SELECT d.deg, CAST(COALESCE(tn.t, 0) AS BIGINT) AS t
+          FROM deg d LEFT JOIN tnode tn ON d.src = tn.src
+          WHERE d.deg >= 2
+        )
+      )
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             COALESCE(SUM(CAST(deg * (deg - 1) AS HUGEINT)),
+                      CAST(0 AS HUGEINT)) AS wedges_x2
+      FROM deg
+    ),
+    tric AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges,
+           CAST(wedges_x2 // 2 AS BIGINT) AS n_wedges,
+           n_triangles,
+           CASE WHEN wedges_x2 = 0 THEN NULL
+                ELSE CAST((CAST(n_triangles AS HUGEINT) * 6000000)
+                     // wedges_x2 AS BIGINT) END AS global_c_ppm,
+           CASE WHEN n_deg2 = 0 THEN NULL
+                ELSE CAST(local_sum // n_deg2 AS BIGINT) END
+             AS mean_local_c_ppm
+    FROM base, tric, ec, local_agg
+"""
+
+
+# --- adamic-adar link prediction ----------------------------------------------
+# AA(u,v) = Σ_{b ∈ N(u)∩N(v)} 1/ln(deg(b)) over candidate pairs that are
+# NOT already edges; every common neighbor has deg ≥ 2, so ln(deg) ≥ ln 2.
+_AA_TERM = "ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 6)"
+_AA_TOPK = 10
+
+
+def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k Adamic-Adar link prediction over the co-purchase graph — "which
+    two parts are NOT yet co-purchased but share many (rare) co-purchase
+    partners" — the classic recommender/link-prediction score, weighting
+    each common neighbor by 1/ln(degree) so hub neighbors count less.
+
+    Exactness: candidate pairs come from the exact wedge enumeration
+    (both-direction neighbor lists joined on the shared center, u < v);
+    each center's 1/ln(deg) is ONE shared float text rounded at 6 and
+    summed as exact DECIMAL, so the ORDER BY (score DESC, u, v) is a
+    total order; existing edges are removed with an anti-join on the
+    same a<b ordering.
+
+    Scale: wedge cost is Σ deg(b)² — the same band-bucket bound as the
+    MinHash LSH joins (at 100 TB cap hub degrees before the self-join,
+    exactly like the LSH bucket cap); the anti-join and the final
+    TakeOrdered(k) are the only shuffles after the wedge aggregate.
+    """
+    e = _edges(spark, sf_dir)
+    dirs = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    nb = dirs.select(F.col("src").alias("ctr"), F.col("dst").alias("n"))
+    wedges = (
+        nb.select("ctr", F.col("n").alias("u"))
+        .join(nb.select("ctr", F.col("n").alias("v")), "ctr")
+        .filter(F.col("u") < F.col("v"))
+    )
+    scored = (
+        wedges.join(deg, wedges.ctr == deg.src)
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr(_AA_TERM).cast("decimal(18,6)")).alias("score"),
+        )
+    )
+    cand = scored.join(
+        e, (scored.u == e.a) & (scored.v == e.b), "left_anti"
+    )
+    return (
+        cand.orderBy(F.desc("score"), "u", "v")
+        .limit(_AA_TOPK)
+        .select(
+            F.col("u").alias("node_u"),
+            F.col("v").alias("node_v"),
+            "n_common",
+            F.col("score").cast("double").alias("aa_score"),
+        )
+    )
+
+
+ORACLE["graph_adamic_adar_topk"] = f"""
+    WITH {_EDGE_CTE},
+    dir AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM dir GROUP BY src
+    ),
+    wedges AS (
+      SELECT w1.ctr, w1.u, w2.v
+      FROM (SELECT src AS ctr, dst AS u FROM dir) w1
+      JOIN (SELECT src AS ctr, dst AS v FROM dir) w2 ON w1.ctr = w2.ctr
+      WHERE w1.u < w2.v
+    ),
+    scored AS (
+      SELECT u, v,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             SUM(CAST({_AA_TERM} AS DECIMAL(18,6))) AS score
+      FROM wedges JOIN deg ON wedges.ctr = deg.src
+      GROUP BY u, v
+    ),
+    cand AS (
+      SELECT s.* FROM scored s
+      ANTI JOIN edges e ON s.u = e.a AND s.v = e.b
+    )
+    SELECT u AS node_u, v AS node_v, n_common,
+           CAST(score AS DOUBLE) AS aa_score
+    FROM cand
+    ORDER BY score DESC, u, v
+    LIMIT {_AA_TOPK}
+"""

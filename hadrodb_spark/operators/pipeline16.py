@@ -844,3 +844,233 @@ ORACLE["welch_t_value"] = f"""
 """
 
 ORACLE["cramers_v_priority_status"] = _cramer_oracle()
+
+
+# --- quantile_profile_sources --------------------------------------------------
+# Exact ceil-rank quantiles (k = ⌈q·n/100⌉, the conformal_coverage_audit
+# rank shape) over the per-source cap-censored length distribution — the
+# engine-independent quantile definition (percentile_disc index rounding
+# differs between engines).
+_QP_CAP = 65536  # cap-censored lengths ⇒ the count grid is ≤ |sources|×65537
+_QP_STEP = 5
+
+
+def quantile_profile_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 5th–95th quantile profile of document length per source,
+    plus the cross-source spread at each quantile — the QQ-style drift
+    audit that localizes WHERE two crawls' length distributions diverge
+    (``source_ks_shift`` gives one max-gap scalar; the profile says
+    "the tails differ, the median doesn't", which decides whether a
+    truncation gate or a re-weighting fixes it).
+
+    Exactness: lengths are cap-censored integers (LEAST(n_chars, 65536),
+    the source_ks_shift bound — censoring is visible and documented);
+    quantiles are exact min-value-at-ceil-rank over per-source cumulative
+    counts (k = ⌈q·n/100⌉ via positive-operand integer arithmetic — no
+    engine percentile function, whose index rounding differs); spread is
+    an exact max−min window over the bounded profile.  NULL lengths are
+    excluded up front.
+
+    Scale: ONE map-side-combined (source, length) count is the only
+    full-data shuffle; the cumulative window and the ×19 quantile grid
+    run on the ≤|sources|×65537 count relation — bounded BY CONSTRUCTION
+    (the KS-grid argument), not by data volume.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.expr(f"LEAST(n_chars, {_QP_CAP})").cast("bigint").alias("len"),
+        )
+    )
+    counts = shared.shared_persist(
+        ("p16_qp_counts", spark.sparkContext.applicationId, sf_dir),
+        lambda: docs.groupBy("source", "len").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wc))
+    qs = spark.range(1, 100 // _QP_STEP).select(
+        (F.col("id") * _QP_STEP).cast("bigint").alias("q_pct")
+    )
+    qv = (
+        cum.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q_pct * n_docs + 99) DIV 100"))
+        .groupBy("source", "q_pct")
+        .agg(F.min("len").cast("bigint").alias("q_chars"))
+    )
+    wq = Window.partitionBy("q_pct")
+    return qv.select(
+        "q_pct",
+        "source",
+        "q_chars",
+        (F.max("q_chars").over(wq) - F.min("q_chars").over(wq))
+        .cast("bigint")
+        .alias("spread"),
+    ).orderBy("q_pct", "source")
+
+
+ORACLE["quantile_profile_sources"] = f"""
+    WITH docs AS (
+      SELECT source, CAST(LEAST(n_chars, {_QP_CAP}) AS BIGINT) AS len
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, len, COUNT(*) AS c FROM docs GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+      FROM counts GROUP BY 1
+    ),
+    cum AS (
+      SELECT source, len,
+             SUM(c) OVER (PARTITION BY source ORDER BY len
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ),
+    qs AS (
+      SELECT CAST(q_pct AS BIGINT) AS q_pct
+      FROM (SELECT UNNEST(generate_series({_QP_STEP}, 95, {_QP_STEP}))
+              AS q_pct)
+    ),
+    qv AS (
+      SELECT cum.source, qs.q_pct,
+             CAST(MIN(cum.len) AS BIGINT) AS q_chars
+      FROM cum
+      JOIN totals ON cum.source = totals.source
+      CROSS JOIN qs
+      WHERE cum.cum >= (qs.q_pct * totals.n_docs + 99) // 100
+      GROUP BY 1, 2
+    )
+    SELECT q_pct, source, q_chars,
+           CAST(MAX(q_chars) OVER (PARTITION BY q_pct)
+                - MIN(q_chars) OVER (PARTITION BY q_pct) AS BIGINT)
+             AS spread
+    FROM qv
+    ORDER BY q_pct, source
+"""
+
+
+# --- token_budget_pack ---------------------------------------------------------
+_PACK_BUDGET = 5000  # tokens per source
+
+
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget packing — the selection step a
+    training-data pipeline runs AFTER ``mixture_weights`` decides each
+    source's token budget: rank documents (longest first, the greedy
+    bin-fill order; doc_id breaks ties) and keep the prefix whose
+    cumulative token count fits the budget.  Reports kept/total docs and
+    tokens plus the exact budget-fill ppm per source.
+
+    Exactness: token counts are the certified ``token_count`` tokenizer
+    (exact integers); the prefix is decided by a cumulative window under
+    the TOTAL (n_chars DESC, doc_id) order; fill ppm is a non-negative
+    integer DIV by the constant budget (tokens_kept ≤ budget ⇒ ppm ≤
+    10⁶).  NULL text / NULL n_chars rows are excluded up front (engine
+    NULL sort positions differ).
+
+    Scale: ONE shuffle — the per-source window sort (the sessionize
+    class); the aggregate after it is map-side-combinable.  At 100 TB
+    the window runs per source partition; a skewed mega-source salts the
+    sort by range-partitioning on (n_chars bucket) exactly like the
+    documented LWW skew path.
+    """
+    from hadrodb_spark.functions import text as X
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            X.token_count(F.col("text")).alias("tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = docs.withColumn("cum_tok", F.sum("tok").over(w))
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+            F.sum("tok").cast("bigint").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("cum_tok") <= _PACK_BUDGET, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cum_tok") <= _PACK_BUDGET, F.col("tok")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs_total",
+            "n_docs_kept",
+            "tokens_total",
+            "tokens_kept",
+            f"CAST((tokens_kept * 1000000) DIV {_PACK_BUDGET} AS BIGINT)"
+            " AS budget_fill_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _pack_oracle() -> str:
+    from hadrodb_spark.functions import text as X
+
+    toks = X.sql_tokens("text")
+    return f"""
+    WITH docs AS (
+      SELECT source, doc_id, n_chars,
+             CAST(len({toks}) AS BIGINT) AS tok
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    cum AS (
+      SELECT source, tok,
+             SUM(tok) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM docs
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(CASE WHEN cum_tok <= {_PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(tok) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(SUM(CASE WHEN cum_tok <= {_PACK_BUDGET}
+                                  THEN tok ELSE 0 END), 0) AS BIGINT)
+             AS tokens_kept,
+           CAST((COALESCE(SUM(CASE WHEN cum_tok <= {_PACK_BUDGET}
+                                   THEN tok ELSE 0 END), 0) * 1000000)
+                // {_PACK_BUDGET} AS BIGINT) AS budget_fill_ppm
+    FROM cum
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+ORACLE["token_budget_pack"] = _pack_oracle()

@@ -200,6 +200,16 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   wholesale graph register — collect BY NAME)
 #   gate_phi_matrix, mixture_ess (pipeline15.py batch 3 — gate-redundancy
 #   phi coefficients, effective-sample-size weighting audit)
+#   bowker_symmetry, markov_entropy_rate, mann_kendall_trend,
+#   runs_test_updown, cramers_v_priority_status, welch_t_value,
+#   quantile_profile_sources, token_budget_pack (pipeline16.py —
+#   statistical-audit tier 3 + curation: transition-matrix symmetry /
+#   predictability, calendar-grid trend + runs tests, categorical effect
+#   size, unequal-variance t, per-source quantile drift profile, greedy
+#   token-budget packing)
+#   graph_clustering_coefficient, graph_adamic_adar_topk (graph.py —
+#   triangle-density ppm + link prediction; land MID-REGISTRY via the
+#   wholesale graph register — collect BY NAME)
 _register(pipeline15)
 _register(pipeline16)
 

@@ -447,3 +447,225 @@ def test_welch_small_group_is_null(spark, tmp_path_factory):
     (row,) = welch_t_value(spark, str(d)).collect()
     assert row.t_welch is None and row.df_welch is None
     assert row.mean_diff_cents == 0.0
+
+
+# ----------------------------------------------------- graph batch (r9 s3)
+def _write_lineitem_graph(spark, d, orders):
+    """orders: list of part-id lists; one synthetic order per list."""
+    rows = [
+        (100 + i, int(p), 1)
+        for i, parts in enumerate(orders)
+        for p in parts
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey LONG, l_partkey LONG, l_quantity LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+
+def test_clustering_triangle_plus_star(spark, tmp_path_factory):
+    """K3 on {1,2,3} plus a 3-leaf star at 10: the triangle nodes close
+    their one wedge each (local = 10⁶), the hub closes none (local = 0),
+    leaves (deg 1) are ineligible."""
+    from hadrodb_spark.operators.graph import graph_clustering_coefficient
+
+    d = tmp_path_factory.mktemp("cc3")
+    _write_lineitem_graph(
+        spark, d, [[1, 2, 3], [10, 11], [10, 12], [10, 13]]
+    )
+    (row,) = graph_clustering_coefficient(spark, str(d)).collect()
+    assert tuple(row) == (7, 6, 6, 1, 500000, 750000)
+
+
+def test_clustering_complete_graph_is_one(spark, tmp_path_factory):
+    # K4: every wedge closes ⇒ global and mean-local are exactly 10⁶
+    from hadrodb_spark.operators.graph import graph_clustering_coefficient
+
+    d = tmp_path_factory.mktemp("cc4")
+    _write_lineitem_graph(spark, d, [[1, 2, 3, 4]])
+    (row,) = graph_clustering_coefficient(spark, str(d)).collect()
+    assert tuple(row) == (4, 6, 12, 4, 1000000, 1000000)
+
+
+def test_clustering_triangle_free_is_zero(spark, tmp_path_factory):
+    from hadrodb_spark.operators.graph import graph_clustering_coefficient
+
+    d = tmp_path_factory.mktemp("ccstar")
+    _write_lineitem_graph(spark, d, [[1, 2], [2, 3], [3, 4]])
+    (row,) = graph_clustering_coefficient(spark, str(d)).collect()
+    assert row.n_triangles == 0 and row.global_c_ppm == 0
+    assert row.mean_local_c_ppm == 0
+
+
+def test_adamic_adar_path_and_clique(spark, tmp_path_factory):
+    """Path 1—2—3: the one non-edge (1,3) scores 1/ln(deg 2).  A K3 has
+    no candidate (every wedge pair is already an edge ⇒ empty)."""
+    from hadrodb_spark.operators.graph import graph_adamic_adar_topk
+
+    d = tmp_path_factory.mktemp("aa_path")
+    _write_lineitem_graph(spark, d, [[1, 2], [2, 3]])
+    (row,) = graph_adamic_adar_topk(spark, str(d)).collect()
+    assert (row.node_u, row.node_v, row.n_common) == (1, 3, 1)
+    assert row.aa_score == float(_r6(1.0 / math.log(2.0)))
+
+    d2 = tmp_path_factory.mktemp("aa_k3")
+    _write_lineitem_graph(spark, d2, [[1, 2, 3]])
+    assert graph_adamic_adar_topk(spark, str(d2)).count() == 0
+
+
+def test_adamic_adar_prefers_rare_neighbors(spark, tmp_path_factory):
+    """(1,3) share the degree-2 center 2; (4,6) share the degree-5 hub 5:
+    1/ln 2 > 1/ln 5, so the rare-neighbor pair must rank first."""
+    from hadrodb_spark.operators.graph import graph_adamic_adar_topk
+
+    d = tmp_path_factory.mktemp("aa_rare")
+    _write_lineitem_graph(
+        spark,
+        d,
+        [[1, 2], [2, 3], [4, 5], [5, 6], [5, 7], [5, 8], [5, 9]],
+    )
+    rows = graph_adamic_adar_topk(spark, str(d)).collect()
+    assert (rows[0].node_u, rows[0].node_v) == (1, 3)
+    assert rows[0].aa_score > rows[1].aa_score
+
+
+# ---------------------------------------------------------- documents batch
+def _write_documents(spark, d, rows):
+    """rows: list of (doc_id, source, text-or-None, n_chars-or-None)."""
+    spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, n_chars LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+
+
+# ------------------------------------------------------- quantile profile
+def _brute_qp(rows):
+    per = defaultdict(list)
+    for _, s, _, n in rows:
+        if n is not None:
+            per[s].append(min(n, 65536))
+    if not per:
+        return []
+    qv = {}
+    for s, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        for q in range(5, 100, 5):
+            k = (q * n + 99) // 100
+            qv[(q, s)] = xs[k - 1]
+    out = []
+    for q in range(5, 100, 5):
+        vals = [qv[(q, s)] for s in per]
+        spread = max(vals) - min(vals)
+        for s in sorted(per):
+            out.append((q, s, qv[(q, s)], spread))
+    return out
+
+
+_QP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.one_of(
+            st.none(), st.integers(min_value=0, max_value=100_000)
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_QP_ROWS)
+def test_quantile_profile_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline16 import quantile_profile_sources
+
+    d = tmp_path_factory.mktemp("qp")
+    docs = [
+        (i, f"src{s}", "x", n) for i, (s, n) in enumerate(rows)
+    ]
+    _write_documents(spark, d, docs)
+    got = [
+        tuple(r) for r in quantile_profile_sources(spark, str(d)).collect()
+    ]
+    assert got == _brute_qp(docs)
+
+
+# ------------------------------------------------------- token budget pack
+def _brute_pack(docs):
+    per = defaultdict(list)
+    for doc_id, s, text, n_chars in docs:
+        if text is None or n_chars is None:
+            continue
+        tok = len([t for t in text.lower().split() if t])
+        per[s].append((-n_chars, doc_id, tok))
+    out = []
+    for s in sorted(per):
+        items = sorted(per[s])
+        cum = 0
+        kept = tokens_kept = 0
+        for _, _, tok in items:
+            cum += tok
+            if cum <= 5000:
+                kept += 1
+                tokens_kept += tok
+        total_tok = sum(t for _, _, t in items)
+        out.append(
+            (
+                s,
+                len(items),
+                kept,
+                total_tok,
+                tokens_kept,
+                (tokens_kept * 1_000_000) // 5000,
+            )
+        )
+    return out
+
+
+_PACK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3000)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=500)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_PACK_ROWS)
+def test_token_budget_pack_matches_bruteforce(
+    spark, tmp_path_factory, rows
+):
+    from hadrodb_spark.operators.pipeline16 import token_budget_pack
+
+    d = tmp_path_factory.mktemp("pack")
+    docs = [
+        (
+            i,
+            f"src{s}",
+            None if k is None else "tok " * k,
+            n,
+        )
+        for i, (s, k, n) in enumerate(rows)
+    ]
+    _write_documents(spark, d, docs)
+    got = [tuple(r) for r in token_budget_pack(spark, str(d)).collect()]
+    assert got == _brute_pack(docs)
+
+
+def test_token_budget_pack_prefix_is_greedy(spark, tmp_path_factory):
+    # budget 5000: the 3000-token doc fits, the next (2500) would overflow
+    # the prefix, and nothing after it can re-enter (prefix, not knapsack)
+    from hadrodb_spark.operators.pipeline16 import token_budget_pack
+
+    d = tmp_path_factory.mktemp("packg")
+    docs = [
+        (0, "s", "tok " * 3000, 3000),
+        (1, "s", "tok " * 2500, 2500),
+        (2, "s", "tok " * 1000, 1000),
+    ]
+    _write_documents(spark, d, docs)
+    (row,) = token_budget_pack(spark, str(d)).collect()
+    assert (row.n_docs_kept, row.tokens_kept) == (1, 3000)
