@@ -155,6 +155,19 @@ HEADLINE = [
     "graph_kcore",
     "gate_phi_matrix",
     "mixture_ess",
+    # round-9 session-3 additions (pipeline16 statistical-audit tier 3 +
+    # graph/curation batch) — appended AFTER everything else so every
+    # existing prefix subtotal stays comparable across rounds
+    "bowker_symmetry",
+    "markov_entropy_rate",
+    "mann_kendall_trend",
+    "runs_test_updown",
+    "cramers_v_priority_status",
+    "welch_t_value",
+    "quantile_profile_sources",
+    "token_budget_pack",
+    "graph_clustering_coefficient",
+    "graph_adamic_adar_topk",
 ]
 
 

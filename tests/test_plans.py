@@ -1072,3 +1072,143 @@ def test_filtered_topk_no_shuffle_before_topk(spark, sf_dir):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert not non_broadcast_exchanges, plan
+
+
+# ------------------------------------------------- round-9 session-3 additions
+def test_p16_matrix_and_moment_queries_are_join_free(spark, sf_dir):
+    """bowker_symmetry / markov_entropy_rate fold the |types|² transition
+    matrix with aggregates only; runs_test_updown runs windows over the
+    calendar-day relation; welch_t_value is one conditional moment
+    aggregate.  Any Join in these plans means a bounded-relation design
+    regressed to a row-scale join."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline16 import (
+        bowker_symmetry,
+        markov_entropy_rate,
+        runs_test_updown,
+        welch_t_value,
+    )
+
+    try:
+        for fn in (
+            bowker_symmetry,
+            markov_entropy_rate,
+            runs_test_updown,
+            welch_t_value,
+        ):
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Join" not in plan, (fn.__name__, plan)
+    finally:
+        shared.release_shared()
+
+
+def test_mann_kendall_pairs_broadcast_the_daily_aggregate(spark, sf_dir):
+    """The MK day-pair grid must be a BROADCAST nested-loop join over the
+    persisted calendar-day aggregate — below the first join an aggregate
+    or cache must appear before any FileScan (raw orders never enter the
+    pair grid), and the non-equi join must be broadcast, not a shuffled
+    cartesian."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline16 import mann_kendall_trend
+
+    try:
+        plan = (
+            mann_kendall_trend(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        below = plan[plan.index("Join"):]
+        first_scan = (
+            below.index("FileScan") if "FileScan" in below else len(below)
+        )
+        cached_or_agg = min(
+            below.index(s)
+            for s in (
+                "HashAggregate",
+                "InMemoryTableScan",
+                "TableCacheQueryStage",
+            )
+            if s in below
+        )
+        assert cached_or_agg < first_scan, plan
+    finally:
+        shared.release_shared()
+
+
+def test_cramers_and_quantile_profile_reuse_their_count_grids(spark, sf_dir):
+    """cramers_v_priority_status derives marginals + grid from ONE
+    persisted (priority, status) count relation, and
+    quantile_profile_sources derives totals + cumulative ranks from ONE
+    persisted (source, len) count relation — the plan must show ≥2 cache
+    consumers, not a rescan per consumer."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.pipeline16 import (
+        cramers_v_priority_status,
+        quantile_profile_sources,
+    )
+
+    try:
+        for fn in (cramers_v_priority_status, quantile_profile_sources):
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            cache_hits = plan.count("InMemoryTableScan") + plan.count(
+                "TableCacheQueryStage"
+            )
+            assert cache_hits >= 2, (fn.__name__, plan)
+    finally:
+        shared.release_shared()
+
+
+def test_token_budget_pack_single_window_shuffle(spark, sf_dir):
+    """token_budget_pack is scan → per-source window sort → aggregate:
+    the groupBy must REUSE the window's hash partitioning on source (no
+    second wide shuffle), the plan is join-free, and only the final
+    20-row ORDER BY may add its range exchange."""
+    from hadrodb_spark.operators.pipeline16 import token_budget_pack
+
+    plan = (
+        token_budget_pack(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_graph_additions_no_cartesian_and_topk(spark, sf_dir):
+    """graph_clustering_coefficient's 1-row summary cross-joins must stay
+    broadcast (no CartesianProduct anywhere), and graph_adamic_adar_topk
+    must end in TakeOrdered (top-k never collects the scored relation)."""
+    from hadrodb_spark.operators.graph import (
+        graph_adamic_adar_topk,
+        graph_clustering_coefficient,
+    )
+
+    cc = (
+        graph_clustering_coefficient(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in cc, cc
+    aa = (
+        graph_adamic_adar_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in aa, aa
+    assert "TakeOrdered" in aa, aa
