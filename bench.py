@@ -168,6 +168,13 @@ HEADLINE = [
     "token_budget_pack",
     "graph_clustering_coefficient",
     "graph_adamic_adar_topk",
+    "seasonal_strength_weekly",
+    "hill_tail_alpha",
+    "hurst_rescaled_range",
+    "changepoint_binseg",
+    "cochran_armitage_trend",
+    "markov_absorbing_funnel",
+    "capture_recapture_dedup",
 ]
 
 

@@ -180,11 +180,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (majority vote over per-token md5 bits),
-    plus the duplicate groups it induces. Planted near-dups land in the same
-    or adjacent buckets; exact copies collide exactly."""
-    base = _with_exact_copies(spark, sf_dir)
+def _with_simhash(base: DataFrame) -> DataFrame:
+    """Append a 16-bit SimHash column (majority vote over per-token md5
+    bits, tokens = distinct lowercase alphanumerics); rows with no
+    tokens are dropped.  Shared by :func:`dedup_simhash`,
+    :func:`dedup_method_eval`, and :func:`capture_recapture_dedup`."""
     # per-token 16-bit value from the first 4 hex chars of md5
     nib = (
         "(locate(substr(md5(x), {p}, 1), '0123456789abcdef') - 1)"
@@ -196,13 +196,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')), "
         f"x -> {v16})"
     )
-    base = base.withColumn("v16s", vals).filter(F.size("v16s") > 0)
     bit_terms = " + ".join(
         f"CASE WHEN 2 * aggregate(v16s, 0, (acc, v) -> acc + (shiftright(v, {i}) & 1)) "
         f"> size(v16s) THEN {1 << i} ELSE 0 END"
         for i in range(16)
     )
-    sim = base.withColumn("simhash", F.expr(bit_terms).cast("bigint"))
+    return (
+        base.withColumn("v16s", vals)
+        .filter(F.size("v16s") > 0)
+        .withColumn("simhash", F.expr(bit_terms).cast("bigint"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote over per-token md5 bits),
+    plus the duplicate groups it induces. Planted near-dups land in the same
+    or adjacent buckets; exact copies collide exactly."""
+    sim = _with_simhash(_with_exact_copies(spark, sf_dir))
     return (
         sim.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
@@ -294,22 +304,8 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # SimHash over the SAME planted corpus (the production map-only path)
-    base = _with_near_dups(spark, sf_dir)
-    nib = "(locate(substr(md5(x), {p}, 1), '0123456789abcdef') - 1)"
-    v16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
-    vals = F.expr(
-        "transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')), "
-        f"x -> {v16})"
-    )
-    bit_terms = " + ".join(
-        f"CASE WHEN 2 * aggregate(v16s, 0, (acc, v) -> acc + (shiftright(v, {i}) & 1)) "
-        f"> size(v16s) THEN {1 << i} ELSE 0 END"
-        for i in range(16)
-    )
-    sim = (
-        base.withColumn("v16s", vals)
-        .filter(F.size("v16s") > 0)
-        .select("doc_id", F.expr(bit_terms).cast("bigint").alias("simhash"))
+    sim = _with_simhash(_with_near_dups(spark, sf_dir)).select(
+        "doc_id", "simhash"
     )
     sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
     sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
@@ -833,4 +829,143 @@ ORACLE["dedup_threshold_curve"] = f"""
     FROM scored
     GROUP BY bucket
     ORDER BY bucket
+"""
+
+
+# --- capture-recapture coverage estimate ---------------------------------------
+def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the TRUE
+    near-duplicate population from two independent catchers — the answer
+    to the question every dedup report dodges: "how many near-dups did
+    we MISS?"  Method 1 = the LSH band candidates, method 2 = exact
+    SimHash collision (both production paths, reused verbatim); treating
+    the planted truth pairs each method catches as two samplings of the
+    same population, N̂_chapman = (n₁+1)(n₂+1)/(m+1) − 1.  Because the
+    truth is planted, the estimate is AUDITABLE: the query also emits
+    the actual population and the signed estimation error.
+
+    Exactness: catch counts are exact semi-join counts; Chapman is exact
+    non-negative integer arithmetic; the signed error ppm routes
+    DECIMAL(38,0)/HUGEINT (both engines truncate toward zero on signed
+    integer division — the cusum-tested property).
+
+    Scale: both catchers reuse the persisted signature relation and the
+    band/simhash shuffles certified by dedup_near / dedup_simhash; the
+    capture algebra itself runs on truth-pair-sized relations.
+    """
+    sig = _shared_signatures(spark, sf_dir, keep="dtoks")
+    cand = _band_candidates(sig)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    truth = (
+        docs.filter((F.col("doc_id") % _NEAR_MOD == 0) & (F.size(toks) > 5))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + _NEAR_OFFSET).alias("id_b"),
+        )
+    )
+    sim = _with_simhash(_with_near_dups(spark, sf_dir)).select(
+        "doc_id", "simhash"
+    )
+    sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    simpairs = sa.join(
+        sb, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+
+    caught1 = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    caught2 = truth.join(simpairs, ["id_a", "id_b"], "left_semi")
+    both = caught1.join(caught2, ["id_a", "id_b"], "left_semi")
+    return (
+        caught1.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+        .crossJoin(
+            F.broadcast(
+                caught2.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_actual"))
+            )
+        )
+        .selectExpr(
+            "n_lsh",
+            "n_simhash",
+            "n_both",
+            "n_actual",
+            "CAST((CAST(n_lsh + 1 AS DECIMAL(38,0)) * (n_simhash + 1))"
+            " DIV (n_both + 1) - 1 AS BIGINT) AS chapman_estimate",
+            "CASE WHEN n_actual = 0 THEN NULL ELSE CAST("
+            " (((CAST(n_lsh + 1 AS DECIMAL(38,0)) * (n_simhash + 1))"
+            "   DIV (n_both + 1) - 1 - n_actual) * 1000000)"
+            " DIV n_actual AS BIGINT) END AS err_ppm",
+        )
+    )
+
+
+ORACLE["capture_recapture_dedup"] = f"""
+    WITH base AS ({_NEAR_BASE}),
+    truth AS (
+      SELECT doc_id AS id_a, doc_id + {_NEAR_OFFSET} AS id_b
+      FROM documents
+      WHERE doc_id % {_NEAR_MOD} = 0 AND len({_TOKS}) > 5
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"{X.sql_minhash(_SH, s)} AS mh{s}" for s in range(_MINHASH_SEEDS))}
+      FROM base
+      WHERE {X.sql_minhash(_SH, 0)} IS NOT NULL
+    ),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_id, list_transform({_DTOKS}, x -> {_V16}) AS v16s
+      FROM base
+    ),
+    s AS (
+      SELECT doc_id, CAST({_BIT_TERMS} AS BIGINT) AS simhash
+      FROM v WHERE len(v16s) > 0
+    ),
+    simpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b
+        ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ),
+    counts AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                            WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+             AS BIGINT) AS n_lsh,
+        CAST((SELECT COUNT(*) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM simpairs c
+                            WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+             AS BIGINT) AS n_simhash,
+        CAST((SELECT COUNT(*) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                            WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+                AND EXISTS (SELECT 1 FROM simpairs c2
+                            WHERE c2.id_a = t.id_a AND c2.id_b = t.id_b))
+             AS BIGINT) AS n_both,
+        CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_actual
+    )
+    SELECT n_lsh, n_simhash, n_both, n_actual,
+           CAST((CAST(n_lsh + 1 AS HUGEINT) * (n_simhash + 1))
+                // (n_both + 1) - 1 AS BIGINT) AS chapman_estimate,
+           CASE WHEN n_actual = 0 THEN NULL ELSE CAST(
+             (((CAST(n_lsh + 1 AS HUGEINT) * (n_simhash + 1))
+               // (n_both + 1) - 1 - n_actual) * 1000000)
+             // n_actual AS BIGINT) END AS err_ppm
+    FROM counts
 """

@@ -1074,3 +1074,896 @@ def _pack_oracle() -> str:
 
 
 ORACLE["token_budget_pack"] = _pack_oracle()
+
+
+# --- seasonal_strength_weekly --------------------------------------------------
+# STL-style strength of seasonality/trend: F_s = max(0, 1 − Var(R)/Var(S+R)),
+# F_t = max(0, 1 − Var(R)/Var(T+R)).  Variances share n, so the ratio uses
+# the exact scaled sums of squares ssq(x) = n·Σx² − (Σx)² directly.
+_STRENGTH = (
+    "CASE WHEN ssq_{d} = 0 THEN NULL"
+    " ELSE GREATEST(0.0, ROUND(1.0 - CAST(ssq_r AS DOUBLE)"
+    " / CAST(ssq_{d} AS DOUBLE), 6)) END"
+)
+
+
+def seasonal_strength_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-of-seasonality / strength-of-trend summary (the STL
+    F-statistics, Hyndman & Athanasopoulos FPP3 §4.3 form) over the
+    certified ``seasonal_decompose_daily`` components — the ONE-ROW
+    answer to "is the weekly cycle real or is the decomposition fitting
+    noise?" that decides whether ``seasonal_dow_index`` corrections are
+    worth applying.
+
+    Exactness: the components are the decompose query's exact integer
+    cents (this query CALLS it, and the oracle WRAPS its certified
+    oracle text as a CTE — the hybrid_rrf_fusion pattern, so the
+    strength can't drift from the certified decomposition); each scaled
+    sum-of-squares n·Σx² − (Σx)² is exact DECIMAL/HUGEINT; each F is one
+    shared float text clamped at 0.
+
+    Scale: inherits the decompose's bounded shape (one map-side daily
+    aggregate, calendar-bounded windows), then ONE 1-row moment
+    aggregate over the |days| relation.
+    """
+    from hadrodb_spark.operators.pipeline10 import seasonal_decompose_daily
+
+    comp = seasonal_decompose_daily(spark, sf_dir).select(
+        F.col("residual_cents").alias("r"),
+        (F.col("rev_cents") - F.col("trend_cents")).alias("sr"),
+        (F.col("rev_cents") - F.col("seasonal_cents")).alias("tr"),
+    )
+    m = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        *[
+            x
+            for c in ("r", "sr", "tr")
+            for x in (
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"),
+                F.sum(
+                    F.col(c).cast("decimal(38,0)") * F.col(c)
+                ).alias(f"ss_{c}"),
+            )
+        ],
+    )
+    ssq = m.selectExpr(
+        "n_days",
+        "CAST(n_days AS DECIMAL(38,0)) * ss_r - s_r * s_r AS ssq_r",
+        "CAST(n_days AS DECIMAL(38,0)) * ss_sr - s_sr * s_sr AS ssq_sr",
+        "CAST(n_days AS DECIMAL(38,0)) * ss_tr - s_tr * s_tr AS ssq_tr",
+    )
+    return ssq.selectExpr(
+        "n_days",
+        f"{_STRENGTH.format(d='sr')} AS f_seasonal",
+        f"{_STRENGTH.format(d='tr')} AS f_trend",
+    )
+
+
+def _strength_oracle() -> str:
+    from hadrodb_spark.operators.pipeline10 import ORACLE as P10_ORACLE
+
+    return f"""
+    WITH decomp AS ({P10_ORACLE["seasonal_decompose_daily"]}),
+    comp AS (
+      SELECT residual_cents AS r,
+             rev_cents - trend_cents AS sr,
+             rev_cents - seasonal_cents AS tr
+      FROM decomp
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(CAST(r AS HUGEINT)) AS s_r,
+             SUM(CAST(r AS HUGEINT) * r) AS ss_r,
+             SUM(CAST(sr AS HUGEINT)) AS s_sr,
+             SUM(CAST(sr AS HUGEINT) * sr) AS ss_sr,
+             SUM(CAST(tr AS HUGEINT)) AS s_tr,
+             SUM(CAST(tr AS HUGEINT) * tr) AS ss_tr
+      FROM comp
+    ),
+    ssq AS (
+      SELECT n_days,
+             CAST(n_days AS HUGEINT) * ss_r - s_r * s_r AS ssq_r,
+             CAST(n_days AS HUGEINT) * ss_sr - s_sr * s_sr AS ssq_sr,
+             CAST(n_days AS HUGEINT) * ss_tr - s_tr * s_tr AS ssq_tr
+      FROM m
+    )
+    SELECT n_days,
+           {_STRENGTH.format(d='sr')} AS f_seasonal,
+           {_STRENGTH.format(d='tr')} AS f_trend
+    FROM ssq
+"""
+
+
+ORACLE["seasonal_strength_weekly"] = _strength_oracle()
+
+
+# --- hill_tail_alpha -----------------------------------------------------------
+# Hill estimator over the k largest order values with the (k+1)-th as the
+# threshold: α̂ = k / Σᵢ ln(xᵢ/x_ref).  Selection is a TOTAL order
+# (cents DESC, o_orderkey), so the top-(k+1) set is deterministic.
+_HILL_K = 100
+_HILL_TERM = "ROUND(LN(CAST(cents AS DOUBLE) / x_ref), 6)"
+_HILL_ALPHA = (
+    "CASE WHEN ln_sum <= 0 THEN NULL"
+    " ELSE ROUND(CAST(n_top AS DOUBLE) / CAST(ln_sum AS DOUBLE), 6) END"
+)
+
+
+def hill_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate for order values — "how heavy is the
+    revenue tail?": α ≈ 1 means an 80/20-style Pareto concentration
+    (``revenue_pareto_curve`` shows the curve; Hill gives the exponent),
+    α large means thin tails where mean-based planning is safe.  The
+    textbook k-largest-order-statistics estimator with the (k+1)-th
+    value as threshold.
+
+    Exactness: the top-(k+1) selection ranks on exact (cents DESC,
+    o_orderkey) — a total order, so the set is deterministic; each
+    ln(xᵢ/x_ref) is ONE shared float text rounded at 6 and DECIMAL-
+    summed; α is one shared division with the all-tied (ln_sum ≤ 0)
+    guard.  Zero/negative/NULL totals are excluded before ranking.
+
+    Scale: TakeOrdered(k+1) on the scan — no shuffle, no window over raw
+    rows; everything after is a (k)-row relation.
+    """
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            .alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull() & (F.col("cents") > 0))
+    )
+    top = orders.orderBy(F.desc("cents"), "o_orderkey").limit(_HILL_K + 1)
+    wall = Window.partitionBy()
+    ranked = top.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "o_orderkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+        F.min("cents").over(wall).alias("x_ref"),
+    ).filter((F.col("rk") < F.col("m")) & (F.col("m") >= 2))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        F.min("x_ref").cast("bigint").alias("x_ref_cents"),
+        F.sum(F.expr(_HILL_TERM).cast("decimal(18,6)")).alias("lnsum"),
+    )
+    return agg.selectExpr(
+        "n_top",
+        "x_ref_cents",
+        "CAST(lnsum AS DOUBLE) AS ln_sum",
+        f"CASE WHEN lnsum IS NULL THEN NULL ELSE {_HILL_ALPHA.replace('ln_sum', 'CAST(lnsum AS DOUBLE)')} END AS alpha",
+    )
+
+
+ORACLE["hill_tail_alpha"] = f"""
+    WITH orders_pos AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    top AS (
+      SELECT o_orderkey, cents FROM orders_pos
+      ORDER BY cents DESC, o_orderkey LIMIT {_HILL_K + 1}
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rk,
+             COUNT(*) OVER () AS m,
+             MIN(cents) OVER () AS x_ref
+      FROM top
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+             CAST(MIN(x_ref) AS BIGINT) AS x_ref_cents,
+             SUM(CAST({_HILL_TERM} AS DECIMAL(18,6))) AS lnsum
+      FROM ranked
+      WHERE rk < m AND m >= 2
+    )
+    SELECT n_top, x_ref_cents,
+           CAST(lnsum AS DOUBLE) AS ln_sum,
+           CASE WHEN lnsum IS NULL THEN NULL
+                ELSE {_HILL_ALPHA.replace('ln_sum', 'CAST(lnsum AS DOUBLE)')}
+           END AS alpha
+    FROM agg
+"""
+
+
+# --- hurst_rescaled_range --------------------------------------------------------
+# Classic R/S analysis on the observed daily-revenue sequence: for block
+# size k, split the index-ordered series into complete k-blocks; within a
+# block, R·k = max−min of the k-scaled demeaned prefix (k·prefix_j −
+# j·sum), S·k = sqrt(k·Σx² − (Σx)²), so R/S = rk/sqrt(den) with EXACT
+# integer numerators.  H is the log-log slope of mean ln(R/S) vs ln(k).
+_HURST_KS = (16, 32, 64, 128)
+_RS_TEXT = "ROUND(CAST(rk AS DOUBLE) / SQRT(CAST(den AS DOUBLE)), 6)"
+_LNRS_TEXT = f"ROUND(LN({_RS_TEXT}), 6)"
+_MEAN_LNRS = "ROUND(CAST(ln_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE), 6)"
+_HURST_SLOPE = (
+    "CASE WHEN den_x = 0 THEN NULL"
+    " ELSE ROUND(CAST(num_xy AS DOUBLE) / CAST(den_x AS DOUBLE), 6) END"
+)
+
+
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily order revenue via rescaled-range (R/S)
+    analysis — the long-memory audit that separates trending (H > 0.5),
+    mean-reverting (H < 0.5), and random-walk (H ≈ 0.5) revenue, i.e.
+    whether ``autocorr_lag_grid``'s short-lag picture persists across
+    scales.  Blocks are index-based on the observed sequence (standard
+    R/S; calendar gaps don't stretch blocks).
+
+    Exactness: per block, both R/S ingredients are exact DECIMAL
+    integers (k-scaled demeaned prefix range; k·Σx² − (Σx)², the r8/r9
+    overflow routing — cents² sums pass 1e18 well before 100 TB); R/S,
+    ln(R/S), the per-k mean, and the log-log slope are each ONE shared
+    float text; degenerate blocks (constant series ⇒ den = 0 or rk = 0)
+    are excluded with the exclusion visible in n_blocks.
+
+    Scale: the corpus reduces to one row per day; the ×|ks| explode,
+    block windows, and the 4-point regression all run on the
+    calendar-bounded relation (the mann_kendall argument).
+    """
+    daily = _daily_rev(spark, sf_dir)
+    wi = Window.orderBy("d")
+    idx = daily.select(
+        "total", F.row_number().over(wi).alias("i")
+    )
+    ks = spark.range(0, len(_HURST_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _HURST_KS]), F.col("id").cast("int") + 1
+        )
+        .cast("bigint")
+        .alias("k")
+    )
+    rows = idx.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "total",
+        "i",
+        ((F.col("i") - 1) / F.col("k")).cast("bigint").alias("blk"),
+    )
+    wb = Window.partitionBy("k", "blk").orderBy("i")
+    wtot = Window.partitionBy("k", "blk")
+    staged = rows.select(
+        "k",
+        "blk",
+        "total",
+        F.sum("total").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.row_number().over(wb).alias("j"),
+        F.sum("total").over(wtot).alias("blk_sum"),
+        F.count(F.lit(1)).over(wtot).alias("blk_n"),
+    ).filter(F.col("blk_n") == F.col("k"))
+    kd = staged.select(
+        "k",
+        "blk",
+        "total",
+        (
+            F.col("k").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("j").cast("decimal(38,0)") * F.col("blk_sum")
+        ).alias("kd"),
+    )
+    blocks = kd.groupBy("k", "blk").agg(
+        (F.max("kd") - F.min("kd")).alias("rk"),
+        (
+            F.first(F.col("k")).cast("decimal(38,0)")
+            * F.sum(F.col("total").cast("decimal(38,0)") * F.col("total"))
+            - F.sum(F.col("total").cast("decimal(38,0)"))
+            * F.sum(F.col("total").cast("decimal(38,0)"))
+        ).alias("den"),
+    ).filter((F.col("den") > 0) & (F.col("rk") > 0))
+    per_k = blocks.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.expr(_LNRS_TEXT).cast("decimal(18,6)")).alias("ln_sum"),
+    )
+    pts = per_k.select(
+        "k",
+        "n_blocks",
+        F.expr(_MEAN_LNRS).cast("decimal(18,6)").alias("y"),
+        F.expr("CAST(ROUND(LN(CAST(k AS DOUBLE)), 6) AS DECIMAL(18,6))")
+        .alias("x"),
+    )
+    wall = Window.partitionBy()
+    reg = pts.select(
+        "k",
+        "n_blocks",
+        F.col("y").cast("double").alias("ln_rs_mean"),
+        F.count(F.lit(1)).over(wall).cast("decimal(19,0)").alias("m"),
+        F.sum("x").over(wall).alias("sx"),
+        F.sum("y").over(wall).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wall).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wall).alias("sxx"),
+    )
+    return (
+        reg.selectExpr(
+            "k",
+            "n_blocks",
+            "ln_rs_mean",
+            "m * sxy - sx * sy AS num_xy",
+            "m * sxx - sx * sx AS den_x",
+        )
+        .selectExpr(
+            "k",
+            "n_blocks",
+            "ln_rs_mean",
+            f"{_HURST_SLOPE} AS hurst_h",
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE["hurst_rescaled_range"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT total, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ),
+    ks AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM (SELECT UNNEST([{", ".join(str(k) for k in _HURST_KS)}]) AS k)
+    ),
+    rows_ AS (
+      SELECT k, total, i, (i - 1) // k AS blk FROM idx CROSS JOIN ks
+    ),
+    staged AS (
+      SELECT k, blk, total,
+             SUM(total) OVER (PARTITION BY k, blk ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS prefix,
+             ROW_NUMBER() OVER (PARTITION BY k, blk ORDER BY i) AS j,
+             SUM(total) OVER (PARTITION BY k, blk) AS blk_sum,
+             COUNT(*) OVER (PARTITION BY k, blk) AS blk_n
+      FROM rows_
+    ),
+    kd AS (
+      SELECT k, blk, total,
+             CAST(k AS HUGEINT) * prefix
+               - CAST(j AS HUGEINT) * blk_sum AS kd
+      FROM staged WHERE blk_n = k
+    ),
+    blocks AS (
+      SELECT k, blk,
+             MAX(kd) - MIN(kd) AS rk,
+             CAST(MIN(k) AS HUGEINT)
+               * SUM(CAST(total AS HUGEINT) * total)
+               - SUM(CAST(total AS HUGEINT)) * SUM(CAST(total AS HUGEINT))
+               AS den
+      FROM kd GROUP BY k, blk
+    ),
+    per_k AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             SUM(CAST({_LNRS_TEXT} AS DECIMAL(18,6))) AS ln_sum
+      FROM blocks WHERE den > 0 AND rk > 0
+      GROUP BY k
+    ),
+    pts AS (
+      SELECT k, n_blocks,
+             CAST({_MEAN_LNRS} AS DECIMAL(18,6)) AS y,
+             CAST(ROUND(LN(CAST(k AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x
+      FROM per_k
+    ),
+    reg AS (
+      SELECT k, n_blocks,
+             CAST(y AS DOUBLE) AS ln_rs_mean,
+             CAST(COUNT(*) OVER () AS DECIMAL(19,0)) AS m,
+             SUM(x) OVER () AS sx,
+             SUM(y) OVER () AS sy,
+             SUM(x * y) OVER () AS sxy,
+             SUM(x * x) OVER () AS sxx
+      FROM pts
+    ),
+    fin AS (
+      SELECT k, n_blocks, ln_rs_mean,
+             m * sxy - sx * sy AS num_xy,
+             m * sxx - sx * sx AS den_x
+      FROM reg
+    )
+    SELECT k, n_blocks, ln_rs_mean,
+           {_HURST_SLOPE} AS hurst_h
+    FROM fin
+    ORDER BY k
+"""
+
+
+# --- changepoint_binseg ----------------------------------------------------------
+# Two-level binary segmentation with the cusum_changepoint statistic:
+# within a segment of m index-ordered days, S'(i) = m·prefix_i − i·total
+# (exact DECIMAL); the split maximizes |S'| with the earliest-day
+# tiebreak; the two children are then split once more by the same rule.
+# Unrolled one level (the bpe_train_merges / graph_kcore pattern) —
+# deeper trees repeat the same child step.
+_BS_SEG_CENTS = "CAST(abs_s DIV m AS BIGINT)"
+
+
+def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical changepoint detection on daily order revenue — binary
+    segmentation, the standard multi-changepoint extension of
+    ``cusum_changepoint``: CUSUM finds ONE break; binseg recursively
+    splits each side, localizing up to three breaks here (root + one per
+    child), which is what a release-impact dashboard actually wants
+    ("did the metric move, and did it move again after the fix?").
+
+    Exactness: daily totals are exact cents; every split statistic
+    m·prefix − i·total is an exact DECIMAL(38,0)/HUGEINT product
+    (the cusum overflow routing); split selection is ORDER BY
+    (|S'| DESC, day) LIMIT 1 — a total order; the emitted magnitude is
+    the sign-safe trunc(|S'|max/m), bounded by segment total cents.
+    Segments too short to split (m < 2) emit NULL split columns; an
+    unsplittable root emits just the root row.
+
+    Scale: the corpus reduces to one row per day (shared with
+    mann_kendall/runs via shared_persist); both levels run windows over
+    that calendar-bounded relation with the 1-row split broadcast —
+    the recursion depth is the only repeated cost, exactly the
+    localCheckpoint-per-round shape components.py documents for deeper
+    trees.
+    """
+    daily = _daily_rev(spark, sf_dir)
+    wi = Window.orderBy("d")
+    wall = Window.partitionBy()
+    base = daily.select(
+        "d",
+        "total",
+        F.row_number().over(wi).alias("i"),
+        F.sum("total")
+        .over(wi.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("total").over(wall).alias("tot"),
+    )
+    stats = base.filter(F.col("i") < F.col("n")).select(
+        "d",
+        "i",
+        "n",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("i").cast("decimal(38,0)") * F.col("tot")
+        ).alias("abs_s"),
+    )
+    root_split = stats.orderBy(F.desc("abs_s"), "d").limit(1).select(
+        F.col("i").alias("si"),
+        F.col("d").alias("root_split_d"),
+        F.col("abs_s").alias("root_abs"),
+    )
+    # left join: an unsplittable root (n < 2 ⇒ empty root_split) still
+    # emits the root row, with NULL split columns.
+    root_row = (
+        base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.min("d").cast("bigint").alias("start_day"),
+            F.max("d").cast("bigint").alias("end_day"),
+        )
+        .join(F.broadcast(root_split), F.lit(True), "left")
+        .selectExpr(
+            "'root' AS segment",
+            "m AS n_days",
+            "start_day",
+            "end_day",
+            "CAST(root_split_d AS BIGINT) AS split_day",
+            "CAST(root_abs DIV m AS BIGINT) AS s_abs_cents",
+        )
+    )
+    seg = base.crossJoin(F.broadcast(root_split.select("si"))).select(
+        F.when(F.col("i") <= F.col("si"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("segment"),
+        "d",
+        "total",
+    )
+    ws = Window.partitionBy("segment").orderBy("d")
+    wst = Window.partitionBy("segment")
+    base2 = seg.select(
+        "segment",
+        "d",
+        F.row_number().over(ws).alias("i2"),
+        F.sum("total")
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix2"),
+        F.count(F.lit(1)).over(wst).alias("m"),
+        F.sum("total").over(wst).alias("tot2"),
+        F.min("d").over(wst).alias("start_day"),
+        F.max("d").over(wst).alias("end_day"),
+    )
+    stats2 = base2.filter(F.col("i2") < F.col("m")).select(
+        "segment",
+        "d",
+        "m",
+        "start_day",
+        "end_day",
+        F.abs(
+            F.col("m").cast("decimal(38,0)") * F.col("prefix2")
+            - F.col("i2").cast("decimal(38,0)") * F.col("tot2")
+        ).alias("abs_s"),
+        F.row_number()
+        .over(
+            Window.partitionBy("segment").orderBy(
+                F.desc(
+                    F.abs(
+                        F.col("m").cast("decimal(38,0)") * F.col("prefix2")
+                        - F.col("i2").cast("decimal(38,0)") * F.col("tot2")
+                    )
+                ),
+                "d",
+            )
+        )
+        .alias("pick"),
+    )
+    child_splits = stats2.filter(F.col("pick") == 1).select(
+        "segment",
+        F.col("d").alias("split_day"),
+        F.col("abs_s"),
+        F.col("m").alias("m_split"),
+    )
+    child_rows = (
+        base2.groupBy("segment")
+        .agg(
+            F.max("m").cast("bigint").alias("n_days"),
+            F.min("start_day").cast("bigint").alias("start_day"),
+            F.max("end_day").cast("bigint").alias("end_day"),
+        )
+        .join(F.broadcast(child_splits), "segment", "left")
+        .selectExpr(
+            "segment",
+            "n_days",
+            "start_day",
+            "end_day",
+            "CAST(split_day AS BIGINT) AS split_day",
+            "CAST(abs_s DIV m_split AS BIGINT) AS s_abs_cents",
+        )
+    )
+    return root_row.unionByName(child_rows).orderBy("segment")
+
+
+ORACLE["changepoint_binseg"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    base AS (
+      SELECT d, total,
+             ROW_NUMBER() OVER (ORDER BY d) AS i,
+             SUM(total) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS prefix,
+             COUNT(*) OVER () AS n,
+             SUM(total) OVER () AS tot
+      FROM daily
+    ),
+    stats AS (
+      SELECT d, i, n,
+             ABS(CAST(n AS HUGEINT) * prefix
+                 - CAST(i AS HUGEINT) * tot) AS abs_s
+      FROM base WHERE i < n
+    ),
+    root_split AS (
+      SELECT i AS si, d AS root_split_d, abs_s AS root_abs
+      FROM stats ORDER BY abs_s DESC, d LIMIT 1
+    ),
+    root_row AS (
+      SELECT 'root' AS segment,
+             CAST(a.m AS BIGINT) AS n_days,
+             CAST(a.start_day AS BIGINT) AS start_day,
+             CAST(a.end_day AS BIGINT) AS end_day,
+             CAST(r.root_split_d AS BIGINT) AS split_day,
+             CAST(r.root_abs // a.m AS BIGINT) AS s_abs_cents
+      FROM (SELECT COUNT(*) AS m, MIN(d) AS start_day, MAX(d) AS end_day
+            FROM base) a
+      LEFT JOIN root_split r ON TRUE
+    ),
+    seg AS (
+      SELECT CASE WHEN b.i <= r.si THEN 'left' ELSE 'right' END AS segment,
+             b.d, b.total
+      FROM base b CROSS JOIN root_split r
+    ),
+    base2 AS (
+      SELECT segment, d,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY d) AS i2,
+             SUM(total) OVER (PARTITION BY segment ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS prefix2,
+             COUNT(*) OVER (PARTITION BY segment) AS m,
+             SUM(total) OVER (PARTITION BY segment) AS tot2,
+             MIN(d) OVER (PARTITION BY segment) AS start_day,
+             MAX(d) OVER (PARTITION BY segment) AS end_day
+      FROM seg
+    ),
+    stats2 AS (
+      SELECT segment, d, m, start_day, end_day,
+             ABS(CAST(m AS HUGEINT) * prefix2
+                 - CAST(i2 AS HUGEINT) * tot2) AS abs_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY segment
+               ORDER BY ABS(CAST(m AS HUGEINT) * prefix2
+                            - CAST(i2 AS HUGEINT) * tot2) DESC, d
+             ) AS pick
+      FROM base2 WHERE i2 < m
+    ),
+    child_splits AS (
+      SELECT segment, d AS split_day, abs_s, m AS m_split
+      FROM stats2 WHERE pick = 1
+    ),
+    child_rows AS (
+      SELECT g.segment,
+             CAST(g.n_days AS BIGINT) AS n_days,
+             CAST(g.start_day AS BIGINT) AS start_day,
+             CAST(g.end_day AS BIGINT) AS end_day,
+             CAST(c.split_day AS BIGINT) AS split_day,
+             CAST(c.abs_s // c.m_split AS BIGINT) AS s_abs_cents
+      FROM (
+        SELECT segment, MAX(m) AS n_days, MIN(start_day) AS start_day,
+               MAX(end_day) AS end_day
+        FROM base2 GROUP BY segment
+      ) g
+      LEFT JOIN child_splits c ON g.segment = c.segment
+    )
+    SELECT * FROM root_row
+    UNION ALL BY NAME
+    SELECT * FROM child_rows
+    ORDER BY segment
+"""
+
+
+# --- cochran_armitage_trend ------------------------------------------------------
+# CA trend on proportions across ordered buckets with integer scores
+# w = 0..3:  Z = T·√N / (√(R(N−R)) · √(N·Σw²n − (Σwn)²)) where
+# T = N·Σwr − R·Σwn.  Both radicands are exact (DECIMAL/HUGEINT) and kept
+# as SEPARATE SQRT factors so neither product can pass the 38-digit cap.
+_CA_Z = (
+    "CASE WHEN rr <= 0 OR sw <= 0 THEN NULL"
+    " ELSE ROUND(CAST(t_num AS DOUBLE) * SQRT(CAST(n_tot AS DOUBLE))"
+    " / (SQRT(CAST(rr AS DOUBLE)) * SQRT(CAST(sw AS DOUBLE))), 6) END"
+)
+_CA_TOKMIN = 40
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the token-count gate's pass rate
+    rise MONOTONICALLY with document length bucket?  chisq answers "are
+    gate and bucket associated at all"; CA spends its single degree of
+    freedom on the ordered alternative — the right test when the buckets
+    have a natural order (length quartiles here), and the standard audit
+    for "is this gate just a length proxy?".
+
+    Exactness: buckets are integer scores w = LEAST(n_chars DIV 1024, 3);
+    per-bucket trial/success counts are exact; T = N·Σwr − R·Σwn and both
+    variance radicands are exact DECIMAL(38,0)/HUGEINT products; Z is ONE
+    shared float text with the two SQRT factors split so no exact product
+    needs more than 38 digits (R(N−R) alone reaches 10²⁴ at 100 TB).
+    NULL text/length rows are excluded up front.
+
+    Scale: ONE map-side-combined 4-row bucket aggregate is the only
+    full-data shuffle; per-bucket rates and the trend arithmetic run on
+    that 4-row relation (the z column repeats per row, the entropy-rate
+    output convention).
+    """
+    from hadrodb_spark.functions import text as X
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.expr("LEAST(n_chars DIV 1024, 3)").cast("bigint").alias("w"),
+            F.when(X.token_count(F.col("text")) >= _CA_TOKMIN, 1)
+            .otherwise(0)
+            .alias("passed"),
+        )
+    )
+    buckets = docs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("passed").cast("bigint").alias("r"),
+    )
+    wall = Window.partitionBy()
+    staged = buckets.select(
+        "w",
+        "n",
+        "r",
+        F.sum("n").over(wall).cast("bigint").alias("n_tot"),
+        F.sum("r").over(wall).cast("bigint").alias("r_tot"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("n"))
+        .over(wall)
+        .alias("swn"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("r"))
+        .over(wall)
+        .alias("swr"),
+        F.sum(
+            (F.col("w") * F.col("w")).cast("decimal(38,0)") * F.col("n")
+        )
+        .over(wall)
+        .alias("swwn"),
+    )
+    return (
+        staged.selectExpr(
+            "w AS bucket",
+            "n AS n_docs",
+            "r AS n_passed",
+            "CAST((r * 1000000) DIV n AS BIGINT) AS pass_ppm",
+            "n_tot",
+            "CAST(n_tot AS DECIMAL(38,0)) * swr"
+            " - CAST(r_tot AS DECIMAL(38,0)) * swn AS t_num",
+            "CAST(r_tot AS DECIMAL(38,0)) * (n_tot - r_tot) AS rr",
+            "CAST(n_tot AS DECIMAL(38,0)) * swwn - swn * swn AS sw",
+        )
+        .selectExpr(
+            "bucket",
+            "n_docs",
+            "n_passed",
+            "pass_ppm",
+            f"{_CA_Z} AS trend_z",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _ca_oracle() -> str:
+    from hadrodb_spark.functions import text as X
+
+    toks = X.sql_tokens("text")
+    return f"""
+    WITH docs AS (
+      SELECT CAST(LEAST(n_chars // 1024, 3) AS BIGINT) AS w,
+             CASE WHEN len({toks}) >= {_CA_TOKMIN} THEN 1 ELSE 0 END
+               AS passed
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    buckets AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(passed) AS BIGINT) AS r
+      FROM docs GROUP BY w
+    ),
+    staged AS (
+      SELECT w, n, r,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(r) OVER () AS BIGINT) AS r_tot,
+             SUM(CAST(w AS HUGEINT) * n) OVER () AS swn,
+             SUM(CAST(w AS HUGEINT) * r) OVER () AS swr,
+             SUM(CAST(w * w AS HUGEINT) * n) OVER () AS swwn
+      FROM buckets
+    ),
+    fin AS (
+      SELECT w AS bucket, n AS n_docs, r AS n_passed,
+             CAST((r * 1000000) // n AS BIGINT) AS pass_ppm,
+             n_tot,
+             CAST(n_tot AS HUGEINT) * swr
+               - CAST(r_tot AS HUGEINT) * swn AS t_num,
+             CAST(r_tot AS HUGEINT) * (n_tot - r_tot) AS rr,
+             CAST(n_tot AS HUGEINT) * swwn - swn * swn AS sw
+      FROM staged
+    )
+    SELECT bucket, n_docs, n_passed, pass_ppm,
+           {_CA_Z} AS trend_z
+    FROM fin
+    ORDER BY bucket
+"""
+
+
+ORACLE["cochran_armitage_trend"] = _ca_oracle()
+
+
+# --- markov_absorbing_funnel -------------------------------------------------------
+# Fixed-point ppm iteration of h_{t+1}(s) = 1e6 if s = target else
+# Σ_s' P(s,s')·h_t(s') DIV 1e6 — integer arithmetic is exact under any
+# partitioning, which is what makes an iterative algorithm
+# oracle-matchable (the graph_pagerank argument).  3 unrolled steps.
+_FUNNEL_TARGET = "purchase"
+_FUNNEL_STEPS = 3
+
+
+def markov_absorbing_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of reaching the purchase state within 1, 2, and 3
+    transitions from each event type, under the empirical first-order
+    Markov model — ``funnel_conversion`` counts observed journeys; this
+    answers the counterfactual "from a SIGNUP, how likely is a purchase
+    within k clicks if behavior stays as measured?", the standard
+    absorbing-chain read of ``event_transition_matrix``.
+
+    Exactness: transition probabilities are the certified integer-ppm
+    matrix (shared via shared_persist with bowker/entropy); each step is
+    exact integer Σ p_ppm·h_ppm DIV 10⁶ with non-negative operands; the
+    target row pins to exactly 10⁶ every step; types with no observed
+    outflow absorb at 0 (documented: no outflow ⇒ no modeled path).
+
+    Scale: all three unrolled steps join |types|-row vectors against the
+    ≤|types|² matrix — catalog-bounded; deeper horizons are the same
+    loop with localCheckpoint per step (components.py pattern).
+    """
+    trans = _trans_counts(spark, sf_dir)
+    wrow = Window.partitionBy("from_type")
+    pm = trans.select(
+        "from_type",
+        "to_type",
+        F.expr(
+            "CAST((1000000 * n) DIV (SUM(n) OVER (PARTITION BY from_type))"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    types = (
+        trans.select(F.col("from_type").alias("t"))
+        .unionByName(trans.select(F.col("to_type").alias("t")))
+        .distinct()
+    )
+    h = types.select(
+        "t",
+        F.when(F.col("t") == _FUNNEL_TARGET, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("h"),
+    )
+    steps = []
+    for _ in range(_FUNNEL_STEPS):
+        flow = (
+            pm.join(
+                h.select(F.col("t").alias("to_type"), F.col("h").alias("hp")),
+                "to_type",
+            )
+            .groupBy("from_type")
+            .agg(F.sum(F.expr("p_ppm * hp")).alias("flow"))
+        )
+        h = types.join(
+            flow.select(F.col("from_type").alias("t"), "flow"), "t", "left"
+        ).select(
+            "t",
+            F.when(F.col("t") == _FUNNEL_TARGET, F.lit(1000000))
+            .otherwise(F.expr("COALESCE(flow, 0) DIV 1000000"))
+            .cast("bigint")
+            .alias("h"),
+        )
+        steps.append(h)
+    out = steps[0].select(F.col("t").alias("event_type"), F.col("h").alias("p_hit1_ppm"))
+    for i, hs in enumerate(steps[1:], start=2):
+        out = out.join(
+            hs.select(
+                F.col("t").alias("event_type"),
+                F.col("h").alias(f"p_hit{i}_ppm"),
+            ),
+            "event_type",
+        )
+    return out.orderBy("event_type")
+
+
+def _funnel_oracle() -> str:
+    target = _FUNNEL_TARGET
+    ctes = [
+        f"""trans AS ({_TRANS_SQL})""",
+        """pm AS (
+          SELECT from_type, to_type,
+                 CAST((1000000 * n)
+                      // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+                   AS p_ppm
+          FROM trans
+        )""",
+        """types AS (
+          SELECT from_type AS t FROM trans
+          UNION SELECT to_type FROM trans
+        )""",
+        f"""h0 AS (
+          SELECT t, CAST(CASE WHEN t = '{target}' THEN 1000000 ELSE 0 END
+                         AS BIGINT) AS h
+          FROM types
+        )""",
+    ]
+    for i in range(1, _FUNNEL_STEPS + 1):
+        ctes.append(
+            f"""h{i} AS (
+          SELECT types.t,
+                 CAST(CASE WHEN types.t = '{target}' THEN 1000000
+                      ELSE COALESCE(f.flow, 0) // 1000000 END AS BIGINT) AS h
+          FROM types LEFT JOIN (
+            SELECT pm.from_type AS t, SUM(pm.p_ppm * h{i - 1}.h) AS flow
+            FROM pm JOIN h{i - 1} ON h{i - 1}.t = pm.to_type
+            GROUP BY pm.from_type
+          ) f ON f.t = types.t
+        )"""
+        )
+    cols = ", ".join(
+        f"h{i}.h AS p_hit{i}_ppm" for i in range(1, _FUNNEL_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN h{i} ON h{i}.t = h1.t" for i in range(2, _FUNNEL_STEPS + 1)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT h1.t AS event_type, {cols}
+    FROM h1 {joins}
+    ORDER BY h1.t
+"""
+
+
+ORACLE["markov_absorbing_funnel"] = _funnel_oracle()

@@ -210,6 +210,14 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   graph_clustering_coefficient, graph_adamic_adar_topk (graph.py —
 #   triangle-density ppm + link prediction; land MID-REGISTRY via the
 #   wholesale graph register — collect BY NAME)
+#   seasonal_strength_weekly, hill_tail_alpha, hurst_rescaled_range,
+#   changepoint_binseg, cochran_armitage_trend, markov_absorbing_funnel
+#   (pipeline16.py batches 3-4 — STL strength over the certified
+#   decompose, Hill tail index, R/S long-memory, 2-level binary
+#   segmentation, ordered-proportion trend, absorbing-chain funnel)
+#   capture_recapture_dedup (dedup.py — Chapman coverage estimate from
+#   the LSH + SimHash catchers; lands MID-REGISTRY via the wholesale
+#   dedup register — collect BY NAME)
 _register(pipeline15)
 _register(pipeline16)
 

@@ -669,3 +669,402 @@ def test_token_budget_pack_prefix_is_greedy(spark, tmp_path_factory):
     _write_documents(spark, d, docs)
     (row,) = token_budget_pack(spark, str(d)).collect()
     assert (row.n_docs_kept, row.tokens_kept) == (1, 3000)
+
+
+# ----------------------------------------------------------------- binseg
+def _brute_binseg(day_cents):
+    tot = Counter()
+    for day, c in day_cents:
+        tot[19723 + day] += c  # fixture base 2024-01-01 = epoch day 19723
+    days = sorted(tot)
+    xs = [tot[d] for d in days]
+    n = len(xs)
+
+    def split(seq_days, seq_xs):
+        m = len(seq_xs)
+        if m < 2:
+            return None
+        total = sum(seq_xs)
+        best = None
+        prefix = 0
+        for i in range(1, m):  # split AFTER index i (1-based)
+            prefix += seq_xs[i - 1]
+            abs_s = abs(m * prefix - i * total)
+            key = (-abs_s, seq_days[i - 1])
+            if best is None or key < best[0]:
+                best = (key, i, seq_days[i - 1], abs_s)
+        _, i, d, abs_s = best
+        return i, d, abs_s // m
+
+    rows = []
+    root = split(days, xs)
+    if root is None:
+        rows.append(("root", n, days[0], days[-1], None, None))
+        return rows
+    si, sd, sc = root
+    rows.append(("root", n, days[0], days[-1], sd, sc))
+    for name, lo, hi in (("left", 0, si), ("right", si, n)):
+        seg_days, seg_xs = days[lo:hi], xs[lo:hi]
+        child = split(seg_days, seg_xs)
+        rows.append(
+            (
+                name,
+                len(seg_xs),
+                seg_days[0],
+                seg_days[-1],
+                None if child is None else child[1],
+                None if child is None else child[2],
+            )
+        )
+    return sorted(rows)
+
+
+@settings(**_SETTINGS)
+@given(day_cents=_DAY_CENTS)
+def test_binseg_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    from hadrodb_spark.operators.pipeline16 import changepoint_binseg
+
+    d = tmp_path_factory.mktemp("binseg")
+    _write_orders(spark, d, day_cents)
+    got = [tuple(r) for r in changepoint_binseg(spark, str(d)).collect()]
+    assert got == _brute_binseg(day_cents)
+
+
+def test_binseg_single_day_root_only(spark, tmp_path_factory):
+    from hadrodb_spark.operators.pipeline16 import changepoint_binseg
+
+    d = tmp_path_factory.mktemp("binseg1")
+    _write_orders(spark, d, [(3, 100), (3, 200)])
+    got = [tuple(r) for r in changepoint_binseg(spark, str(d)).collect()]
+    assert got == [("root", 1, 19726, 19726, None, None)]
+
+
+def test_binseg_finds_planted_step(spark, tmp_path_factory):
+    # 10 days at 100 then 10 days at 10 000: root split must land on the
+    # step boundary (last low-variance prefix day = day 9)
+    from hadrodb_spark.operators.pipeline16 import changepoint_binseg
+
+    d = tmp_path_factory.mktemp("binsegp")
+    day_cents = [(day, 100) for day in range(10)] + [
+        (day, 10_000) for day in range(10, 20)
+    ]
+    _write_orders(spark, d, day_cents)
+    rows = {r.segment: r for r in changepoint_binseg(spark, str(d)).collect()}
+    epoch0 = 19723  # 2024-01-01
+    assert rows["root"].split_day == epoch0 + 9
+    assert rows["left"].n_days == 10 and rows["right"].n_days == 10
+
+
+# ------------------------------------------------------------------- hurst
+def _brute_hurst(day_cents):
+    tot = Counter()
+    for day, c in day_cents:
+        tot[day] += c
+    xs = [tot[d] for d in sorted(tot)]
+    pts = []
+    for k in (16, 32, 64, 128):
+        terms = []
+        for b in range(len(xs) // k):
+            blk = xs[b * k:(b + 1) * k]
+            s = sum(blk)
+            den = k * sum(x * x for x in blk) - s * s
+            prefix = 0
+            kds = []
+            for j, x in enumerate(blk, start=1):
+                prefix += x
+                kds.append(k * prefix - j * s)
+            rk = max(kds) - min(kds)
+            if den > 0 and rk > 0:
+                rs = float(_r6(float(rk) / math.sqrt(float(den))))
+                terms.append(_r6(math.log(rs)))
+        if terms:
+            ln_sum = sum(terms)
+            mean = _r6(float(ln_sum) / float(len(terms)))
+            x = _r6(math.log(float(k)))
+            pts.append((k, len(terms), x, mean))
+    if not pts:
+        return []
+    m = len(pts)
+    sx = sum(p[2] for p in pts)
+    sy = sum(p[3] for p in pts)
+    sxy = sum(p[2] * p[3] for p in pts)
+    sxx = sum(p[2] * p[2] for p in pts)
+    num_xy = m * sxy - sx * sy
+    den_x = m * sxx - sx * sx
+    slope = (
+        None
+        if den_x == 0
+        else float(_r6(float(num_xy) / float(den_x)))
+    )
+    return [(k, nb, float(y), slope) for k, nb, _, y in pts]
+
+
+@settings(**_SETTINGS)
+@given(
+    day_cents=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_hurst_matches_bruteforce(spark, tmp_path_factory, day_cents):
+    from hadrodb_spark.operators.pipeline16 import hurst_rescaled_range
+
+    d = tmp_path_factory.mktemp("hurst")
+    _write_orders(spark, d, day_cents)
+    got = [tuple(r) for r in hurst_rescaled_range(spark, str(d)).collect()]
+    assert got == _brute_hurst(day_cents)
+
+
+# -------------------------------------------------------------------- hill
+def _brute_hill(cents_list):
+    pos = sorted(
+        [(-c, i) for i, c in enumerate(cents_list) if c is not None and c > 0]
+    )
+    top = [(-nc, i) for nc, i in pos[:101]]
+    m = len(top)
+    if m < 2:
+        return (0, None, None, None)
+    x_ref = top[-1][0]
+    terms = [
+        _r6(math.log(float(c) / x_ref)) for c, _ in top[:-1]
+    ]
+    n_top = len(terms)
+    lnsum = sum(terms)
+    alpha = (
+        None
+        if float(lnsum) <= 0
+        else float(_r6(float(n_top) / float(lnsum)))
+    )
+    return (n_top, x_ref, float(lnsum), alpha)
+
+
+@settings(**_SETTINGS)
+@given(
+    cents_list=st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-1000, max_value=100_000)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_hill_matches_bruteforce(spark, tmp_path_factory, cents_list):
+    from hadrodb_spark.operators.pipeline16 import hill_tail_alpha
+
+    d = tmp_path_factory.mktemp("hill")
+    # written directly (not via _write_orders) to carry NULL totals
+    spark.createDataFrame(
+        [
+            (
+                i,
+                1,
+                "O",
+                None if c is None else c / 100.0,
+                _EPOCH,
+                "1-URGENT",
+            )
+            for i, c in enumerate(cents_list)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = [tuple(r) for r in hill_tail_alpha(spark, str(d)).collect()]
+    assert got == [_brute_hill(cents_list)]
+
+
+def test_hill_all_tied_is_null(spark, tmp_path_factory):
+    from hadrodb_spark.operators.pipeline16 import hill_tail_alpha
+
+    d = tmp_path_factory.mktemp("hill0")
+    _write_orders(spark, d, [(0, 500)] * 5)
+    (row,) = hill_tail_alpha(spark, str(d)).collect()
+    assert row.alpha is None and row.ln_sum == 0.0
+
+
+# -------------------------------------------------------- seasonal strength
+def test_seasonal_strength_pure_weekly_cycle(spark, tmp_path_factory):
+    """A noiseless weekly cycle decomposes to zero residual (42 days of
+    rev = f(dow) with constant weekly total ⇒ flat trend), so
+    F_seasonal must be exactly 1.0."""
+    from hadrodb_spark.operators.pipeline16 import seasonal_strength_weekly
+
+    d = tmp_path_factory.mktemp("sstr")
+    cyc = [100, 700, 300, 900, 500, 1100, 200]
+    spark.createDataFrame(
+        [
+            (i, _EPOCH + datetime.timedelta(days=i), 1, "purchase",
+             cyc[(i + 3) % 7] / 100.0, "{}")
+            for i in range(42)
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    (row,) = seasonal_strength_weekly(spark, str(d)).collect()
+    assert row.f_seasonal == 1.0
+    # flat trend + zero residual ⇒ Var(T+R) = 0 ⇒ F_trend is 0/0 ⇒ NULL
+    assert row.f_trend is None
+
+
+def test_seasonal_strength_constant_series_is_null(spark, tmp_path_factory):
+    # constant revenue: every component variance is 0 ⇒ both F undefined
+    from hadrodb_spark.operators.pipeline16 import seasonal_strength_weekly
+
+    d = tmp_path_factory.mktemp("sstr0")
+    spark.createDataFrame(
+        [
+            (i, _EPOCH + datetime.timedelta(days=i), 1, "purchase",
+             5.0, "{}")
+            for i in range(21)
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    (row,) = seasonal_strength_weekly(spark, str(d)).collect()
+    assert row.f_seasonal is None and row.f_trend is None
+
+
+# -------------------------------------------------------- cochran-armitage
+def _brute_ca(docs):
+    buckets = defaultdict(lambda: [0, 0])
+    for _, _, text, n_chars in docs:
+        if text is None or n_chars is None:
+            continue
+        w = min(n_chars // 1024, 3)
+        tok = len([t for t in text.lower().split() if t])
+        buckets[w][0] += 1
+        buckets[w][1] += 1 if tok >= 40 else 0
+    if not buckets:
+        return []
+    n_tot = sum(n for n, _ in buckets.values())
+    r_tot = sum(r for _, r in buckets.values())
+    swn = sum(w * n for w, (n, _) in buckets.items())
+    swr = sum(w * r for w, (_, r) in buckets.items())
+    swwn = sum(w * w * n for w, (n, _) in buckets.items())
+    t_num = n_tot * swr - r_tot * swn
+    rr = r_tot * (n_tot - r_tot)
+    sw = n_tot * swwn - swn * swn
+    if rr <= 0 or sw <= 0:
+        z = None
+    else:
+        z = float(
+            _r6(
+                float(t_num)
+                * math.sqrt(float(n_tot))
+                / (math.sqrt(float(rr)) * math.sqrt(float(sw)))
+            )
+        )
+    return [
+        (w, n, r, (r * 1_000_000) // n, z)
+        for w, (n, r) in sorted(buckets.items())
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),  # n_chars
+            st.integers(min_value=0, max_value=80),    # token count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cochran_armitage_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline16 import cochran_armitage_trend
+
+    d = tmp_path_factory.mktemp("ca")
+    docs = [
+        (i, "s", "tok " * k, n) for i, (n, k) in enumerate(rows)
+    ]
+    _write_documents(spark, d, docs)
+    got = [
+        tuple(r) for r in cochran_armitage_trend(spark, str(d)).collect()
+    ]
+    assert got == _brute_ca(docs)
+
+
+# ------------------------------------------------------- absorbing funnel
+def _brute_funnel(rows):
+    trans = _transitions(rows)
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    pm = {
+        (a, b): (1_000_000 * n) // row_tot[a] for (a, b), n in trans.items()
+    }
+    types = sorted({a for a, _ in trans} | {b for _, b in trans})
+    h = {t: 1_000_000 if t == "purchase" else 0 for t in types}
+    hist = []
+    for _ in range(3):
+        nxt = {}
+        for t in types:
+            if t == "purchase":
+                nxt[t] = 1_000_000
+            else:
+                flow = sum(
+                    p * h[b] for (a, b), p in pm.items() if a == t
+                )
+                nxt[t] = flow // 1_000_000
+        h = nxt
+        hist.append(dict(h))
+    return [
+        (t, hist[0][t], hist[1][t], hist[2][t]) for t in types
+    ]
+
+
+@settings(**_SETTINGS)
+@given(stream=_STREAMS)
+def test_absorbing_funnel_matches_bruteforce(
+    spark, tmp_path_factory, stream
+):
+    from hadrodb_spark.operators.pipeline16 import markov_absorbing_funnel
+
+    d = tmp_path_factory.mktemp("funnel")
+    rows = _stream_rows(stream)
+    _write_events(spark, d, rows)
+    got = [
+        tuple(r) for r in markov_absorbing_funnel(spark, str(d)).collect()
+    ]
+    assert got == _brute_funnel(rows)
+
+
+def test_absorbing_funnel_deterministic_path(spark, tmp_path_factory):
+    # view→purchase always: one hop converts with certainty
+    from hadrodb_spark.operators.pipeline16 import markov_absorbing_funnel
+
+    d = tmp_path_factory.mktemp("funnel1")
+    rows = [(i, 1, ["view", "purchase"][i % 2], 100) for i in range(8)]
+    _write_events(spark, d, rows)
+    res = {r.event_type: r for r in markov_absorbing_funnel(spark, str(d)).collect()}
+    assert res["view"].p_hit1_ppm == 1_000_000
+    assert res["purchase"].p_hit3_ppm == 1_000_000
+
+
+# ------------------------------------------------------ capture-recapture
+def test_capture_recapture_consistent_with_method_eval(spark, sf_dir):
+    """The capture counts must equal dedup_method_eval's per-method
+    detected counts on the same fixture, and Chapman must satisfy its
+    closed form exactly."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.dedup import (
+        capture_recapture_dedup,
+        dedup_method_eval,
+    )
+
+    try:
+        (row,) = capture_recapture_dedup(spark, sf_dir).collect()
+        ev = {r.method: r for r in dedup_method_eval(spark, sf_dir).collect()}
+        assert row.n_lsh == ev["lsh"].n_detected
+        assert row.n_simhash == ev["simhash"].n_detected
+        assert row.n_actual == ev["lsh"].n_truth
+        assert row.n_both <= min(row.n_lsh, row.n_simhash)
+        assert row.chapman_estimate == (
+            (row.n_lsh + 1) * (row.n_simhash + 1)
+        ) // (row.n_both + 1) - 1
+    finally:
+        shared.release_shared()
