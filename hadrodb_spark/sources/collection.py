@@ -117,9 +117,10 @@ def _manifest_head(path: str) -> tuple[int, dict[str, Any]]:
         try:
             with open(_manifest_v_path(path, head)) as f:
                 m = json.load(f)
-        except FileNotFoundError:
-            # listed head GC'd between list and open (possible only when
-            # ≥ _MANIFEST_KEEP commits landed in the window) — re-list
+        except (FileNotFoundError, json.JSONDecodeError):
+            # listed head superseded between list and open (possible only
+            # when ≥ _MANIFEST_KEEP commits landed in the window): the
+            # file is gone (legacy GC) or tombstoned to empty — re-list
             continue
         m.setdefault("segments", {})
         m.setdefault("clean", False)
@@ -166,17 +167,31 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
 
 
 def _gc_manifests(path: str, head: int) -> None:
-    """Best-effort retention: drop superseded heads ≤ head−KEEP.  Only
-    versions strictly below the live head are ever removed, so a reader
-    holding an open fd is unaffected and a reader holding a stale listing
-    re-lists (see _manifest_head)."""
+    """Best-effort retention: TOMBSTONE superseded heads ≤ head−KEEP by
+    truncating them to empty — never unlink.  The version NAME must stay
+    occupied forever: put-if-absent (os.link / object-store
+    If-None-Match) succeeds again on a deleted name, so unlinking let a
+    writer stalled ≥ KEEP versions mid-CAS "commit" into a freed slot
+    BELOW the live head and silently lose its mutation (caught by
+    test_manifest_cas.py::test_two_process_interleaved_commits_lose_nothing
+    under process-scheduling skew).  A tombstoned name makes that late
+    link collide ⇒ the slow writer retries against the real head.
+    Readers only ever open the listed MAX version, which is never
+    tombstoned; the list-then-open window is handled by the re-list loop
+    in _manifest_head (empty file ⇒ JSONDecodeError ⇒ re-list).  Cost:
+    one zero-byte dentry per superseded commit — an object-store
+    deployment maps this to lifecycle deletion strictly older than the
+    maximum tolerated writer stall, the same monotonic-namespace rule."""
     floor = head - _MANIFEST_KEEP
     if floor < 0:
         return
     for v in _manifest_versions(path):
         if v <= floor:
+            p = _manifest_v_path(path, v)
             try:
-                os.unlink(_manifest_v_path(path, v))
+                if os.path.getsize(p) > 0:
+                    with open(p, "w"):
+                        pass  # truncate in place: name stays occupied
             except OSError:
                 pass
 

@@ -146,16 +146,22 @@ def test_crashed_writer_leaves_no_corruption(tmp_path):
 
 
 def test_gc_bounds_version_files_and_keeps_head(tmp_path):
+    """Retention truncates superseded heads to zero-byte tombstones —
+    the NAME always survives (the put-if-absent namespace must stay
+    monotonic; see test_stalled_writer_cannot_commit_into_gc_slot) while
+    only ≤ KEEP+1 versions keep content."""
     path = str(tmp_path)
     for i in range(_MANIFEST_KEEP * 3):
         _cas_update_manifest(path, lambda m: m.__setitem__("commits", i + 1))
     versions = _manifest_versions(path)
-    assert len(versions) <= _MANIFEST_KEEP + 1
+    assert versions == list(range(_MANIFEST_KEEP * 3))  # no name ever freed
+    live = [v for v in versions if os.path.getsize(_manifest_v_path(path, v))]
+    assert len(live) <= _MANIFEST_KEEP + 1
     head, m = _manifest_head(path)
-    assert head == versions[-1]
+    assert head == versions[-1] == live[-1]
     assert m["commits"] == _MANIFEST_KEEP * 3
-    # every retained version parses (no torn file can ever be listed)
-    for v in versions:
+    # every content-bearing version parses (no torn file can be listed)
+    for v in live:
         with open(_manifest_v_path(path, v)) as f:
             json.load(f)
 
@@ -195,3 +201,55 @@ def test_empty_dir_head_defaults(tmp_path, n):
     assert head == (n - 1 if n else -1) or n == 0
     if n:
         assert m["commits"] == n
+
+
+def test_stalled_writer_cannot_commit_into_gc_slot(tmp_path):
+    """THE lost-update race (caught intermittently by the two-process
+    test): a writer stalls between head-read and link while ≥ KEEP newer
+    versions land and GC processes its target slot.  With unlink-GC the
+    stalled link SUCCEEDED into the freed name below the live head and
+    the mutation silently vanished; tombstone-GC keeps the name occupied
+    so the stalled writer must collide and retry against the real head.
+    The stall is simulated deterministically by a reentrant mutate that
+    publishes KEEP+4 commits through a nested writer on its first call.
+    """
+    path = str(tmp_path)
+    _cas_update_manifest(path, lambda m: m.setdefault("commits", 0))
+    fired = {"done": False}
+
+    def stalled_mutate(m):
+        if not fired["done"]:
+            fired["done"] = True
+            # the "other driver" racing ahead while we hold a stale head
+            for _ in range(_MANIFEST_KEEP + 4):
+                def bump(x):
+                    x["commits"] = int(x["commits"]) + 1
+                _cas_update_manifest(path, bump)
+        m["marker"] = m.get("marker", 0) + 1
+
+    _cas_update_manifest(path, stalled_mutate)
+    head, m = _manifest_head(path)
+    assert m["marker"] == 1, "stalled writer's mutation was lost"
+    assert m["commits"] == _MANIFEST_KEEP + 4
+    # the mutation must sit ON the live head chain, not in a stale slot
+    # (seed publishes v0, the racers v1..v{KEEP+4}, the retry on top)
+    assert head == _MANIFEST_KEEP + 4 + 1
+
+
+def test_tombstoned_slots_stay_occupied(tmp_path):
+    """After GC, superseded version NAMES still exist (zero-byte) — the
+    monotonic-namespace property the CAS depends on."""
+    path = str(tmp_path)
+    for _ in range(_MANIFEST_KEEP + 8):
+        _cas_update_manifest(
+            path, lambda m: m.update(commits=int(m["commits"]) + 1)
+        )
+    versions = _manifest_versions(path)
+    assert versions == list(range(_MANIFEST_KEEP + 8))
+    floor = versions[-1] - _MANIFEST_KEEP
+    for v in versions:
+        p = _manifest_v_path(path, v)
+        if v <= floor:
+            assert os.path.getsize(p) == 0, (v, "should be tombstoned")
+        elif v == versions[-1]:
+            assert os.path.getsize(p) > 0
