@@ -744,7 +744,16 @@ def welch_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = ev.agg(
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        # COALESCE: a fully-NULL/absent pair of groups leaves an EMPTY
+        # filtered relation, where SUM returns NULL but the group sizes
+        # are semantically 0 (both engines agree on NULL, so only the
+        # semantics — not the parity — needed the fix).
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n1"),
         F.sum(
@@ -758,7 +767,10 @@ def welch_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cents").cast("decimal(38,0)") * F.col("cents"),
             ).otherwise(F.lit(0).cast("decimal(38,0)"))
         ).alias("sxx1"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n2"),
         F.sum(
@@ -807,14 +819,14 @@ ORACLE["welch_t_value"] = f"""
     ),
     m AS (
       SELECT
-        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS BIGINT) AS n1,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END), 0) AS BIGINT) AS n1,
         SUM(CASE WHEN event_type = 'purchase'
                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sx1,
         SUM(CASE WHEN event_type = 'purchase'
                  THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxx1,
-        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             AS BIGINT) AS n2,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END), 0) AS BIGINT) AS n2,
         SUM(CASE WHEN event_type = 'click'
                  THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sx2,
         SUM(CASE WHEN event_type = 'click'
