@@ -175,6 +175,7 @@ HEADLINE = [
     "cochran_armitage_trend",
     "markov_absorbing_funnel",
     "capture_recapture_dedup",
+    "stream_late_drop_equivalence",
 ]
 
 

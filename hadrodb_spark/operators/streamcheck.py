@@ -738,3 +738,159 @@ ORACLE["stream_hadrolog_source_equivalence"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# --- watermark late-drop (round-9 session-3) -----------------------------------
+def _publish_wave(spark: SparkSession, df: DataFrame, dest_dir: str,
+                  name: str, mtime: float) -> None:
+    """Write ``df`` as ONE parquet file named ``name`` inside dest_dir with
+    a pinned mtime — FileStreamSource discovers files oldest-mtime-first,
+    and the late-drop certification needs the wave file order to be a
+    CONTROLLED input, not a filesystem accident."""
+    staging = tempfile.mkdtemp(prefix="latewave_", dir=tempfile.gettempdir())
+    try:
+        df.repartition(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        target = os.path.join(dest_dir, name)
+        shutil.copyfile(os.path.join(staging, part), target)
+        os.utime(target, (mtime, mtime))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _shift_days(ts, days: int):
+    import datetime
+
+    return ts + datetime.timedelta(days=days)
+
+
+_LATE_DELAY = "1 hour"
+
+
+@_utc_pinned
+def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP certified against batch semantics — the one
+    watermark behavior the other streaming rows can't show (complete-mode
+    aggregations retain all state; here the dropped row must VANISH).
+    Topology: ``withWatermark(ts, 1 hour)`` + ``dropDuplicates(event_id)``
+    in append mode through a parquet sink, across a CHECKPOINT RESTART:
+
+    - run 1, batch 1 = every real event (file wave1a, pinned oldest
+      mtime; watermark 0 ⇒ nothing late);
+    - run 1, batch 2 = one future sentinel (wave1b: event_id −10, ts =
+      max_ts + 2 days).  Its offsets entry persists the watermark planned
+      from batch 1's data — max(real ts) − 1 h — which is the value a
+      RESTART restores.  A single-batch run 1 would restore watermark 0
+      and certify nothing: the sentinel batch is load-bearing.
+    - run 2 (same checkpoint) = wave2: a LATE row (event_id −1, ts =
+      min_ts − 365 days — below EVERY candidate restored watermark, so
+      the drop is batching-invariant), a FRESH row (event_id −2, ts =
+      max_ts + 3 days — above every candidate watermark at its own
+      batch), and an exact DUPLICATE of the max-(ts, event_id) real
+      event, dropped via dedup state that survives the restart (under
+      any alternative batching its ts instead falls below the watermark
+      and it drops as late — the OUTPUT is invariant either way).
+
+    The sink must therefore hold: all real events + the two planted
+    sentinels, WITHOUT the late row and WITHOUT the duplicate.  The
+    oracle rebuilds exactly that relation from the parquet table plus
+    two planted literals.
+
+    Scale: dedup/watermark state is hash-partitioned by event_id (the
+    100 TB shape); the certification fixture is bounded, the semantics
+    are not.  Like every streaming row, the cost is engine orchestration
+    (two real runs + restart), not data volume."""
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"latedrop_{uuid.uuid4().hex[:8]}_")
+    try:
+        src = os.path.join(base, "src")
+        ckpt = os.path.join(base, "ckpt")
+        out = os.path.join(base, "out")
+        os.makedirs(src)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        bounds = ev.agg(
+            F.max("ts").alias("mx"), F.min("ts").alias("mn")
+        ).collect()[0]
+        dup = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+        t0 = 1_700_000_000.0  # fixed mtime base; only the ORDER matters
+        _publish_wave(spark, ev, src, "wave1a.parquet", t0)
+        sentinel = spark.createDataFrame(
+            [(-10, _shift_days(bounds["mx"], 2), -1, "planted", 1.23, "{}")],
+            schema=EVENT_SCHEMA,
+        )
+        _publish_wave(spark, sentinel, src, "wave1b.parquet", t0 + 60)
+
+        def run_bounded() -> None:
+            stream = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.withWatermark("ts", _LATE_DELAY)
+                .dropDuplicates(["event_id"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_bounded()  # wave 1: persists watermark = max(real ts) − 1 h
+        wave2 = spark.createDataFrame(
+            [
+                (-1, _shift_days(bounds["mn"], -365), -1, "planted", 7.89, "{}"),
+                (-2, _shift_days(bounds["mx"], 3), -1, "planted", 4.56, "{}"),
+                tuple(dup),
+            ],
+            schema=EVENT_SCHEMA,
+        )
+        _publish_wave(spark, wave2, src, "wave2.parquet", t0 + 120)
+        run_bounded()  # restart: late dropped, fresh kept, dup deduped
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+            .orderBy("event_type")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("event_type")
+
+
+ORACLE["stream_late_drop_equivalence"] = """
+    WITH kept AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      UNION ALL
+      SELECT 'planted', 123   -- the future sentinel (run 1, batch 2)
+      UNION ALL
+      SELECT 'planted', 456   -- the fresh wave-2 row (above watermark)
+      -- EXCLUDED by construction: the late wave-2 row (ts = min ts −
+      -- 365 d < restored watermark = max real ts − 1 h) and the exact
+      -- duplicate of the max-(ts, event_id) event (dedup state across
+      -- the checkpoint restart; late under alternative batchings —
+      -- dropped either way)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM kept
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -104,7 +104,19 @@ _register(pipeline13)   # dsir_importance, bigram_xent
 _register(pipeline14)   # chisq / mannwhitney / cusum / benford / KM /
 #                         theil-sen / cohens-d / permutation / mcnemar /
 #                         spearman — the statistical-audit tier
-_register(streamcheck)  # the 8 oracle-backed streaming-equivalence rows
+_register(streamcheck, only=[
+    # the 8 round-8 streaming-equivalence rows, PINNED BY NAME so later
+    # streamcheck additions cannot shift positions inside the frozen
+    # round-9 window (they register at the bottom instead)
+    "stream_tumbling_equivalence",
+    "stream_dedup_equivalence",
+    "stream_session_equivalence",
+    "stream_join_equivalence",
+    "stream_custom_state_equivalence",
+    "stream_sink_collection_equivalence",
+    "stream_sliding_equivalence",
+    "stream_hadrolog_source_equivalence",
+])
 # positions 24-49: re-checks (see header note)
 _register(kv, only=[
     "kv_history", "kv_time_travel", "kv_snapshot_diff",
@@ -220,6 +232,12 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   dedup register — collect BY NAME)
 _register(pipeline15)
 _register(pipeline16)
+# streamcheck's window register above is name-pinned, so the 9th
+# streaming row lands HERE (round-10 queue):
+#   stream_late_drop_equivalence — watermark late-data drop + cross-
+#   restart dedup state, the one watermark behavior complete-mode rows
+#   can't certify
+_register(streamcheck, only=["stream_late_drop_equivalence"])
 
 
 
