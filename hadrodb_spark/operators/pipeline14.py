@@ -711,6 +711,32 @@ ORACLE: dict[str, str] = {
 _TS_WINDOW_DAYS = 128  # trailing-window cap: pairs ≤ 128·127/2 = 8128
 
 
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE exact daily order-revenue relation (xd = epoch day, rev =
+    integer cents), persisted once per (session, sf_dir) and shared by
+    :func:`theil_sen_slope` and pipeline16's calendar-grid family
+    (mann_kendall / runs test / binseg / hurst) — one orders scan per
+    session instead of one per consumer.  Calendar-day index via
+    DATEDIFF, not unix_timestamp: instant conversion of a wall-clock
+    timestamp is session-TZ-sensitive (date_agg_monthly discipline)."""
+    return shared.shared_persist(
+        ("theil_sen_daily", spark.sparkContext.applicationId, sf_dir),
+        lambda: (
+            load(spark, sf_dir, "orders")
+            .select(
+                F.expr(
+                    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+                ).cast("bigint").alias("xd"),
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .groupBy("xd")
+            .agg(F.sum("cents").cast("bigint").alias("rev"))
+        ),
+    )
+
+
 def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend estimate of daily order revenue over the
     TRAILING `_TS_WINDOW_DAYS`-day window: the median (and quartiles) of
@@ -734,25 +760,7 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # persisted: the max-day scalar and both pair sides read this |days|-
     # row aggregate — unpersisted it cost four full orders scans.
-    daily = shared.shared_persist(
-        ("theil_sen_daily", spark.sparkContext.applicationId, sf_dir),
-        lambda: (
-            load(spark, sf_dir, "orders")
-            .select(
-                # calendar-day index, not unix_timestamp: instant conversion
-                # of a wall-clock timestamp is session-TZ-sensitive; DATEDIFF
-                # on the calendar date is not (date_agg_monthly discipline).
-                F.expr(
-                    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
-                ).cast("bigint").alias("xd"),
-                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
-                    "cents"
-                ),
-            )
-            .groupBy("xd")
-            .agg(F.sum("cents").cast("bigint").alias("rev"))
-        ),
-    )
+    daily = daily_revenue(spark, sf_dir)
     last = daily.groupBy().agg(F.max("xd").alias("xmax"))
     recent = (
         daily.crossJoin(F.broadcast(last))

@@ -43,67 +43,31 @@ ORACLE: dict[str, str] = {}
 
 # ---------------------------------------------------------------- helpers
 def _trans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact first-order transition counts (from_type, to_type, n) over each
-    user's (ts, event_id)-ordered stream — the same derivation
-    ``event_transition_matrix`` certifies, persisted once for the two
-    matrix statistics below (bowker / entropy rate both consume it)."""
-    def build() -> DataFrame:
-        ev = load(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_id", "event_type"
-        )
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        return (
-            ev.select(
-                F.col("event_type").alias("from_type"),
-                F.lead("event_type").over(w).alias("to_type"),
-            )
-            .filter(F.col("to_type").isNotNull())
-            .groupBy("from_type", "to_type")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        )
+    """The certified transition-count relation — pipeline8's single
+    shared derivation (and its persisted cache), consumed here by
+    bowker / entropy rate / the absorbing funnel."""
+    from hadrodb_spark.operators.pipeline8 import transition_counts
 
-    return shared.shared_persist(
-        ("p16_trans", spark.sparkContext.applicationId, sf_dir), build
-    )
+    return transition_counts(spark, sf_dir)
 
 
-_TRANS_SQL = """
-      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT event_type AS from_type,
-               LEAD(event_type) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
-               ) AS to_type
-        FROM events
-      )
-      WHERE to_type IS NOT NULL
-      GROUP BY from_type, to_type
-"""
+def _trans_sql() -> str:
+    from hadrodb_spark.operators.pipeline8 import TRANS_SQL
+
+    return TRANS_SQL
+
+
+_TRANS_SQL = _trans_sql()
 
 
 def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact daily order revenue in integer cents on epoch-day integers —
-    the bounded calendar series the two trend tests below share (same
-    cents quantization as ``cusum_changepoint``; the day number goes
-    through DATE arithmetic because epoch() of a wall-clock timestamp is
-    session-TZ-sensitive — the theil_sen_slope lesson)."""
-    def build() -> DataFrame:
-        return (
-            load(spark, sf_dir, "orders")
-            .select(
-                F.expr(
-                    "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
-                )
-                .cast("bigint")
-                .alias("d"),
-                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
-                .alias("cents"),
-            )
-            .groupBy("d")
-            .agg(F.sum("cents").cast("bigint").alias("total"))
-        )
+    """The exact daily-revenue relation — pipeline14's single shared
+    derivation (and its persisted cache, also feeding theil_sen_slope),
+    renamed to this module's (d, total) convention."""
+    from hadrodb_spark.operators.pipeline14 import daily_revenue
 
-    return shared.shared_persist(
-        ("p16_daily_rev", spark.sparkContext.applicationId, sf_dir), build
+    return daily_revenue(spark, sf_dir).select(
+        F.col("xd").alias("d"), F.col("rev").alias("total")
     )
 
 
@@ -1294,9 +1258,18 @@ _HURST_KS = (16, 32, 64, 128)
 _RS_TEXT = "ROUND(CAST(rk AS DOUBLE) / SQRT(CAST(den AS DOUBLE)), 6)"
 _LNRS_TEXT = f"ROUND(LN({_RS_TEXT}), 6)"
 _MEAN_LNRS = "ROUND(CAST(ln_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE), 6)"
+# The slope combines the EXACT decimal sums under ONE float text: computing
+# m·sxy − sx·sy as decimals diverged the engines (Spark's allowPrecisionLoss
+# rounds the scale-12 cross products back to 6 dp where DuckDB keeps
+# DECIMAL(38,12) — review-caught with a live 1-in-25-fixtures repro), so
+# every operand casts to DOUBLE first and the op order is pinned.
 _HURST_SLOPE = (
-    "CASE WHEN den_x = 0 THEN NULL"
-    " ELSE ROUND(CAST(num_xy AS DOUBLE) / CAST(den_x AS DOUBLE), 6) END"
+    "CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0 THEN NULL"
+    " ELSE ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END"
 )
 
 
@@ -1389,22 +1362,12 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).over(wall).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(wall).alias("sxx"),
     )
-    return (
-        reg.selectExpr(
-            "k",
-            "n_blocks",
-            "ln_rs_mean",
-            "m * sxy - sx * sy AS num_xy",
-            "m * sxx - sx * sx AS den_x",
-        )
-        .selectExpr(
-            "k",
-            "n_blocks",
-            "ln_rs_mean",
-            f"{_HURST_SLOPE} AS hurst_h",
-        )
-        .orderBy("k")
-    )
+    return reg.selectExpr(
+        "k",
+        "n_blocks",
+        "ln_rs_mean",
+        f"{_HURST_SLOPE} AS hurst_h",
+    ).orderBy("k")
 
 
 ORACLE["hurst_rescaled_range"] = f"""
@@ -1465,16 +1428,10 @@ ORACLE["hurst_rescaled_range"] = f"""
              SUM(x * y) OVER () AS sxy,
              SUM(x * x) OVER () AS sxx
       FROM pts
-    ),
-    fin AS (
-      SELECT k, n_blocks, ln_rs_mean,
-             m * sxy - sx * sy AS num_xy,
-             m * sxx - sx * sx AS den_x
-      FROM reg
     )
     SELECT k, n_blocks, ln_rs_mean,
            {_HURST_SLOPE} AS hurst_h
-    FROM fin
+    FROM reg
     ORDER BY k
 """
 
@@ -1881,9 +1838,11 @@ def markov_absorbing_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = trans.select(
         "from_type",
         "to_type",
+        # n·10⁶ wraps BIGINT past ~9.2e12 transitions per pair —
+        # DECIMAL(38,0)/HUGEINT routing, matching event_transition_matrix
         F.expr(
-            "CAST((1000000 * n) DIV (SUM(n) OVER (PARTITION BY from_type))"
-            " AS BIGINT)"
+            "CAST((CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " DIV (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)"
         ).alias("p_ppm"),
     )
     types = (
@@ -1936,7 +1895,7 @@ def _funnel_oracle() -> str:
         f"""trans AS ({_TRANS_SQL})""",
         """pm AS (
           SELECT from_type, to_type,
-                 CAST((1000000 * n)
+                 CAST((CAST(n AS HUGEINT) * 1000000)
                       // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
                    AS p_ppm
           FROM trans

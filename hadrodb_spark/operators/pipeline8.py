@@ -515,6 +515,52 @@ def _pca_oracle() -> str:
 # --- event_transition_matrix -------------------------------------------
 
 
+def transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE first-order transition-count relation (from_type, to_type, n)
+    over each user's (ts, event_id)-ordered stream — the single certified
+    derivation, persisted and shared by :func:`event_transition_matrix`
+    and pipeline16's bowker / entropy-rate / absorbing-funnel queries
+    (one user-window shuffle per session instead of one per consumer)."""
+    from hadrodb_spark.operators import shared
+
+    def build() -> DataFrame:
+        from pyspark.sql.window import Window
+
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    return shared.shared_persist(
+        ("transition_counts", spark.sparkContext.applicationId, sf_dir),
+        build,
+    )
+
+
+# the oracle twin of transition_counts — interpolated into every consumer's
+# oracle (pipeline8 + pipeline16) so the certified text exists ONCE
+TRANS_SQL = """
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+      )
+      WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's time-ordered
     event stream — the behavioral fingerprint behind ``event_paths``'s
@@ -529,48 +575,32 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals come from a window over the tiny matrix itself."""
     from pyspark.sql.window import Window
 
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        ev.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    trans = transition_counts(spark, sf_dir)
     wrow = Window.partitionBy("from_type")
     return trans.select(
         "from_type",
         "to_type",
         "n",
         F.sum("n").over(wrow).cast("bigint").alias("row_total"),
+        # n·10⁶ wraps BIGINT once a transition pair passes ~9.2e12 —
+        # DECIMAL(38,0)/HUGEINT routing (the r8/r9 overflow class);
+        # operands are non-negative so DIV == floor on both engines.
         F.expr(
-            "CAST((1000000 * n) DIV (SUM(n) OVER (PARTITION BY from_type))"
-            " AS BIGINT)"
+            "CAST((CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " DIV (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)"
         ).alias("p_ppm"),
     ).orderBy("from_type", "to_type")
 
 
 ORACLE: dict[str, str] = {
     "embedding_pca_top": _pca_oracle(),
-    "event_transition_matrix": """
-        WITH trans AS (
-          SELECT from_type, to_type, COUNT(*) AS n FROM (
-            SELECT event_type AS from_type,
-                   LEAD(event_type) OVER (
-                     PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS to_type
-            FROM events
-          )
-          WHERE to_type IS NOT NULL
-          GROUP BY from_type, to_type
-        )
+    "event_transition_matrix": f"""
+        WITH trans AS ({TRANS_SQL})
         SELECT from_type, to_type,
                CAST(n AS BIGINT) AS n,
                CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
-               CAST((1000000 * n) // (SUM(n) OVER (PARTITION BY from_type))
+               CAST((CAST(n AS HUGEINT) * 1000000)
+                    // (SUM(n) OVER (PARTITION BY from_type))
                     AS BIGINT) AS p_ppm
         FROM trans
         ORDER BY from_type, to_type

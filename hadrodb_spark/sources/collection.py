@@ -84,6 +84,12 @@ class HadroError(Exception):
 
 _MANIFEST_V_PREFIX = "_hadro_manifest.v"
 _MANIFEST_KEEP = 16      # retained superseded heads (readers re-list on miss)
+_MANIFEST_NAME_KEEP = 1024  # tombstone-NAME retention: bounds the writer
+#   stall the CAS tolerates (a writer stalled > NAME_KEEP versions
+#   mid-commit is assumed dead — 64× the content window) while keeping
+#   the directory from growing one dentry per commit forever; an
+#   object-store deployment maps this to lifecycle deletion strictly
+#   older than the maximum tolerated stall.
 _CAS_MAX_RETRIES = 256   # consecutive lost races before giving up
 
 
@@ -117,11 +123,19 @@ def _manifest_head(path: str) -> tuple[int, dict[str, Any]]:
         try:
             with open(_manifest_v_path(path, head)) as f:
                 m = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            # listed head superseded between list and open (possible only
-            # when ≥ _MANIFEST_KEEP commits landed in the window): the
-            # file is gone (legacy GC) or tombstoned to empty — re-list
+        except FileNotFoundError:
+            # listed head GC'd between list and open (legacy unlink-GC
+            # directories) — re-list
             continue
+        except json.JSONDecodeError:
+            if os.path.getsize(_manifest_v_path(path, head)) == 0:
+                # listed head TOMBSTONED between list and open (possible
+                # only when ≥ _MANIFEST_KEEP commits landed in the
+                # window) — re-list
+                continue
+            # non-empty unparseable head = real corruption: fail fast
+            # rather than spinning in the re-list loop
+            raise
         m.setdefault("segments", {})
         m.setdefault("clean", False)
         return head, m
@@ -178,22 +192,29 @@ def _gc_manifests(path: str, head: int) -> None:
     link collide ⇒ the slow writer retries against the real head.
     Readers only ever open the listed MAX version, which is never
     tombstoned; the list-then-open window is handled by the re-list loop
-    in _manifest_head (empty file ⇒ JSONDecodeError ⇒ re-list).  Cost:
-    one zero-byte dentry per superseded commit — an object-store
-    deployment maps this to lifecycle deletion strictly older than the
-    maximum tolerated writer stall, the same monotonic-namespace rule."""
+    in _manifest_head (empty file ⇒ JSONDecodeError ⇒ re-list).
+
+    Tombstone names are themselves reclaimed once they fall
+    _MANIFEST_NAME_KEEP (= 64× the content window) behind the head — the
+    directory stays bounded at ~NAME_KEEP dentries instead of one per
+    commit forever, at the cost of assuming no live writer ever stalls
+    > NAME_KEEP versions mid-CAS (the same bounded-stall rule an
+    object-store deployment expresses as an age-based lifecycle
+    deletion)."""
     floor = head - _MANIFEST_KEEP
     if floor < 0:
         return
+    name_floor = head - _MANIFEST_NAME_KEEP
     for v in _manifest_versions(path):
-        if v <= floor:
-            p = _manifest_v_path(path, v)
-            try:
-                if os.path.getsize(p) > 0:
-                    with open(p, "w"):
-                        pass  # truncate in place: name stays occupied
-            except OSError:
-                pass
+        p = _manifest_v_path(path, v)
+        try:
+            if v <= name_floor:
+                os.unlink(p)
+            elif v <= floor and os.path.getsize(p) > 0:
+                with open(p, "w"):
+                    pass  # truncate in place: name stays occupied
+        except OSError:
+            pass
 
 
 # Per-commit key bloom filters (manifest-level, the SSTable-bloom idea):

@@ -784,17 +784,18 @@ def _brute_hurst(day_cents):
             pts.append((k, len(terms), x, mean))
     if not pts:
         return []
-    m = len(pts)
-    sx = sum(p[2] for p in pts)
-    sy = sum(p[3] for p in pts)
-    sxy = sum(p[2] * p[3] for p in pts)
-    sxx = sum(p[2] * p[2] for p in pts)
-    num_xy = m * sxy - sx * sy
-    den_x = m * sxx - sx * sx
+    # the slope combines the EXACT decimal sums under ONE float text —
+    # replay the shared op order on floats of those sums
+    m = float(len(pts))
+    sx = float(sum(p[2] for p in pts))
+    sy = float(sum(p[3] for p in pts))
+    sxy = float(sum(p[2] * p[3] for p in pts))
+    sxx = float(sum(p[2] * p[2] for p in pts))
+    den = m * sxx - sx * sx
     slope = (
         None
-        if den_x == 0
-        else float(_r6(float(num_xy) / float(den_x)))
+        if den <= 0
+        else float(_r6((m * sxy - sx * sy) / (m * sxx - sx * sx)))
     )
     return [(k, nb, float(y), slope) for k, nb, _, y in pts]
 

@@ -50,6 +50,17 @@ DEFAULT = [
     "stream_sink_collection_equivalence",
     "stream_sliding_equivalence",
     "stream_hadrolog_source_equivalence",
+    # round-9 session-3 additions worth rehearsing at 10× data: the
+    # two-pipeline capture estimate, the 9th streaming row (watermark
+    # late-drop across a restart), and the heaviest new batch queries
+    "capture_recapture_dedup",
+    "stream_late_drop_equivalence",
+    "changepoint_binseg",
+    "hurst_rescaled_range",
+    "mann_kendall_trend",
+    "quantile_profile_sources",
+    "graph_adamic_adar_topk",
+    "token_budget_pack",
 ]
 
 
