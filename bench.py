@@ -176,6 +176,8 @@ HEADLINE = [
     "markov_absorbing_funnel",
     "capture_recapture_dedup",
     "stream_late_drop_equivalence",
+    "l_diversity_audit",
+    "t_closeness_audit",
 ]
 
 

@@ -1938,3 +1938,256 @@ def _funnel_oracle() -> str:
 
 
 ORACLE["markov_absorbing_funnel"] = _funnel_oracle()
+
+
+# --- privacy tier: l-diversity / t-closeness ----------------------------------
+# Shared base: QI groups (c_mktsegment, c_nationkey) × sensitive attribute
+# o_orderpriority — ONE key-only join + map-side-combined count, persisted
+# (both audits and all their marginals read it).
+def _qi_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority"
+        )
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment", "c_nationkey", "o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    return shared.shared_persist(
+        ("p16_qi_counts", spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+_QI_SQL = """
+      SELECT c_mktsegment, c_nationkey, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+"""
+
+# Shannon entropy term over the group's sensitive distribution — the
+# markov_entropy_rate text shape (ONE shared float text, rounded at 6)
+_LDIV_TERM = (
+    "ROUND(CAST(c AS DOUBLE) / CAST(n_grp AS DOUBLE)"
+    " * LOG2(CAST(n_grp AS DOUBLE) / CAST(c AS DOUBLE)), 6)"
+)
+_LDIV_MIN_L = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of order priority within customer quasi-identifier
+    groups — the governance check ``k_anonymity_audit`` is NOT: a group
+    can be large (k-anonymous) yet have every member sharing one
+    sensitive value, so membership alone discloses it.  Reports both
+    distinct l-diversity (worst distinct count, groups below l=3, the
+    share of orders living in those groups) and entropy l-diversity
+    (the worst group entropy in bits — Machanavajjhala et al.'s
+    stronger form).
+
+    Exactness: group/sensitive counts are exact bigints from ONE
+    persisted join-aggregate; each entropy term is the shared
+    markov_entropy_rate float text rounded at 6, DECIMAL-summed per
+    group, so MIN over groups is a total order; the exposed-rows share
+    is non-negative integer ppm.
+
+    Scale: the only row-scale work is one key-only orders⋈customer join
+    feeding a map-side-combined count bounded by |segments|·|nations|·
+    |priorities|; every audit statistic reduces over that grid.
+    """
+    counts = _qi_priority_counts(spark, sf_dir)
+    wg = Window.partitionBy("c_mktsegment", "c_nationkey")
+    grp = (
+        counts.select(
+            "c_mktsegment",
+            "c_nationkey",
+            "c",
+            F.sum("c").over(wg).cast("bigint").alias("n_grp"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.max("n_grp").cast("bigint").alias("n_grp"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+            F.sum(F.expr(_LDIV_TERM).cast("decimal(18,6)")).alias("h"),
+        )
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_grp").cast("bigint").alias("n_orders"),
+        F.min("distinct_l").cast("bigint").alias("min_distinct_l"),
+        F.sum(F.when(F.col("distinct_l") < _LDIV_MIN_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_l"),
+        F.min("h").cast("double").alias("min_entropy_bits"),
+        F.expr(
+            "CAST((SUM(CASE WHEN distinct_l <"
+            f" {_LDIV_MIN_L} THEN n_grp ELSE 0 END) * 1000000)"
+            " DIV SUM(n_grp) AS BIGINT)"
+        ).alias("exposed_rows_ppm"),
+    )
+
+
+ORACLE["l_diversity_audit"] = f"""
+    WITH counts AS ({_QI_SQL}),
+    grp AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(MAX(n_grp) AS BIGINT) AS n_grp,
+             CAST(COUNT(*) AS BIGINT) AS distinct_l,
+             SUM(CAST({_LDIV_TERM} AS DECIMAL(18,6))) AS h
+      FROM (
+        SELECT *, CAST(SUM(c) OVER (PARTITION BY c_mktsegment, c_nationkey)
+                       AS BIGINT) AS n_grp
+        FROM counts
+      )
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_grp) AS BIGINT) AS n_orders,
+           CAST(MIN(distinct_l) AS BIGINT) AS min_distinct_l,
+           CAST(SUM(CASE WHEN distinct_l < {_LDIV_MIN_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_below_l,
+           CAST(MIN(h) AS DOUBLE) AS min_entropy_bits,
+           CAST((SUM(CASE WHEN distinct_l < {_LDIV_MIN_L} THEN n_grp
+                          ELSE 0 END) * 1000000)
+                // SUM(n_grp) AS BIGINT) AS exposed_rows_ppm
+    FROM grp
+"""
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian): per customer
+    quasi-identifier group, the earth-mover's distance between the
+    group's order-priority distribution and the GLOBAL one over the
+    ordinal priority domain — the refinement of ``l_diversity_audit``
+    for skew attacks (a group can be diverse yet still reveal "these
+    customers order urgently far more than the population").
+
+    Exactness: the ordinal EMD cross-multiplies the mean away —
+    t·(k−1)·n·N = Σᵢ |N·Cᵢ − n·Gᵢ| over cumulative counts on the FULL
+    priority grid (zero cells included), so every tᵢ is an exact
+    DECIMAL(38,0)/HUGEINT integer and t surfaces as exact non-negative
+    ppm.  Groups see the whole domain via a broadcast cross join with
+    the global marginal; single-priority domains (k = 1) emit NULL.
+
+    Scale: reuses the persisted QI×priority count grid; the full grid is
+    |segments|·|nations|·|priorities| rows; cumulative windows run per
+    group over ≤|priorities| rows.
+    """
+    counts = _qi_priority_counts(spark, sf_dir)
+    glob = counts.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("bigint").alias("g")
+    )
+    wall = Window.partitionBy()
+    glob = glob.select(
+        "o_orderpriority",
+        "g",
+        F.sum("g").over(wall).cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k_dom"),
+    )
+    qi = counts.select("c_mktsegment", "c_nationkey").distinct()
+    grid = (
+        qi.crossJoin(F.broadcast(glob))
+        .join(
+            counts,
+            ["c_mktsegment", "c_nationkey", "o_orderpriority"],
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "o_orderpriority",
+            "g",
+            "n_tot",
+            "k_dom",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n_tot",
+        "k_dom",
+        F.sum("c").over(wcum).cast("bigint").alias("ci"),
+        F.sum("g").over(wcum).cast("bigint").alias("gi"),
+        F.sum("c")
+        .over(Window.partitionBy("c_mktsegment", "c_nationkey"))
+        .cast("bigint")
+        .alias("n_grp"),
+    )
+    per_grp = cum.groupBy(
+        "c_mktsegment", "c_nationkey", "n_grp", "n_tot", "k_dom"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("n_tot").cast("decimal(38,0)") * F.col("ci")
+                - F.col("n_grp").cast("decimal(38,0)") * F.col("gi")
+            )
+        ).alias("t_num")
+    )
+    return per_grp.selectExpr(
+        "c_mktsegment",
+        "c_nationkey",
+        "n_grp AS n_orders",
+        "CASE WHEN k_dom < 2 OR n_grp = 0 THEN NULL"
+        " ELSE CAST((t_num * 1000000)"
+        " DIV ((k_dom - 1) * CAST(n_grp AS DECIMAL(38,0)) * n_tot)"
+        " AS BIGINT) END AS t_ppm",
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+ORACLE["t_closeness_audit"] = f"""
+    WITH counts AS ({_QI_SQL}),
+    gdist AS (
+      SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS g,
+             CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_tot,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k_dom
+      FROM counts GROUP BY o_orderpriority
+    ),
+    qi AS (SELECT DISTINCT c_mktsegment, c_nationkey FROM counts),
+    grid AS (
+      SELECT qi.c_mktsegment, qi.c_nationkey, gdist.o_orderpriority,
+             gdist.g, gdist.n_tot, gdist.k_dom,
+             CAST(COALESCE(x.c, 0) AS BIGINT) AS c
+      FROM qi CROSS JOIN gdist
+      LEFT JOIN counts x
+        ON x.c_mktsegment = qi.c_mktsegment
+       AND x.c_nationkey = qi.c_nationkey
+       AND x.o_orderpriority = gdist.o_orderpriority
+    ),
+    cum AS (
+      SELECT c_mktsegment, c_nationkey, n_tot, k_dom,
+             CAST(SUM(c) OVER (PARTITION BY c_mktsegment, c_nationkey
+                               ORDER BY o_orderpriority
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ci,
+             CAST(SUM(g) OVER (PARTITION BY c_mktsegment, c_nationkey
+                               ORDER BY o_orderpriority
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gi,
+             CAST(SUM(c) OVER (PARTITION BY c_mktsegment, c_nationkey)
+                  AS BIGINT) AS n_grp
+      FROM grid
+    ),
+    per_grp AS (
+      SELECT c_mktsegment, c_nationkey, n_grp, n_tot, k_dom,
+             SUM(ABS(CAST(n_tot AS HUGEINT) * ci
+                     - CAST(n_grp AS HUGEINT) * gi)) AS t_num
+      FROM cum
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_mktsegment, c_nationkey,
+           n_grp AS n_orders,
+           CASE WHEN k_dom < 2 OR n_grp = 0 THEN NULL
+                ELSE CAST((t_num * 1000000)
+                     // ((k_dom - 1) * CAST(n_grp AS HUGEINT) * n_tot)
+                     AS BIGINT) END AS t_ppm
+    FROM per_grp
+    ORDER BY c_mktsegment, c_nationkey
+"""

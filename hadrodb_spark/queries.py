@@ -230,6 +230,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   capture_recapture_dedup (dedup.py — Chapman coverage estimate from
 #   the LSH + SimHash catchers; lands MID-REGISTRY via the wholesale
 #   dedup register — collect BY NAME)
+#   l_diversity_audit, t_closeness_audit (pipeline16.py privacy tier —
+#   distinct/entropy l-diversity and ordinal-EMD t-closeness over the
+#   customer QI groups, completing k_anonymity_audit)
 _register(pipeline15)
 _register(pipeline16)
 # streamcheck's window register above is name-pinned, so the 9th

@@ -1069,3 +1069,151 @@ def test_capture_recapture_consistent_with_method_eval(spark, sf_dir):
         ) // (row.n_both + 1) - 1
     finally:
         shared.release_shared()
+
+
+# ----------------------------------------------------------- privacy audits
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+_SEGS = ["AUTO", "BUILDING"]
+
+
+def _write_orders_customers(spark, d, rows):
+    """rows: list of (custkey, seg_idx, nation, prio_idx); one order per
+    row, one customer per distinct custkey (seg/nation from first row)."""
+    seen = {}
+    for ck, s, n, _ in rows:
+        seen.setdefault(ck, (s, n))
+    spark.createDataFrame(
+        [
+            (i, ck, "O", 1.0, _EPOCH, _PRIORITIES[p])
+            for i, (ck, _, _, p) in enumerate(rows)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (ck, _SEGS[s], n, 0.0)
+            for ck, (s, n) in sorted(seen.items())
+        ],
+        "c_custkey LONG, c_mktsegment STRING, c_nationkey LONG,"
+        " c_acctbal DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "customer.parquet")
+    )
+
+
+def _qi_counts(rows):
+    seen = {}
+    for ck, s, n, _ in rows:
+        seen.setdefault(ck, (s, n))
+    cnt = Counter()
+    for ck, _, _, p in rows:
+        s, n = seen[ck]
+        cnt[(_SEGS[s], n, _PRIORITIES[p])] += 1
+    return cnt
+
+
+def _brute_ldiv(rows):
+    cnt = _qi_counts(rows)
+    groups = defaultdict(dict)
+    for (s, n, p), c in cnt.items():
+        groups[(s, n)][p] = c
+    n_groups = len(groups)
+    n_orders = sum(sum(g.values()) for g in groups.values())
+    dls, hs, below_rows = [], [], 0
+    below = 0
+    for g in groups.values():
+        ng = sum(g.values())
+        dl = len(g)
+        dls.append(dl)
+        h = sum(
+            (_r6(float(c) / float(ng) * math.log2(float(ng) / float(c))))
+            for c in g.values()
+        )
+        hs.append(h)
+        if dl < 3:
+            below += 1
+            below_rows += ng
+    return (
+        n_groups,
+        n_orders,
+        min(dls),
+        below,
+        float(min(hs)),
+        (below_rows * 1_000_000) // n_orders,
+    )
+
+
+_QI_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # custkey
+        st.integers(min_value=0, max_value=1),   # segment
+        st.integers(min_value=0, max_value=1),   # nation
+        st.integers(min_value=0, max_value=2),   # priority
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_QI_ROWS)
+def test_l_diversity_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline16 import l_diversity_audit
+
+    d = tmp_path_factory.mktemp("ldiv")
+    _write_orders_customers(spark, d, rows)
+    got = [tuple(r) for r in l_diversity_audit(spark, str(d)).collect()]
+    assert got == [_brute_ldiv(rows)]
+
+
+def _brute_tclose(rows):
+    cnt = _qi_counts(rows)
+    dom = sorted({p for (_, _, p) in cnt})
+    k = len(dom)
+    gmarg = {p: sum(c for (s, n, pp), c in cnt.items() if pp == p) for p in dom}
+    n_tot = sum(gmarg.values())
+    groups = sorted({(s, n) for (s, n, _) in cnt})
+    out = []
+    for s, n in groups:
+        gc = {p: cnt.get((s, n, p), 0) for p in dom}
+        ng = sum(gc.values())
+        ci = gi = 0
+        t_num = 0
+        for p in dom:
+            ci += gc[p]
+            gi += gmarg[p]
+            t_num += abs(n_tot * ci - ng * gi)
+        t = (
+            None
+            if k < 2 or ng == 0
+            else (t_num * 1_000_000) // ((k - 1) * ng * n_tot)
+        )
+        out.append((s, n, ng, t))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(rows=_QI_ROWS)
+def test_t_closeness_matches_bruteforce(spark, tmp_path_factory, rows):
+    from hadrodb_spark.operators.pipeline16 import t_closeness_audit
+
+    d = tmp_path_factory.mktemp("tclose")
+    _write_orders_customers(spark, d, rows)
+    got = [tuple(r) for r in t_closeness_audit(spark, str(d)).collect()]
+    assert got == _brute_tclose(rows)
+
+
+def test_t_closeness_identical_group_is_zero(spark, tmp_path_factory):
+    # a group whose distribution equals the global one has EMD exactly 0
+    from hadrodb_spark.operators.pipeline16 import t_closeness_audit
+
+    d = tmp_path_factory.mktemp("tclose0")
+    rows = [
+        (ck, sg, 0, p)
+        for sg in (0, 1)
+        for ck, p in [(0 + sg * 10, 0), (1 + sg * 10, 1), (2 + sg * 10, 2)]
+    ]
+    _write_orders_customers(spark, d, rows)
+    res = t_closeness_audit(spark, str(d)).collect()
+    assert all(r.t_ppm == 0 for r in res)
