@@ -51,13 +51,7 @@ def _trans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(spark, sf_dir)
 
 
-def _trans_sql() -> str:
-    from hadrodb_spark.operators.pipeline8 import TRANS_SQL
-
-    return TRANS_SQL
-
-
-_TRANS_SQL = _trans_sql()
+from hadrodb_spark.operators.pipeline8 import TRANS_SQL as _TRANS_SQL  # noqa: E402
 
 
 def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2023,10 +2017,12 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_groups_below_l"),
         F.min("h").cast("double").alias("min_entropy_bits"),
+        # exposed-rows·10⁶ wraps BIGINT past ~9.2e12 rows — the same
+        # DECIMAL(38,0)/HUGEINT routing as every other ppm in the module
         F.expr(
-            "CAST((SUM(CASE WHEN distinct_l <"
-            f" {_LDIV_MIN_L} THEN n_grp ELSE 0 END) * 1000000)"
-            " DIV SUM(n_grp) AS BIGINT)"
+            "CAST((CAST(SUM(CASE WHEN distinct_l <"
+            f" {_LDIV_MIN_L} THEN n_grp ELSE 0 END) AS DECIMAL(38,0))"
+            " * 1000000) DIV SUM(n_grp) AS BIGINT)"
         ).alias("exposed_rows_ppm"),
     )
 
@@ -2051,8 +2047,8 @@ ORACLE["l_diversity_audit"] = f"""
            CAST(SUM(CASE WHEN distinct_l < {_LDIV_MIN_L} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_groups_below_l,
            CAST(MIN(h) AS DOUBLE) AS min_entropy_bits,
-           CAST((SUM(CASE WHEN distinct_l < {_LDIV_MIN_L} THEN n_grp
-                          ELSE 0 END) * 1000000)
+           CAST((CAST(SUM(CASE WHEN distinct_l < {_LDIV_MIN_L} THEN n_grp
+                          ELSE 0 END) AS HUGEINT) * 1000000)
                 // SUM(n_grp) AS BIGINT) AS exposed_rows_ppm
     FROM grp
 """

@@ -122,20 +122,22 @@ def _manifest_head(path: str) -> tuple[int, dict[str, Any]]:
         head = versions[-1]
         try:
             with open(_manifest_v_path(path, head)) as f:
-                m = json.load(f)
+                raw = f.read()
         except FileNotFoundError:
-            # listed head GC'd between list and open (legacy unlink-GC
-            # directories) — re-list
+            # listed head unlinked between list and open (name-horizon
+            # GC or legacy unlink-GC directories) — re-list
             continue
-        except json.JSONDecodeError:
-            if os.path.getsize(_manifest_v_path(path, head)) == 0:
-                # listed head TOMBSTONED between list and open (possible
-                # only when ≥ _MANIFEST_KEEP commits landed in the
-                # window) — re-list
-                continue
-            # non-empty unparseable head = real corruption: fail fast
-            # rather than spinning in the re-list loop
-            raise
+        if raw == "":
+            # listed head TOMBSTONED between list and open (possible
+            # only when ≥ _MANIFEST_KEEP commits landed in the window)
+            # — re-list.  Classified from the CONTENT already read, not
+            # a second stat: a stat here races the same GC window again
+            # (review-caught TOCTOU).
+            continue
+        # non-empty unparseable head = real corruption: json.loads
+        # raises and we fail fast rather than spinning in the re-list
+        # loop
+        m = json.loads(raw)
         m.setdefault("segments", {})
         m.setdefault("clean", False)
         return head, m
@@ -182,14 +184,17 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
 
 def _gc_manifests(path: str, head: int) -> None:
     """Best-effort retention: TOMBSTONE superseded heads ≤ head−KEEP by
-    truncating them to empty — never unlink.  The version NAME must stay
-    occupied forever: put-if-absent (os.link / object-store
-    If-None-Match) succeeds again on a deleted name, so unlinking let a
-    writer stalled ≥ KEEP versions mid-CAS "commit" into a freed slot
-    BELOW the live head and silently lose its mutation (caught by
+    truncating them to empty, keeping the version NAME occupied for a
+    further _MANIFEST_NAME_KEEP versions: put-if-absent (os.link /
+    object-store If-None-Match) succeeds again on a deleted name, so
+    unlinking a recent name let a writer stalled ≥ KEEP versions mid-CAS
+    "commit" into a freed slot BELOW the live head and silently lose its
+    mutation (caught by
     test_manifest_cas.py::test_two_process_interleaved_commits_lose_nothing
     under process-scheduling skew).  A tombstoned name makes that late
-    link collide ⇒ the slow writer retries against the real head.
+    link collide ⇒ the slow writer retries against the real head; the
+    protection window is NAME_KEEP versions, after which the name is
+    reclaimed under the bounded-stall assumption below.
     Readers only ever open the listed MAX version, which is never
     tombstoned; the list-then-open window is handled by the re-list loop
     in _manifest_head (empty file ⇒ JSONDecodeError ⇒ re-list).
