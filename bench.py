@@ -178,6 +178,7 @@ HEADLINE = [
     "stream_late_drop_equivalence",
     "l_diversity_audit",
     "t_closeness_audit",
+    "ann_nprobe_recall_curve",
 ]
 
 

@@ -73,6 +73,13 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k within them. Centroids use EXACT decimal element sums (cast
     through DOUBLE so both engines round the same binary value), making the
     whole plan — including probe selection — DuckDB-oracle-checkable."""
+    return _ivf_topk(spark, sf_dir, nprobe=3)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The label-cell IVF plan with a parametric probe width — the 3-probe
+    instance IS ``vector_topk_ivf``; ``ann_nprobe_recall_curve`` sweeps
+    nprobe over the same certified plan."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
@@ -96,7 +103,7 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.crossJoin(F.broadcast(q))
         .select("label", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))
         .orderBy(F.col("c_sim").desc(), F.col("label"))
-        .limit(3)
+        .limit(nprobe)
         .select("label")
     )
     scored = (
@@ -687,6 +694,41 @@ _Q = f"(SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID})"
 
 ROWS_ONLY: tuple[str, ...] = ()
 
+def _ivf_sql(nprobe: int) -> str:
+    """THE label-cell IVF oracle template (shared by ``vector_topk_ivf``
+    at nprobe=3 and the curve below)."""
+    return f"""
+        WITH exploded AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos,
+                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM exploded GROUP BY label, pos
+        ),
+        centv AS (
+          SELECT label, array_agg(m ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID}),
+        probed AS (
+          SELECT label FROM centv, q
+          ORDER BY {V.sql_cosine('centroid', 'q_emb')} DESC, label
+          LIMIT {nprobe}
+        )
+        SELECT vec_id, label,
+               ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
+        FROM embeddings JOIN probed USING (label), q
+        WHERE vec_id <> {_QUERY_ID}
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {_TOPK}
+    """
+
+
+
 ORACLE: dict[str, str] = {
     # bound-checking oracle: the trained k-means partition is engine-
     # internal, so the oracle pins the ANN contract as two booleans —
@@ -739,35 +781,9 @@ ORACLE: dict[str, str] = {
         )
         WHERE cos_sim >= {_RANGE_TAU}
     """,
-    "vector_topk_ivf": f"""
-        WITH exploded AS (
-          SELECT label, UNNEST(embedding) AS v,
-                 UNNEST(generate_series(1, len(embedding))) AS pos
-          FROM embeddings
-        ),
-        cent AS (
-          SELECT label, pos,
-                 CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-                   / COUNT(*) AS m
-          FROM exploded GROUP BY label, pos
-        ),
-        centv AS (
-          SELECT label, array_agg(m ORDER BY pos) AS centroid
-          FROM cent GROUP BY label
-        ),
-        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID}),
-        probed AS (
-          SELECT label FROM centv, q
-          ORDER BY {V.sql_cosine('centroid', 'q_emb')} DESC, label
-          LIMIT 3
-        )
-        SELECT vec_id, label,
-               ROUND({V.sql_cosine('embedding', 'q.q_emb')}, 6) AS cos_sim
-        FROM embeddings JOIN probed USING (label), q
-        WHERE vec_id <> {_QUERY_ID}
-        ORDER BY cos_sim DESC, vec_id
-        LIMIT {_TOPK}
-    """,
+    # ONE template (_ivf_sql) shared with ann_nprobe_recall_curve so the
+    # certified text exists once
+    "vector_topk_ivf": _ivf_sql(3),
     "vector_topk_sq": f"""
         WITH exploded AS (
           SELECT vec_id, UNNEST(embedding) AS v,
@@ -1238,3 +1254,74 @@ ORACLE["vector_topk_filtered"] = f"""
     ORDER BY cos_sim DESC, vec_id
     LIMIT {_TOPK}
 """
+
+
+# --- nprobe recall curve --------------------------------------------------------
+
+_NPROBE_GRID = (1, 2, 4)
+
+
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe ↔ recall tuning curve for the label-cell IVF — THE knob
+    every IVF deployment turns: more probed cells buy recall with a
+    linearly larger scan, and the curve (not a single point) is what
+    decides the production setting.  ``ann_recall_audit`` reports one
+    recall per index SHAPE; this sweeps the probe width over the SAME
+    certified plan (nprobe 1/2/4 around vector_topk_ivf's 3).
+
+    Exactness: every branch is the fully-oracled ``_ivf_topk`` plan
+    (exact decimal centroids, rounded cosine, vec_id tiebreaks) and the
+    shared persisted brute-force truth; hits/recall are exact integers
+    (recall_ppm = 10⁶·hits DIV k).
+
+    Scale: each branch scans only nprobe/ncells of the corpus with a
+    broadcast probe set (the IVF contract); the truth costs ONE brute
+    scan via the shared registry; the curve is |grid| single-row
+    aggregates unioned.
+    """
+    truth = _shared_ann_truth(spark, sf_dir)
+    outs = []
+    for np_ in _NPROBE_GRID:
+        ann = _ivf_topk(spark, sf_dir, nprobe=np_).select("vec_id")
+        res = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_results"))
+        hits = ann.join(truth, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        outs.append(
+            res.crossJoin(F.broadcast(hits)).select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(_TOPK).cast("bigint").alias("k"),
+                "n_results",
+                "hits",
+                F.expr(f"CAST((1000000 * hits) DIV {_TOPK} AS BIGINT)")
+                .alias("recall_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("nprobe")
+
+
+def _nprobe_curve_oracle() -> str:
+    truth = ORACLE["vector_topk"]
+    blocks = []
+    for np_ in _NPROBE_GRID:
+        ivf = _ivf_sql(np_)
+        blocks.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+                   CAST({_TOPK} AS BIGINT) AS k,
+                   CAST((SELECT COUNT(*) FROM ({ivf}) __r) AS BIGINT)
+                     AS n_results,
+                   CAST(COUNT(*) AS BIGINT) AS hits,
+                   CAST((1000000 * COUNT(*)) // {_TOPK} AS BIGINT)
+                     AS recall_ppm
+            FROM (SELECT vec_id FROM ({ivf}) __m) a
+            JOIN (SELECT vec_id FROM ({truth}) __t) t USING (vec_id)"""
+        )
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks) + ") ORDER BY nprobe"
+    )
+
+
+ORACLE["ann_nprobe_recall_curve"] = _nprobe_curve_oracle()

