@@ -179,6 +179,9 @@ HEADLINE = [
     "l_diversity_audit",
     "t_closeness_audit",
     "ann_nprobe_recall_curve",
+    # round-10 additions — subtract for cross-round total comparisons;
+    # prefix subtotals stay comparable
+    "stream_left_join_equivalence",
 ]
 
 

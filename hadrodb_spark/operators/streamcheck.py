@@ -62,6 +62,44 @@ def _utc_pinned(fn):
     return wrapper
 
 
+_STATE_PARTITIONS = "8"
+
+
+def _state_pinned(fn):
+    """Run ``fn`` with ``spark.sql.shuffle.partitions`` pinned to a value
+    sized for the equivalence FIXTURES (save/restore, like ``_utc_pinned``).
+
+    Why: every stateful streaming operator allocates one state-store
+    instance per shuffle partition PER MICRO-BATCH, so a session default of
+    32 pays 32× state-store open/commit/snapshot overhead per batch even
+    though the fixture's state fits in a handful of partitions — measured
+    on ``stream_join_equivalence`` at sf0.1: 24.0 s @ 32 → 7.8 s @ 8.
+    Results are partition-count-invariant (hash-partitioned keyed state;
+    complete-mode tables and append-mode row sets don't depend on the
+    layout), so this changes WALL COST ONLY.  On a real cluster the same
+    knob is sized UP with executor count — what this pin right-sizes is
+    the certification fixture, not the 100 TB deployment.
+
+    Restore-at-return is safe for the same reason as ``_utc_pinned``: the
+    streaming run and the batch-side aggregation both execute eagerly
+    inside the wrapped body (``_drain`` / explicit collects)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, *args, **kwargs):
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, _STATE_PARTITIONS)
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return wrapper
+
+
 def _build_fixture(dest: str, build) -> None:
     """Run ``build(staging)`` then atomically publish staging → dest.
     Staging lives under gettempdir() like dest, so the rename never
@@ -141,6 +179,7 @@ def _build_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> None:
 
 
 @_utc_pinned
+@_state_pinned
 def stream_tumbling_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts computed by the STREAMING engine — file
     source (2 files per trigger ⇒ incremental state over ≥ 4 real
@@ -199,6 +238,7 @@ def _build_dup_stream_fixture(spark: SparkSession, sf_dir: str, dest: str) -> No
 
 
 @_utc_pinned
+@_state_pinned
 def stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup state proven against batch semantics: the fixture
     holds every event PLUS an exact duplicate of the even-id half in
@@ -293,6 +333,7 @@ def _build_session_stream_fixture(
 
 
 @_utc_pinned
+@_state_pinned
 def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window MERGE state proven against batch semantics — the
     hardest stateful path (sessions split across micro-batches must merge
@@ -349,6 +390,7 @@ ORACLE["stream_session_equivalence"] = """
 
 
 @_utc_pinned
+@_state_pinned
 def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join state proven against batch semantics:
     purchases within 1 hour AFTER a signup by the same user, both sides
@@ -371,7 +413,11 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _side(tp: str, prefix: str):
         return (
             spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", 2)
+            # 4 files/trigger ⇒ 3 micro-batches over the 9-file fixture —
+            # still genuinely cross-batch join state (the unit tier pins the
+            # exact multi-batch emission order); 2 was 5 batches at ~2× the
+            # engine-orchestration wall with no extra semantics certified
+            .option("maxFilesPerTrigger", 4)
             .parquet(fixture)
             .filter(F.col("event_type") == tp)
             .select(
@@ -429,6 +475,7 @@ ORACLE["stream_join_equivalence"] = """
 
 
 @_utc_pinned
+@_state_pinned
 def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARBITRARY stateful processing (``applyInPandasWithState`` — the
     escape hatch windowed aggregation can't express) proven against batch
@@ -519,6 +566,7 @@ def _build_sink_collection(spark: SparkSession, sf_dir: str, dest: str) -> None:
 
 
 @_utc_pinned
+@_state_pinned
 def stream_sink_collection_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -564,6 +612,7 @@ ORACLE["stream_sink_collection_equivalence"] = """
 
 
 @_utc_pinned
+@_state_pinned
 def stream_sliding_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OVERLAPPING-window state proven against batch semantics: with a
     2-hour window sliding every 30 minutes, each event must update FOUR
@@ -640,6 +689,7 @@ def _write_native_wave(spark, sf_dir: str, dest: str, parity: int) -> None:
 
 
 @_utc_pinned
+@_state_pinned
 def stream_hadrolog_source_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -771,6 +821,7 @@ _LATE_DELAY = "1 hour"
 
 
 @_utc_pinned
+@_state_pinned
 def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA DROP certified against batch semantics — the one
     watermark behavior the other streaming rows can't show (complete-mode
@@ -893,4 +944,142 @@ ORACLE["stream_late_drop_equivalence"] = """
     FROM kept
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+# --- stream-stream LEFT OUTER join (round-10) ----------------------------------
+def _build_louter_stream_fixture(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """Chronological 8-file replay of events (same time-range split the
+    session fixture uses — increasing mtimes ⇒ the file source replays in
+    event-time order, so nothing is ever late), plus TWO far-future
+    sentinels that arrive LAST: a signup (user −1, max ts + 10 d) and a
+    purchase (user −1, max ts + 20 d).  The left-outer row needs sentinels
+    on BOTH sides: each side's watermark tracks only the rows that pass
+    its own event_type filter, and null-extension flushes only when the
+    MIN of the two watermarks passes signup + window — the session
+    fixture's untyped 'sentinel' event advances neither."""
+
+    def build(staging: str) -> None:
+        import time as _time
+
+        ev = load(spark, sf_dir, "events").withColumn(
+            "_es", F.unix_timestamp("ts")
+        )
+        bounds = ev.select(
+            F.expr(
+                "percentile(_es, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+            ).alias("b"),
+            F.max("_es").alias("mx"),
+        ).collect()[0]
+        cuts = [float("-inf")] + [float(x) for x in bounds["b"]] + [float("inf")]
+        for i in range(8):
+            ev.filter(
+                (F.col("_es") >= cuts[i]) & (F.col("_es") < cuts[i + 1])
+            ).drop("_es").coalesce(1).write.mode("append").parquet(staging)
+            _time.sleep(0.05)  # strictly increasing file mtimes
+        for off_days, etype in ((10, "signup"), (20, "purchase")):
+            sentinel_ts = int(bounds["mx"]) + off_days * 24 * 3600
+            spark.createDataFrame(
+                [(10**9 + off_days, sentinel_ts, -1, etype, 0.0, "{}")],
+                "event_id long, es long, user_id long, event_type string,"
+                " value double, props string",
+            ).select(
+                "event_id",
+                F.timestamp_seconds("es").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            ).coalesce(1).write.mode("append").parquet(staging)
+            _time.sleep(0.05)
+
+    _build_fixture(dest, build)
+
+
+@_utc_pinned
+@_state_pinned
+def stream_left_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join state proven against batch semantics —
+    the one state shape the inner-join row can't certify: a signup with NO
+    purchase in its window must be held in the state store until the
+    combined watermark PROVES no match can still arrive, then emit exactly
+    once, null-extended.  Topology: both sides filtered from the same
+    chronological replay, 2-hour watermarks, purchases within 2 hours
+    AFTER the signup (``streaming.joins.left_outer_purchases`` — the unit
+    tier pins the exact out-of-order emission set in
+    tests/test_streaming_joins.py).
+
+    Eviction safety is the inner row's argument (chronological replay ⇒
+    every possible match is still ≥ watermark when its partner arrives);
+    completeness needs the two typed sentinels: the far-future signup and
+    purchase push BOTH sides' watermarks 10 days past every real signup's
+    horizon, so every real signup either matched earlier or null-extends
+    before the bounded run terminates.  The sentinel signup itself stays
+    inside its own horizon and must NOT emit (user −1 filtered batch-side
+    for belt and braces; the oracle sees only real events).
+
+    The batch oracle is the plain interval LEFT JOIN; output aggregates
+    per signup-hour with matched / null-extended splits so the hash pins
+    both emission paths.  Scale: join state is hash-partitioned by user
+    (the 100 TB shape); outer-state size is bounded by the watermark
+    horizon, not the corpus."""
+    from hadrodb_spark.streaming.joins import left_outer_purchases
+
+    fixture = _stream_events_dir(sf_dir) + "_louter"
+    if not os.path.isdir(fixture):
+        _build_louter_stream_fixture(spark, sf_dir, fixture)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        # 4 files/trigger ⇒ 3 micro-batches over the 10-file fixture (same
+        # rationale as the inner-join row; the sentinels still arrive last)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(fixture)
+    )
+    joined = left_outer_purchases(
+        stream.filter(F.col("event_type") == "signup"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "2 hours",
+    )
+    name = _run_bounded(spark, joined, "append")
+    out = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("signup_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("purchase_id").cast("bigint").alias("n_matched"),
+            F.countDistinct("signup_id").cast("bigint").alias("n_signups"),
+            F.sum(
+                F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unmatched"),
+        )
+    )
+    return _drain(spark, name, out).orderBy("signup_hour")
+
+
+ORACLE["stream_left_join_equivalence"] = """
+    WITH j AS (
+      SELECT s.event_id AS s_id, s.ts AS s_ts, p.event_id AS p_id
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = s.user_id
+       AND p.ts >= s.ts
+       AND p.ts <= s.ts + INTERVAL '2 hours'
+    )
+    SELECT strftime(date_trunc('hour', s_ts), '%Y-%m-%d %H:%M:%S')
+             AS signup_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(p_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(DISTINCT s_id) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+    FROM j
+    GROUP BY 1
+    ORDER BY signup_hour
 """

@@ -70,54 +70,87 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1-r8 CORRECTNESS key sets).  Cumulative driver coverage entering
-# round 9: 276/300 — every entry that existed at round-8 START has a
-# green row in some CORRECTNESS_r*.json; the 24 round-8 session-2
-# additions below have never been driver-verified.
+# r1-r9 CORRECTNESS key sets).  Cumulative driver coverage entering
+# round 10: 300/335 — every entry that existed at round-9 START has a
+# green row in some CORRECTNESS_r*.json; the 35 round-9 session-3
+# additions had never been driver-verified (the r9 judge's vanilla sim
+# passed all 35, but the bar is a green CORRECTNESS row).
 #
-# ROUND-9 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (VERDICT r8 task #1: rotate onto the 24 entries with no
-# green row in ANY CORRECTNESS_r1-r8, computed from the artifacts at r9
-# start — the set matches the round-8 verdict list exactly):
-#   [0-23]  the 24 never-driver-verified entries: similarity
-#           (ann_recall_audit, dim_truncation_recall), textops
-#           (rake_keywords), pipeline4 (hybrid_rrf_fusion), pipeline13
-#           (dsir_importance, bigram_xent), pipeline14 (the 10-query
-#           statistical-audit tier), streamcheck (the 8 streaming-
-#           equivalence rows).
-#   [24-49] re-checks leading with what round-9's own diffs touch: the
-#           full kv storage tier + both hadrolog rows (the cross-host
-#           conditional-put commit path and the exactly-once ingest
-#           fault drill rework collection.py / streaming/ingest.py this
-#           round), then the standing high-value greens (q1/q9/scan/
-#           dedup_near/dedup_exact/sessionize/curation_pipeline/
-#           vector_topk/source_ks_shift/project_columns).
+# ROUND-10 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (VERDICT r9 tasks #1 and #3):
+#   [0-35]  the 35 never-driver-verified entries (= registry minus the
+#           union of CORRECTNESS_r01-r09 keys, recomputed from the
+#           artifacts at r10 start — matches the r9 verdict list), plus
+#           stream_left_join_equivalence (task #3's new left-outer
+#           stream-stream equivalence row, landed BEFORE the freeze so
+#           it certifies inside this window).
+#   [36-49] re-checks leading with what round-9's refactors and
+#           round-10's own diffs touch: vector_topk_ivf +
+#           ann_recall_audit (r9 moved their oracle text into the shared
+#           _ivf_sql template), dedup_simhash + dedup_method_eval (r9
+#           factored the simhash builder into dedup._with_simhash) +
+#           dedup_near (round-10 task #4 touches dedup.py),
+#           anova_value_by_type (its shared float text changed in r9),
+#           the kv/manifest tier (round-10 fixes the three ADVICE items
+#           in collection.py's _manifest_head/_gc_manifests), and three
+#           streaming rows (round-10 pins state partitions on every
+#           streamcheck row and re-batches the join fixtures).
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  New round-9 queries register BELOW the window (round-10
-# queue), same procedure as rounds 3-8.  After a green r9 the cumulative
-# driver coverage is 300/300 — every registry entry certified at least
-# once.
-_register(similarity, only=["ann_recall_audit", "dim_truncation_recall"])
-_register(textops, only=["rake_keywords"])
-_register(pipeline4, only=["hybrid_rrf_fusion"])
-_register(pipeline13)   # dsir_importance, bigram_xent
-_register(pipeline14)   # chisq / mannwhitney / cusum / benford / KM /
-#                         theil-sen / cohens-d / permutation / mcnemar /
-#                         spearman — the statistical-audit tier
+# OF THIS ROUND.  New round-10 queries register BELOW the window
+# (round-11 queue), same procedure as rounds 3-9.  After a green r10 the
+# cumulative driver coverage is 336/336 — every registry entry certified
+# at least once.
+_register(pipeline15, only=[
+    "kruskal_wallis_value", "kendall_tau_censored",
+    "levene_variance_homogeneity", "conformal_coverage_audit",
+    "embedding_pair_cosine_hist", "cochran_q_gates", "readability_flesch",
+    "jackknife_source_sensitivity", "autocorr_lag_grid", "gate_phi_matrix",
+    "mixture_ess",
+])
+_register(pipeline16, only=[
+    "bowker_symmetry", "markov_entropy_rate", "mann_kendall_trend",
+    "runs_test_updown", "cramers_v_priority_status", "welch_t_value",
+    "quantile_profile_sources", "token_budget_pack",
+    "seasonal_strength_weekly", "hill_tail_alpha", "hurst_rescaled_range",
+    "changepoint_binseg", "cochran_armitage_trend",
+    "markov_absorbing_funnel", "l_diversity_audit", "t_closeness_audit",
+])
+_register(similarity, only=["vector_topk_filtered", "ann_nprobe_recall_curve"])
+_register(graph, only=[
+    "graph_degree_assortativity", "graph_kcore",
+    "graph_clustering_coefficient", "graph_adamic_adar_topk",
+])
+_register(dedup, only=["capture_recapture_dedup"])
 _register(streamcheck, only=[
-    # the 8 round-8 streaming-equivalence rows, PINNED BY NAME so later
-    # streamcheck additions cannot shift positions inside the frozen
-    # round-9 window (they register at the bottom instead)
-    "stream_tumbling_equivalence",
+    "stream_late_drop_equivalence", "stream_left_join_equivalence",
+])
+# positions 36-49: re-checks (see header note)
+_register(similarity, only=["vector_topk_ivf", "ann_recall_audit"])
+_register(dedup, only=["dedup_simhash", "dedup_method_eval", "dedup_near"])
+_register(pipeline12, only=["anova_value_by_type"])
+_register(kv, only=[
+    "kv_get_latest", "kv_count", "kv_history", "compact_equivalence",
+    "kv_merge_equivalence",
+])
+_register(streamcheck, only=[
+    "stream_join_equivalence", "stream_tumbling_equivalence",
+    "stream_sink_collection_equivalence",
+])
+# --- verified tiers (after the window; every entry below has a green row
+# in some CORRECTNESS_r1-r9) ---
+_register(pipeline13)  # dsir_importance, bigram_xent
+_register(pipeline14)  # the r8 statistical-audit tier
+_register(streamcheck, only=[
+    # the remaining round-8/9 streaming-equivalence rows (name-pinned so
+    # future streamcheck additions register at the bottom, never here)
     "stream_dedup_equivalence",
     "stream_session_equivalence",
-    "stream_join_equivalence",
     "stream_custom_state_equivalence",
-    "stream_sink_collection_equivalence",
     "stream_sliding_equivalence",
     "stream_hadrolog_source_equivalence",
 ])
-# positions 24-49: re-checks (see header note)
+_register(textops, only=["rake_keywords"])
+_register(pipeline4, only=["hybrid_rrf_fusion"])
 _register(kv, only=[
     "kv_history", "kv_time_travel", "kv_snapshot_diff",
     "kv_merge_equivalence", "kv_optimize_equivalence",
@@ -137,8 +170,6 @@ _register(sessionize, only=["sessionize"])
 _register(pipeline2, only=["curation_pipeline"])
 _register(similarity, only=["vector_topk"])
 _register(pipeline7, only=["source_ks_shift"])
-# --- verified tiers (after the window; every entry below has a green row
-# in some CORRECTNESS_r1-r7) ---
 _register(pipeline8)   # PSI drift, k-anonymity, embargo split, PCA, Markov
 _register(pipeline9)   # dow seasonality, winsorize, Gini/HHI, MI, upsample
 _register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
@@ -146,10 +177,6 @@ _register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
 _register(pipeline11)  # FK integrity, cohort LTV, vocab overlap,
 #                        user entropy, exact rolling actives
 _register(pipeline12)  # revenue Pareto, one-way ANOVA, ship-lag percentiles
-_register(kv, only=[
-    "kv_time_travel", "kv_snapshot_diff", "kv_merge_equivalence",
-    "kv_optimize_equivalence", "kv_export_import_roundtrip", "kv_history",
-])
 _register(textops, only=["ngram_novelty"])
 _register(nativefmt, only=[
     "csv_roundtrip_scan", "xml_roundtrip_scan", "jsonl_roundtrip_scan",
@@ -173,7 +200,6 @@ _register(relational2, only=["profile_columns"])
 _register(dedup)
 _register(components)
 _register(similarity)
-_register(pipeline5)
 _register(kv)
 _register(textops)
 _register(pipeline2)
@@ -188,63 +214,11 @@ _register(pipeline4)
 _register(relational4)
 _register(relational)
 _register(relational2)
-_register(pipeline7)  # round-6 queue, session-3 additions
-# --- ROUND-10 QUEUE marker: the old round-9 queue (the 24 entries) was
-# rotated INTO the round-9 window above.  New round-9 queries register
-# from here DOWN; collect them BY NAME at round-10 start (same
-# procedure: `name in queries.QUERIES` guards collisions).
-# Round-10 queue so far:
-#   vector_topk_filtered (similarity.py — filtered vector search with
-#   plan-pinned label pushdown; lands MID-REGISTRY via the wholesale
-#   similarity register — collect BY NAME)
-#   kruskal_wallis_value, kendall_tau_censored,
-#   levene_variance_homogeneity, conformal_coverage_audit,
-#   embedding_pair_cosine_hist (pipeline15.py — statistical-audit
-#   tier 2: k-group rank ANOVA, grid-based tau-b concordance,
-#   variance-homogeneity gate, split-conformal calibration audit,
-#   embedding-collapse diagnostic)
-#   cochran_q_gates, readability_flesch, jackknife_source_sensitivity,
-#   autocorr_lag_grid (pipeline15.py batch 2 — k-gate paired test,
-#   Flesch readability gate, leave-one-source-out mean sensitivity,
-#   7-lag ACF profile)
-#   graph_degree_assortativity, graph_kcore (graph.py — degree-mixing
-#   Pearson + unrolled 3-core peeling; land MID-REGISTRY via the
-#   wholesale graph register — collect BY NAME)
-#   gate_phi_matrix, mixture_ess (pipeline15.py batch 3 — gate-redundancy
-#   phi coefficients, effective-sample-size weighting audit)
-#   bowker_symmetry, markov_entropy_rate, mann_kendall_trend,
-#   runs_test_updown, cramers_v_priority_status, welch_t_value,
-#   quantile_profile_sources, token_budget_pack (pipeline16.py —
-#   statistical-audit tier 3 + curation: transition-matrix symmetry /
-#   predictability, calendar-grid trend + runs tests, categorical effect
-#   size, unequal-variance t, per-source quantile drift profile, greedy
-#   token-budget packing)
-#   graph_clustering_coefficient, graph_adamic_adar_topk (graph.py —
-#   triangle-density ppm + link prediction; land MID-REGISTRY via the
-#   wholesale graph register — collect BY NAME)
-#   seasonal_strength_weekly, hill_tail_alpha, hurst_rescaled_range,
-#   changepoint_binseg, cochran_armitage_trend, markov_absorbing_funnel
-#   (pipeline16.py batches 3-4 — STL strength over the certified
-#   decompose, Hill tail index, R/S long-memory, 2-level binary
-#   segmentation, ordered-proportion trend, absorbing-chain funnel)
-#   capture_recapture_dedup (dedup.py — Chapman coverage estimate from
-#   the LSH + SimHash catchers; lands MID-REGISTRY via the wholesale
-#   dedup register — collect BY NAME)
-#   l_diversity_audit, t_closeness_audit (pipeline16.py privacy tier —
-#   distinct/entropy l-diversity and ordinal-EMD t-closeness over the
-#   customer QI groups, completing k_anonymity_audit)
-#   ann_nprobe_recall_curve (similarity.py — nprobe↔recall tuning sweep
-#   over the certified label-cell IVF plan; lands MID-REGISTRY via the
-#   wholesale similarity register — collect BY NAME)
 _register(pipeline15)
 _register(pipeline16)
-# streamcheck's window register above is name-pinned, so the 9th
-# streaming row lands HERE (round-10 queue):
-#   stream_late_drop_equivalence — watermark late-data drop + cross-
-#   restart dedup state, the one watermark behavior complete-mode rows
-#   can't certify
-_register(streamcheck, only=["stream_late_drop_equivalence"])
-
+# --- ROUND-11 QUEUE marker: new round-10 queries register from here
+# DOWN; collect them BY NAME at round-11 start (same procedure:
+# `name in queries.QUERIES` guards collisions). ---
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
