@@ -114,7 +114,24 @@ def _manifest_versions(path: str) -> list[int]:
 def _manifest_head(path: str) -> tuple[int, dict[str, Any]]:
     """(head version, manifest) — falls back to the legacy unversioned
     ``_hadro_manifest.json`` (collections written before the CAS protocol)
-    and finally to the empty manifest at version −1."""
+    and finally to the empty manifest at version −1.
+
+    Recovery classification (every branch must either make PROGRESS —
+    a strictly newer listing — or fail loudly; an unbounded re-list
+    loop on a durably bad head would hang every reader and writer):
+
+    - listed head missing on open ⇒ name-horizon GC reclaimed it ⇒
+      a newer head exists ⇒ re-list;
+    - listed head EMPTY ⇒ normally a tombstone racing the list-then-open
+      window (a newer head exists ⇒ re-list) — but if the SAME version is
+      still the listed max on the next pass, the head is DURABLY empty
+      (a torn publish: pre-fsync writers could crash between page-cache
+      write and durability) and we raise instead of spinning;
+    - listed head non-empty but unparseable ⇒ either the truncate-in-
+      place GC caught our multi-buffer read mid-file (then a newer head
+      exists ⇒ re-list) or the head itself is corrupt (still the listed
+      max ⇒ raise)."""
+    empty_seen: int | None = None
     while True:
         versions = _manifest_versions(path)
         if not versions:
@@ -128,16 +145,36 @@ def _manifest_head(path: str) -> tuple[int, dict[str, Any]]:
             # GC or legacy unlink-GC directories) — re-list
             continue
         if raw == "":
-            # listed head TOMBSTONED between list and open (possible
-            # only when ≥ _MANIFEST_KEEP commits landed in the window)
-            # — re-list.  Classified from the CONTENT already read, not
-            # a second stat: a stat here races the same GC window again
-            # (review-caught TOCTOU).
+            # Usually: listed head TOMBSTONED between list and open
+            # (possible only when ≥ _MANIFEST_KEEP commits landed in the
+            # window) — re-list.  Classified from the CONTENT already
+            # read, not a second stat: a stat here races the same GC
+            # window again (review-caught TOCTOU).  But GC only ever
+            # truncates versions ≤ head−KEEP, never the max — so the
+            # same version listed as max TWICE while empty is a torn
+            # publish (crash before durability), not a race: raise.
+            if empty_seen == head:
+                raise HadroError(
+                    f"manifest head v{head} at {path} is durably empty "
+                    "(torn publish) — repair by removing the empty "
+                    f"{_MANIFEST_V_PREFIX}{head}.json"
+                )
+            empty_seen = head
             continue
-        # non-empty unparseable head = real corruption: json.loads
-        # raises and we fail fast rather than spinning in the re-list
-        # loop
-        m = json.loads(raw)
+        try:
+            m = json.loads(raw)
+        except json.JSONDecodeError:
+            # A truncate-in-place GC can catch a multi-buffer read of a
+            # SUPERSEDED head mid-file, yielding a torn non-empty prefix
+            # — then a newer head must exist (GC implies its publisher's
+            # head > this version): re-list.  If this version is STILL
+            # the listed max, no GC can have touched it — genuinely
+            # corrupt content: fail fast rather than spin.
+            if _manifest_versions(path)[-1:] == [head]:
+                raise HadroError(
+                    f"corrupt manifest head v{head} at {path}"
+                ) from None
+            continue
         m.setdefault("segments", {})
         m.setdefault("clean", False)
         return head, m
@@ -169,6 +206,12 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
         )
         with open(tmp, "w") as f:
             json.dump(m, f)
+            # durability BEFORE publish: without the fsync a crash/power
+            # loss after os.link could surface a zero-byte (or torn) max
+            # version — the one state _manifest_head treats as fatal.
+            # With it, a published name always has its full content.
+            f.flush()
+            os.fsync(f.fileno())
         try:
             os.link(tmp, target)
         except FileExistsError:
@@ -197,7 +240,10 @@ def _gc_manifests(path: str, head: int) -> None:
     reclaimed under the bounded-stall assumption below.
     Readers only ever open the listed MAX version, which is never
     tombstoned; the list-then-open window is handled by the re-list loop
-    in _manifest_head (empty file ⇒ JSONDecodeError ⇒ re-list).
+    in _manifest_head (tombstoned head ⇒ ``raw == ""`` check ⇒ re-list;
+    a truncate racing a reader's multi-buffer read can also yield a torn
+    non-empty prefix ⇒ JSONDecodeError ⇒ re-list, fatal only if the
+    version is still the listed max).
 
     Tombstone names are themselves reclaimed once they fall
     _MANIFEST_NAME_KEEP (= 64× the content window) behind the head — the

@@ -27,6 +27,7 @@ import pytest
 
 from hadrodb_spark.sources.collection import (
     _MANIFEST_KEEP,
+    HadroError,
     _cas_update_manifest,
     _manifest_head,
     _manifest_v_path,
@@ -253,3 +254,86 @@ def test_tombstoned_slots_stay_occupied(tmp_path):
             assert os.path.getsize(p) == 0, (v, "should be tombstoned")
         elif v == versions[-1]:
             assert os.path.getsize(p) > 0
+
+
+# --- round-10 ADVICE: bounded recovery in _manifest_head ---------------------
+def _seed(tmp_path, version: int, content: str) -> str:
+    path = str(tmp_path)
+    with open(_manifest_v_path(path, version), "w") as f:
+        f.write(content)
+    return path
+
+
+def test_durably_empty_head_raises_not_hangs(tmp_path):
+    """A zero-byte MAX version with no newer head is a torn publish (crash
+    between page-cache write and durability on a pre-fsync writer), not a
+    GC race — the old code re-listed forever; now it must raise."""
+    path = _seed(tmp_path, 3, "")
+    with pytest.raises(HadroError, match="durably empty"):
+        _manifest_head(path)
+
+
+def test_empty_head_superseded_during_relist_recovers(tmp_path):
+    """The legitimate tombstone race: the listing shows v3 (just truncated
+    by GC), the re-list shows the newer v4 — the reader must recover to
+    v4, never raise.  Simulated by monkeypatching the listing sequence."""
+    import hadrodb_spark.sources.collection as C
+
+    path = _seed(tmp_path, 3, "")
+    with open(_manifest_v_path(path, 4), "w") as f:
+        json.dump({"commits": 7, "segments": {}, "clean": True}, f)
+    real, calls = C._manifest_versions, []
+
+    def racy(p):
+        calls.append(1)
+        return [3] if len(calls) == 1 else real(p)
+
+    C._manifest_versions = racy
+    try:
+        head, m = _manifest_head(path)
+    finally:
+        C._manifest_versions = real
+    assert head == 4 and m["commits"] == 7
+
+
+def test_corrupt_nonempty_head_raises(tmp_path):
+    """Non-empty unparseable MAX version = real corruption (no GC can have
+    touched the max): fail fast with HadroError, not JSONDecodeError."""
+    path = _seed(tmp_path, 5, '{"commits": 2, "segm')
+    with pytest.raises(HadroError, match="corrupt manifest head"):
+        _manifest_head(path)
+
+
+def test_torn_read_of_superseded_head_recovers(tmp_path):
+    """The truncate-in-place GC can catch a reader's multi-buffer read of a
+    SUPERSEDED head mid-file (torn non-empty JSON prefix).  Then a newer
+    head exists by construction — the reader must re-list and recover,
+    not treat the tear as corruption."""
+    import hadrodb_spark.sources.collection as C
+
+    path = _seed(tmp_path, 3, '{"commits": 2, "segm')
+    with open(_manifest_v_path(path, 4), "w") as f:
+        json.dump({"commits": 9, "segments": {}, "clean": False}, f)
+    real, calls = C._manifest_versions, []
+
+    def racy(p):
+        calls.append(1)
+        return [3] if len(calls) == 1 else real(p)
+
+    C._manifest_versions = racy
+    try:
+        head, m = _manifest_head(path)
+    finally:
+        C._manifest_versions = real
+    assert head == 4 and m["commits"] == 9
+
+
+def test_published_head_is_durable_nonempty(tmp_path):
+    """The publish path fsyncs BEFORE os.link — every published version
+    name must have full JSON content the moment it is visible."""
+    path = str(tmp_path)
+    _cas_update_manifest(path, lambda m: m.__setitem__("commits", 1))
+    for v in _manifest_versions(path):
+        assert os.path.getsize(_manifest_v_path(path, v)) > 0
+        with open(_manifest_v_path(path, v)) as f:
+            json.load(f)
