@@ -596,6 +596,52 @@ def test_kcore_cascade_needs_iteration(spark, tmp_path_factory):
     assert tuple(row) == (3, 4, 4, 6, 3, True)
 
 
+def test_kcore_convergent_beats_fixed_unroll_on_deep_fuse(spark, tmp_path_factory):
+    """Planted graph whose peel depth EXCEEDS the 4 unrolled rounds
+    (r9 VERDICT task #6): K4 core {1..4} plus a 6-node fuse 11..16 where
+    node 11 starts at degree 2 and each removal drops exactly the next
+    fuse node below k=3 — one node per round, 6 removal rounds.  The
+    unrolled entry must honestly report converged=False with an
+    over-counted core; ``graph_kcore_convergent`` must return the true
+    3-core (exactly the K4) with converged=True."""
+    from hadrodb_spark.operators.graph import graph_kcore, graph_kcore_convergent
+
+    d = tmp_path_factory.mktemp("kdeep")
+    _write_lineitem_graph(
+        spark,
+        d,
+        # K4 + chain edges x_i—x_{i+1} + each x_i—1 (so deg(x_i)=3 while
+        # x_{i-1} lives) + the chain-end anchor 16—2 (so the fuse can only
+        # peel from the 11 end, one node per round)
+        [[1, 2, 3, 4],
+         [11, 12], [12, 13], [13, 14], [14, 15], [15, 16],
+         [11, 1], [12, 1], [13, 1], [14, 1], [15, 1], [16, 1],
+         [16, 2]],
+    )
+    (u,) = graph_kcore(spark, str(d)).collect()
+    # 4 peels remove only 11..14; 16 still has degree 3 ⇒ over-counted,
+    # and the flag surfaces it
+    assert u["converged"] is False and u["n_core_nodes"] > 4
+    (c,) = graph_kcore_convergent(spark, str(d)).collect()
+    assert tuple(c) == (3, 7, 4, 6, 3, True)
+
+
+def test_kcore_convergent_agrees_with_unroll_when_converged(spark, tmp_path_factory):
+    """On a fixture the unroll converges on, both variants must agree on
+    every field except the rounds counter."""
+    from hadrodb_spark.operators.graph import graph_kcore, graph_kcore_convergent
+
+    d = tmp_path_factory.mktemp("kagree")
+    _write_lineitem_graph(
+        spark, d, [[1, 2, 3, 4], [4, 20], [20, 21], [20, 22]]
+    )
+    (u,) = graph_kcore(spark, str(d)).collect()
+    (c,) = graph_kcore_convergent(spark, str(d)).collect()
+    assert u["converged"] is True and c["converged"] is True
+    for f in ("k", "n_core_nodes", "n_core_edges", "min_core_degree"):
+        assert u[f] == c[f]
+
+
 def test_assortativity_star_vs_ring(spark, tmp_path_factory):
     from hadrodb_spark.operators.graph import graph_degree_assortativity
 
