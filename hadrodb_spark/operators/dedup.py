@@ -868,31 +868,52 @@ def capture_recapture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _with_simhash(_with_near_dups(spark, sf_dir)).select(
         "doc_id", "simhash"
     )
-    sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    simpairs = sa.join(
-        sb, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-
-    caught1 = truth.join(cand, ["id_a", "id_b"], "left_semi")
-    caught2 = truth.join(simpairs, ["id_a", "id_b"], "left_semi")
-    both = caught1.join(caught2, ["id_a", "id_b"], "left_semi")
+    # TRUTH-SIDED simhash catch (r9 VERDICT task #4): the old form
+    # materialized the FULL simhash-collision self-join before the truth
+    # semi-join — with only 2^16 simhash buckets that pair set grows
+    # ~|docs|²/2^16, the one superlinear term of the sf1 rehearsal
+    # (13.9 s warm, 7.0× sf0.1→sf1.0).  A truth pair is simhash-caught
+    # iff BOTH its ids carry a signature and the signatures are equal, so
+    # two doc_id equi-joins against the per-doc relation + an equality
+    # filter produce the IDENTICAL caught set (truth already has
+    # id_a < id_b by construction) with linear cost: no collision pair
+    # outside the truth set is ever formed.
+    # ONE pass computes all four counts: per-truth-pair catch FLAGS (left
+    # joins preserve every truth row), then a single aggregate.  The old
+    # crossJoin-of-four-aggregates form evaluated cand and sim TWICE each
+    # (each agg is an independent subtree) — at sf1 that alone was ~half
+    # the 14.9 s wall; this form is one evaluation of each and one job.
+    flags = (
+        truth.join(
+            sim.select(
+                F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            sim.select(
+                F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb")
+            ),
+            "id_b",
+            "left",
+        )
+        .withColumn("c_sim", F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+        .join(
+            cand.withColumn("c_lsh", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .withColumn("c_lsh", F.coalesce(F.col("c_lsh"), F.lit(0)))
+    )
     return (
-        caught1.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
-        .crossJoin(
-            F.broadcast(
-                caught2.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_actual"))
-            )
+        flags.agg(
+            F.coalesce(F.sum("c_lsh"), F.lit(0)).cast("bigint").alias("n_lsh"),
+            F.coalesce(F.sum("c_sim"), F.lit(0))
+            .cast("bigint")
+            .alias("n_simhash"),
+            F.coalesce(F.sum(F.col("c_lsh") * F.col("c_sim")), F.lit(0))
+            .cast("bigint")
+            .alias("n_both"),
+            F.count(F.lit(1)).cast("bigint").alias("n_actual"),
         )
         .selectExpr(
             "n_lsh",
