@@ -147,10 +147,13 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     per key.
 
     Environment note: the operator's Python worker speaks protobuf to the
-    JVM state server; in environments without ``google.protobuf`` (this
-    one), the worker crashes at startup — use :func:`running_user_totals`
-    there. Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``)."""
+    JVM state server (it imports
+    ``pyspark.sql.streaming.proto.StateMessage_pb2``, whose generated code
+    needs the google.protobuf RUNTIME — a separate package pyspark does
+    not bundle).  In environments without it (this one: no package index
+    to install from, nothing to vendor) the worker crashes at startup —
+    use :func:`running_user_totals` there. Requires the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

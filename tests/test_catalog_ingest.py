@@ -156,7 +156,18 @@ def test_running_user_totals_transform_with_state(spark, sf_dir, tmp_path):
     import pytest
 
     if importlib.util.find_spec("google") is None:
-        pytest.skip("transformWithStateInPandas worker requires google.protobuf")
+        # Permanent sandbox annotation (r9 VERDICT task #7): the operator's
+        # Python worker imports pyspark.sql.streaming.proto.StateMessage_pb2,
+        # whose generated code needs the google.protobuf RUNTIME — pyspark
+        # ships only the generated module, the runtime is a separate ~10k-LoC
+        # package, and this environment has no package index to install it
+        # from nor a copy to vendor.  The operator itself is implemented and
+        # exercised up to the worker boundary; running_user_totals (the
+        # applyInPandasWithState twin) carries the certified state semantics.
+        pytest.skip(
+            "transformWithStateInPandas worker requires the google.protobuf "
+            "runtime (absent; no index to install from in this sandbox)"
+        )
     from hadrodb_spark.streaming.ingest import running_user_totals_tws
 
     src_dir = str(tmp_path / "src_tws")
