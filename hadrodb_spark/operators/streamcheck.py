@@ -483,8 +483,12 @@ ORACLE["stream_join_equivalence"] = """
 
 
 @_utc_pinned
-@_state_pinned
 def stream_custom_state_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT @_state_pinned: this row's cost is the PANDAS workers folding
+    # per-user state, not state-store open/commit — fewer partitions just
+    # starve the worker pool (measured sf1: ~36 s @8 vs ~29 s @32;
+    # sf0.1: 7.8 s @8 vs 6.6 s @32) — the opposite trade of the
+    # JVM-state rows above.
     """ARBITRARY stateful processing (``applyInPandasWithState`` — the
     escape hatch windowed aggregation can't express) proven against batch
     semantics: the per-user running counter emits an updated snapshot
@@ -697,10 +701,13 @@ def _write_native_wave(spark, sf_dir: str, dest: str, parity: int) -> None:
 
 
 @_utc_pinned
-@_state_pinned
 def stream_hadrolog_source_equivalence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # NOT @_state_pinned: this row is STATELESS (source → parquet sink
+    # passthrough) — there are no state stores to right-size, and fewer
+    # shuffle partitions only shrink the wave-write parallelism
+    # (measured sf1: ~29 s @8 vs ~16 s @32).
     """The NATIVE-FORMAT streaming source under the hash gate: events live
     in the reference's on-disk segment log (tombstoned 'error' rows
     included), and the hadrolog stream reader consumes them across a

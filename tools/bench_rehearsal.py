@@ -61,6 +61,8 @@ DEFAULT = [
     "quantile_profile_sources",
     "graph_adamic_adar_topk",
     "token_budget_pack",
+    # round-10 addition: the 10th streaming row (left-outer join state)
+    "stream_left_join_equivalence",
 ]
 
 
