@@ -430,16 +430,21 @@ def kcore_converged(
             deg.filter(F.col("deg") >= k).select("n").localCheckpoint()
         )
         n_nodes = keep.count()
+        rounds += 1
+        if prev_nodes is not None and n_nodes == prev_nodes:
+            # fixpoint detected BEFORE the edge recompute: the keep set
+            # equals last round's, and edges were already filtered by
+            # that exact set — re-filtering would be a provably no-op
+            # pair of semi-joins + a checkpoint job (review finding; on
+            # a large graph the final round is the most expensive one)
+            converged = True
+            break
         edges = (
             edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint()
         )
-        rounds += 1
-        if prev_nodes is not None and n_nodes == prev_nodes:
-            converged = True
-            break
         prev_nodes = n_nodes
     return edges, rounds, converged
 

@@ -295,47 +295,72 @@ ORACLE["stream_dedup_equivalence"] = """
 """
 
 
+def _write_chronological_splits(spark: SparkSession, sf_dir: str, staging: str) -> int:
+    """events split into 8 TIME-RANGE files written in event-time order
+    (increasing mtimes ⇒ the file source replays them chronologically, so
+    no record is ever late for the watermark).  Shared by the session and
+    left-outer-join fixture builders — the split count / ordering trick /
+    mtime spacing MUST stay identical between them (review finding: two
+    verbatim copies would silently desynchronize).  Returns max event-time
+    epoch seconds, from which callers derive their sentinel times."""
+    import time as _time
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_es", F.unix_timestamp("ts")
+    )
+    bounds = ev.select(
+        F.expr(
+            "percentile(_es, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("b"),
+        F.max("_es").alias("mx"),
+    ).collect()[0]
+    cuts = [float("-inf")] + [float(x) for x in bounds["b"]] + [float("inf")]
+    for i in range(8):
+        ev.filter(
+            (F.col("_es") >= cuts[i]) & (F.col("_es") < cuts[i + 1])
+        ).drop("_es").coalesce(1).write.mode("append").parquet(staging)
+        _time.sleep(0.05)  # strictly increasing file mtimes
+    return int(bounds["mx"])
+
+
+def _append_sentinel_event(
+    spark: SparkSession,
+    staging: str,
+    event_id: int,
+    es: int,
+    event_type: str,
+) -> None:
+    """One sentinel event (user −1) as its own last-mtime parquet file."""
+    import time as _time
+
+    spark.createDataFrame(
+        [(event_id, es, -1, event_type, 0.0, "{}")],
+        "event_id long, es long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("es").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("append").parquet(staging)
+    _time.sleep(0.05)
+
+
 def _build_session_stream_fixture(
     spark: SparkSession, sf_dir: str, dest: str
 ) -> None:
-    """events split into 8 TIME-RANGE files written in event-time order
-    (increasing mtimes ⇒ the file source replays them chronologically, so
-    no record is ever late for the watermark), plus one far-future
-    sentinel event (user_id = −1, max ts + 10 days) whose arrival
-    advances the watermark past every real session's end — the standard
-    trick for draining session state from a bounded replay."""
+    """Chronological 8-file replay plus one far-future sentinel event
+    (user_id = −1, max ts + 10 days) whose arrival advances the watermark
+    past every real session's end — the standard trick for draining
+    session state from a bounded replay."""
 
     def build(staging: str) -> None:
-        import time as _time
-
-        ev = load(spark, sf_dir, "events").withColumn(
-            "_es", F.unix_timestamp("ts")
+        mx = _write_chronological_splits(spark, sf_dir, staging)
+        _append_sentinel_event(
+            spark, staging, 10**9, mx + 10 * 24 * 3600, "sentinel"
         )
-        bounds = ev.select(
-            F.expr(
-                "percentile(_es, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
-            ).alias("b"),
-            F.max("_es").alias("mx"),
-        ).collect()[0]
-        cuts = [float("-inf")] + [float(x) for x in bounds["b"]] + [float("inf")]
-        for i in range(8):
-            ev.filter(
-                (F.col("_es") >= cuts[i]) & (F.col("_es") < cuts[i + 1])
-            ).drop("_es").coalesce(1).write.mode("append").parquet(staging)
-            _time.sleep(0.05)  # strictly increasing file mtimes
-        sentinel_ts = int(bounds["mx"]) + 10 * 24 * 3600
-        spark.createDataFrame(
-            [(10**9, sentinel_ts, -1, "sentinel", 0.0, "{}")],
-            "event_id long, es long, user_id long, event_type string,"
-            " value double, props string",
-        ).select(
-            "event_id",
-            F.timestamp_seconds("es").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        ).coalesce(1).write.mode("append").parquet(staging)
 
     _build_fixture(dest, build)
 
@@ -977,38 +1002,12 @@ def _build_louter_stream_fixture(
     fixture's untyped 'sentinel' event advances neither."""
 
     def build(staging: str) -> None:
-        import time as _time
-
-        ev = load(spark, sf_dir, "events").withColumn(
-            "_es", F.unix_timestamp("ts")
-        )
-        bounds = ev.select(
-            F.expr(
-                "percentile(_es, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
-            ).alias("b"),
-            F.max("_es").alias("mx"),
-        ).collect()[0]
-        cuts = [float("-inf")] + [float(x) for x in bounds["b"]] + [float("inf")]
-        for i in range(8):
-            ev.filter(
-                (F.col("_es") >= cuts[i]) & (F.col("_es") < cuts[i + 1])
-            ).drop("_es").coalesce(1).write.mode("append").parquet(staging)
-            _time.sleep(0.05)  # strictly increasing file mtimes
+        mx = _write_chronological_splits(spark, sf_dir, staging)
         for off_days, etype in ((10, "signup"), (20, "purchase")):
-            sentinel_ts = int(bounds["mx"]) + off_days * 24 * 3600
-            spark.createDataFrame(
-                [(10**9 + off_days, sentinel_ts, -1, etype, 0.0, "{}")],
-                "event_id long, es long, user_id long, event_type string,"
-                " value double, props string",
-            ).select(
-                "event_id",
-                F.timestamp_seconds("es").alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            ).coalesce(1).write.mode("append").parquet(staging)
-            _time.sleep(0.05)
+            _append_sentinel_event(
+                spark, staging, 10**9 + off_days, mx + off_days * 24 * 3600,
+                etype,
+            )
 
     _build_fixture(dest, build)
 

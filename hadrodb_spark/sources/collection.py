@@ -218,6 +218,18 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
             os.unlink(tmp)
             continue  # lost the race — retry against the new head
         os.unlink(tmp)
+        # ...and durability of the PUBLISH itself: the link created a new
+        # directory entry, which lives in the directory inode — without
+        # fsyncing the directory a power loss can forget the committed
+        # NAME even though its content is durable, silently dropping an
+        # acknowledged mutation (review finding; the standard companion
+        # to the file fsync).  An object store's conditional PUT bundles
+        # both durabilities in the 200 response.
+        dfd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         _gc_manifests(path, head + 1)
         return m
     raise HadroError(
