@@ -127,3 +127,40 @@ def test_sliding_window_four_assignments(spark, tmp_path):
         (base - dt.timedelta(minutes=30 * k), 1, 2.5) for k in range(4)
     )
     assert got == want
+
+
+def test_state_pinned_saves_and_restores_conf(spark, monkeypatch):
+    """The state-partition pin must (a) apply inside the wrapped body,
+    (b) honor the SPARK_GRAFT_STREAM_STATE_PARTITIONS override, and
+    (c) RESTORE the caller's value even on exception — otherwise one
+    streaming row would silently re-partition every later query in a
+    shared session (the exact bug class the _utc_pinned ADVICE fixed)."""
+    from hadrodb_spark.operators import streamcheck as sc
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    seen = {}
+
+    @sc._state_pinned
+    def body(spark_):
+        seen["inside"] = spark_.conf.get(key)
+        return 1
+
+    assert body(spark) == 1
+    assert seen["inside"] == sc._STATE_PARTITIONS
+    assert spark.conf.get(key) == prev
+
+    monkeypatch.setenv(sc._STATE_PARTITIONS_ENV, "13")
+    body(spark)
+    assert seen["inside"] == "13"
+    assert spark.conf.get(key) == prev
+
+    @sc._state_pinned
+    def boom(spark_):
+        raise RuntimeError("body failure")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        boom(spark)
+    assert spark.conf.get(key) == prev
