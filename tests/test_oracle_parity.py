@@ -8,16 +8,17 @@ plausible hash, so passing here should imply passing the driver's check.
 Changed-since mode (round-9 verdict task #7): at 300 queries a full run
 costs ~20 minutes, so set ``SPARK_GRAFT_PARITY_CACHE=/path/cache.json``
 to skip pairs whose certification fingerprint is unchanged since their
-last recorded PASS.  The fingerprint covers the oracle SQL text, the
-query's defining module source, and every hadrodb_spark module that
-module directly imports (one level) — so editing a query, its oracle,
-its module, or a directly-imported helper re-certifies it, while a
-no-change run skips it with an auditable reason (pytest ``-rs`` lists
-the skips; the cache file records name → fingerprint).  LIMITATION,
-by design: an edit to a helper imported INDIRECTLY (two+ hops) does not
-invalidate — use the cache for iteration, and run one full uncached
-sweep before freezing a round.  Unset the env var (the default) for the
-always-full behavior.
+last recorded PASS.  The fingerprint covers the oracle SQL text plus
+the sources of the query module's TRANSITIVE hadrodb_spark import
+closure (round-10 fix: the old one-hop digest both missed 2+-hop
+helper edits and failed to resolve ``from hadrodb_spark.pkg import
+sub`` to the submodule) — so editing a query, its oracle, or ANY
+helper it reaches through imports re-certifies it, while a no-change
+run skips it with an auditable reason (pytest ``-rs`` lists the skips;
+the cache file records name → fingerprint).  Remaining blind spots are
+non-import channels only (test fixtures, env vars, data files) — the
+closing certification therefore still runs one full uncached sweep per
+round.  Unset the env var (the default) for the always-full behavior.
 """
 
 from __future__ import annotations
@@ -81,32 +82,65 @@ if _CACHE_PATH and os.path.exists(_CACHE_PATH):
         _cache = json.load(_f)
 _cache_dirty = False
 
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+(hadrodb_spark[.\w]*)\s+import|import\s+(hadrodb_spark[.\w]*))",
+_FROM_RE = re.compile(
+    r"^\s*from\s+(hadrodb_spark[.\w]*)\s+import\s+(\([^)]*\)|[^\n]*)",
     re.MULTILINE,
 )
+_IMP_RE = re.compile(r"^\s*import\s+(hadrodb_spark[.\w]*)", re.MULTILINE)
+_mod_src_memo: dict[str, str] = {}
 _mod_digest_memo: dict[str, str] = {}
 
 
+def _mod_src(mod_name: str) -> str:
+    if mod_name not in _mod_src_memo:
+        try:
+            _mod_src_memo[mod_name] = inspect.getsource(sys.modules[mod_name])
+        except (KeyError, OSError, TypeError):
+            _mod_src_memo[mod_name] = "<unreadable>"
+    return _mod_src_memo[mod_name]
+
+
+def _mod_deps(mod_name: str) -> set[str]:
+    """hadrodb_spark modules ``mod_name``'s source imports.  Resolves
+    ``from hadrodb_spark.pkg import sub`` to the SUBMODULE ``pkg.sub``
+    when it is one (the old regex kept only ``pkg``, so a helper edit in
+    e.g. operators.shared never invalidated its importers)."""
+    src = _mod_src(mod_name)
+    deps: set[str] = set()
+    for m in _IMP_RE.finditer(src):
+        deps.add(m.group(1))
+    for m in _FROM_RE.finditer(src):
+        pkg, names = m.group(1), m.group(2).strip("()")
+        deps.add(pkg)
+        for tok in names.split(","):
+            leaf = tok.strip().split(" as ")[0].strip()
+            if leaf and f"{pkg}.{leaf}" in sys.modules:
+                deps.add(f"{pkg}.{leaf}")
+    deps.discard(mod_name)
+    return {d for d in deps if d in sys.modules}
+
+
 def _module_digest(mod_name: str) -> str:
-    """sha256 of the module source plus the sources of every
-    hadrodb_spark module it DIRECTLY imports (one level, memoized)."""
+    """sha256 over the sources of ``mod_name``'s TRANSITIVE
+    hadrodb_spark import closure (sorted by module name, memoized).
+    Transitivity closes the round-9 cache blind spot: a 2+-hop helper
+    edit (query → pipelineX → shared) now invalidates every downstream
+    fingerprint, so stale passes can't hide behind the cache."""
     if mod_name in _mod_digest_memo:
         return _mod_digest_memo[mod_name]
-    _mod_digest_memo[mod_name] = ""  # cycle guard
-    try:
-        src = inspect.getsource(sys.modules[mod_name])
-    except (KeyError, OSError, TypeError):
-        _mod_digest_memo[mod_name] = "<unreadable>"
-        return _mod_digest_memo[mod_name]
-    h = hashlib.sha256(src.encode())
-    for m in _IMPORT_RE.finditer(src):
-        dep = m.group(1) or m.group(2)
-        if dep != mod_name and dep in sys.modules:
-            try:
-                h.update(inspect.getsource(sys.modules[dep]).encode())
-            except (OSError, TypeError):
-                h.update(b"<unreadable>")
+    seen: set[str] = set()
+    stack = [mod_name]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(_mod_deps(m) - seen)
+    h = hashlib.sha256()
+    for m in sorted(seen):
+        h.update(m.encode())
+        h.update(b"\x00")
+        h.update(_mod_src(m).encode())
     _mod_digest_memo[mod_name] = h.hexdigest()
     return _mod_digest_memo[mod_name]
 
@@ -194,3 +228,34 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and df.columns[0] == "l_returnflag"
+
+
+def test_fingerprint_closure_is_transitive_and_resolves_submodules():
+    """The cache fingerprint must cover the TRANSITIVE import closure
+    (round-10 fix): dedup_near's module reaches operators.shared through
+    ``from hadrodb_spark.operators import shared`` (submodule-resolution
+    case) and functions.text through an aliased import; both sources
+    must be part of the hashed set, so editing either invalidates the
+    cached pass."""
+    mod = QUERIES["dedup_near"].__module__
+    seen: set[str] = set()
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(_mod_deps(m) - seen)
+    assert "hadrodb_spark.operators.shared" in seen
+    assert "hadrodb_spark.functions.text" in seen
+    # and the digest actually changes when a closure member's source
+    # changes (simulated through the source memo the digest reads)
+    base = _module_digest(mod)
+    _mod_digest_memo.clear()
+    real = _mod_src("hadrodb_spark.operators.shared")
+    _mod_src_memo["hadrodb_spark.operators.shared"] = real + "\n# edit"
+    try:
+        assert _module_digest(mod) != base
+    finally:
+        _mod_src_memo["hadrodb_spark.operators.shared"] = real
+        _mod_digest_memo.clear()
