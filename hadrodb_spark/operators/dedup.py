@@ -166,8 +166,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-Jaccard verify (candidate pairs only, never all n²)."""
     sig = _shared_signatures(spark, sf_dir, keep="dtoks")
     cand = _band_candidates(sig)
-    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
-    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    # hint("shuffle_hash") on the verify joins: the signature projection is
+    # CORPUS-sized with array columns whose on-disk size estimate is a
+    # fraction of the deserialized build size, so the broadcast threshold
+    # mis-picks it at scale (measured: driver OOM broadcasting the shingle
+    # variant at sf10) — a 100 TB dedup never broadcasts its corpus side.
+    ta = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a")
+    ).hint("shuffle_hash")
+    tb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     out = (
@@ -234,8 +243,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the band self-join, same as the 100 TB plan."""
     sig = _shared_signatures(spark, sf_dir, keep="sh")
     cand = _band_candidates(sig)
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash for the same reason as dedup_near — and the shingle
+    # arrays here are the LARGEST signature variant (the sf10 OOM case)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     out = (
@@ -265,8 +280,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the verify join touches candidate pairs only."""
     sig = _shared_signatures(spark, sf_dir, keep="dtoks")
     cand = _band_candidates(sig)
-    ta = sig.select(F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a"))
-    tb = sig.select(F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b"))
+    # shuffle_hash: same corpus-side-never-broadcasts rule as dedup_near
+    ta = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("dtoks").alias("toks_a")
+    ).hint("shuffle_hash")
+    tb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("dtoks").alias("toks_b")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     out = (
         cand.join(ta, "id_a")
