@@ -182,6 +182,8 @@ HEADLINE = [
     # round-10 additions — subtract for cross-round total comparisons;
     # prefix subtotals stay comparable
     "stream_left_join_equivalence",
+    # round-11 additions
+    "stream_session_sink_equivalence",
 ]
 
 

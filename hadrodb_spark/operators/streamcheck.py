@@ -1097,3 +1097,123 @@ ORACLE["stream_left_join_equivalence"] = """
     GROUP BY 1
     ORDER BY signup_hour
 """
+
+
+# --- round 11: the sf>1-certifiable streaming row (r10 VERDICT task #2) ---
+
+# Rows whose compared relation is DRAINED FROM A MEMORY SINK — i.e. every
+# emitted row is materialized in driver memory before the (small) compared
+# aggregate is computed.  That topology is the right certification harness
+# at sf ≤ 1 (exact row-set equivalence, zero sink-side moving parts) but a
+# deliberate non-goal above it: tools/bench_rehearsal.py REFUSES these
+# names for sf > 1 instead of OOMing the driver or silently measuring a
+# collect.  The scale path is the parquet-sink shape below
+# (``stream_session_sink_equivalence``), whose emitted rows stay on
+# executors/disk and only a bounded histogram ever reaches the driver.
+MEMORY_SINK_ROWS: frozenset[str] = frozenset({
+    "stream_tumbling_equivalence",
+    "stream_dedup_equivalence",
+    "stream_session_equivalence",
+    "stream_join_equivalence",
+    "stream_custom_state_equivalence",
+    "stream_sliding_equivalence",
+    "stream_left_join_equivalence",
+})
+
+
+@_state_pinned
+def stream_session_sink_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-window MERGE state certified through the APPEND-MODE FILE
+    SINK — the deployment topology (reference parity: hadro's log is its
+    only sink; this is the Spark-native equivalent at scale).  Same
+    chronological 8-file replay + far-future sentinel as
+    ``stream_session_equivalence``, but the emitted sessions land in a
+    parquet file sink (exactly-once via the sink's ``_spark_metadata``
+    commit log) instead of a driver-collected memory sink, and the
+    compared relation is the SESSION-LENGTH HISTOGRAM aggregated from the
+    sink files — bounded cardinality (distinct session sizes), so the
+    driver-side footprint is O(histogram) at ANY scale factor.  This is
+    the row the sf10 envelope certifies; the memory-sink twin stays the
+    sf ≤ 1 exact-row-set check (see ``MEMORY_SINK_ROWS``).
+
+    No ``_utc_pinned``: the output is session-size integers only — session
+    assignment arithmetic runs on timestamp instants (TZ-free) and no
+    wall-clock rendering reaches the compared relation.
+
+    Oracle: DuckDB islands-algorithm sessions over the same events,
+    grouped to the identical histogram.  A hash match proves the
+    micro-batched session merge AND the file-sink commit protocol
+    together reproduce batch semantics."""
+    import uuid
+
+    from hadrodb_spark.streaming.events import session_windows
+
+    fixture = _stream_events_dir(sf_dir) + "_sess"
+    if not os.path.isdir(fixture):
+        _build_session_stream_fixture(spark, sf_dir, fixture)
+    run_dir = os.path.join(
+        tempfile.gettempdir(), f"streq_sink_{uuid.uuid4().hex}"
+    )
+    out_dir = os.path.join(run_dir, "out")
+    ck_dir = os.path.join(run_dir, "ck")
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(fixture)
+        )
+        q = (
+            session_windows(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        hist = (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("n_events").cast("bigint").alias("session_len"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .orderBy("session_len")
+        )
+        rows = hist.collect()  # O(distinct session sizes) — tiny at any sf
+        schema = hist.schema
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("session_len")
+
+
+ORACLE["stream_session_sink_equivalence"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, sid, COUNT(*) AS session_len
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT CAST(session_len AS BIGINT) AS session_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s
+    GROUP BY session_len
+    ORDER BY session_len
+"""

@@ -70,152 +70,99 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1-r9 CORRECTNESS key sets).  Cumulative driver coverage entering
-# round 10: 300/335 — every entry that existed at round-9 START has a
-# green row in some CORRECTNESS_r*.json; the 35 round-9 session-3
-# additions had never been driver-verified (the r9 judge's vanilla sim
-# passed all 35, but the bar is a green CORRECTNESS row).
+# r1-r10 CORRECTNESS key sets).  Cumulative driver coverage entering
+# round 11: 336/336 — after the green CORRECTNESS_r10, every entry that
+# existed at round-10 end has at least one green driver row, so the
+# round-11 window is ALL RE-CHECKS plus round 11's own additions.
 #
-# ROUND-10 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (VERDICT r9 tasks #1 and #3):
-#   [0-35]  the 35 never-driver-verified entries (= registry minus the
-#           union of CORRECTNESS_r01-r09 keys, recomputed from the
-#           artifacts at r10 start — matches the r9 verdict list), plus
-#           stream_left_join_equivalence (task #3's new left-outer
-#           stream-stream equivalence row, landed BEFORE the freeze so
-#           it certifies inside this window).
-#   [36-49] re-checks leading with what round-9's refactors and
-#           round-10's own diffs touch: vector_topk_ivf +
-#           ann_recall_audit (r9 moved their oracle text into the shared
-#           _ivf_sql template), dedup_simhash + dedup_method_eval (r9
-#           factored the simhash builder into dedup._with_simhash) +
-#           dedup_near (round-10 task #4 touches dedup.py),
-#           anova_value_by_type (its shared float text changed in r9),
-#           the kv/manifest tier (round-10 fixes the three ADVICE items
-#           in collection.py's _manifest_head/_gc_manifests), and three
-#           streaming rows (round-10 pins state partitions on every
-#           streamcheck row and re-batches the join fixtures).
+# ROUND-11 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (r10 VERDICT tasks #1, #2, #3):
+#   [0-4]   the 5 streaming-state rows round 10 touched AFTER its freeze
+#           (state-partition decorator + shared chronological fixture
+#           writer): session, custom-state, sliding, dedup, hadrolog.
+#   [5-10]  the kv/manifest tier (round 10's manifest fsync/recovery
+#           landed post-freeze): get/count/compact/merge/time-travel/
+#           history.
+#   [11-15] the dedup family (round 10's shuffle_hash verify-join hints
+#           landed post-freeze): near, exact, ngram-jaccard, containment,
+#           components.
+#   [16]    stream_session_sink_equivalence — round 11's NEW append-mode
+#           parquet-sink session row (task #2), landed BEFORE this freeze
+#           so it certifies inside the window.
+#   [17-49] driver-freshness rotation (task #3): the 33 oldest greens —
+#           §2.2 relational basics last driver-checked in CORRECTNESS_r01
+#           — in their original registry order (the remaining 14 r1
+#           entries + the 47 r2 entries queue for round 12).
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  New round-10 queries register BELOW the window
-# (round-11 queue), same procedure as rounds 3-9.  After a green r10 the
-# cumulative driver coverage is 336/336 — every registry entry certified
-# at least once.
-_register(pipeline15, only=[
-    "kruskal_wallis_value", "kendall_tau_censored",
-    "levene_variance_homogeneity", "conformal_coverage_audit",
-    "embedding_pair_cosine_hist", "cochran_q_gates", "readability_flesch",
-    "jackknife_source_sensitivity", "autocorr_lag_grid", "gate_phi_matrix",
-    "mixture_ess",
-])
-_register(pipeline16, only=[
-    "bowker_symmetry", "markov_entropy_rate", "mann_kendall_trend",
-    "runs_test_updown", "cramers_v_priority_status", "welch_t_value",
-    "quantile_profile_sources", "token_budget_pack",
-    "seasonal_strength_weekly", "hill_tail_alpha", "hurst_rescaled_range",
-    "changepoint_binseg", "cochran_armitage_trend",
-    "markov_absorbing_funnel", "l_diversity_audit", "t_closeness_audit",
-])
-_register(similarity, only=["vector_topk_filtered", "ann_nprobe_recall_curve"])
-_register(graph, only=[
-    "graph_degree_assortativity", "graph_kcore",
-    "graph_clustering_coefficient", "graph_adamic_adar_topk",
-])
-_register(dedup, only=["capture_recapture_dedup"])
+# OF THIS ROUND.  New round-11 queries register BELOW the window
+# (round-12 queue), same procedure as rounds 3-10.
 _register(streamcheck, only=[
-    "stream_late_drop_equivalence", "stream_left_join_equivalence",
-])
-# positions 36-49: re-checks (see header note)
-_register(similarity, only=["vector_topk_ivf", "ann_recall_audit"])
-_register(dedup, only=["dedup_simhash", "dedup_method_eval", "dedup_near"])
-_register(pipeline12, only=["anova_value_by_type"])
-_register(kv, only=[
-    "kv_get_latest", "kv_count", "kv_history", "compact_equivalence",
-    "kv_merge_equivalence",
-])
-_register(streamcheck, only=[
-    "stream_join_equivalence", "stream_tumbling_equivalence",
-    "stream_sink_collection_equivalence",
-])
-# --- verified tiers (after the window; every entry below has a green row
-# in some CORRECTNESS_r1-r9) ---
-_register(pipeline13)  # dsir_importance, bigram_xent
-_register(pipeline14)  # the r8 statistical-audit tier
-_register(streamcheck, only=[
-    # the remaining round-8/9 streaming-equivalence rows (name-pinned so
-    # future streamcheck additions register at the bottom, never here)
-    "stream_dedup_equivalence",
-    "stream_session_equivalence",
-    "stream_custom_state_equivalence",
-    "stream_sliding_equivalence",
+    "stream_session_equivalence", "stream_custom_state_equivalence",
+    "stream_sliding_equivalence", "stream_dedup_equivalence",
     "stream_hadrolog_source_equivalence",
 ])
-_register(textops, only=["rake_keywords"])
-_register(pipeline4, only=["hybrid_rrf_fusion"])
 _register(kv, only=[
-    "kv_history", "kv_time_travel", "kv_snapshot_diff",
-    "kv_merge_equivalence", "kv_optimize_equivalence",
-    "kv_export_import_roundtrip", "kv_erasure_audit", "kv_get_latest",
-    "kv_delete_tombstone", "kv_ids", "kv_count", "compact_equivalence",
-    "scan_skips_deleted", "where_filter",
+    "kv_get_latest", "kv_count", "compact_equivalence",
+    "kv_merge_equivalence", "kv_time_travel", "kv_history",
 ])
-_register(nativefmt, only=[
-    "hadrolog_scan_decode", "hadrolog_compact_roundtrip",
+_register(dedup, only=[
+    "dedup_near", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_containment",
 ])
+_register(components, only=["dedup_components"])
+_register(streamcheck, only=["stream_session_sink_equivalence"])
 _register(relational, only=[
-    "sql_tpch_q1_like", "scan_lineitem", "project_columns",
+    "filter_compound", "filter_in_like", "join_inner", "join_left",
+    "join_semi", "join_anti", "join_range", "join_multiway",
+    "agg_groupby", "agg_distinct", "agg_rollup", "agg_having",
+    "agg_cube", "agg_stats", "window_rank", "window_running_sum",
+    "window_lead_lag", "sort_limit", "topk_per_group", "setop_union",
+    "setop_except", "setop_intersect", "scalar_string_date",
+    "scalar_math_conditional", "scalar_json_props", "array_explode",
+    "sql_view_query",
 ])
-_register(sqlsuite, only=["sql_tpch_q9_like"])
-_register(dedup, only=["dedup_near", "dedup_exact"])
-_register(sessionize, only=["sessionize"])
-_register(pipeline2, only=["curation_pipeline"])
-_register(similarity, only=["vector_topk"])
-_register(pipeline7, only=["source_ks_shift"])
-_register(pipeline8)   # PSI drift, k-anonymity, embargo split, PCA, Markov
-_register(pipeline9)   # dow seasonality, winsorize, Gini/HHI, MI, upsample
-_register(pipeline10)  # ranker agreement, shard balance, seasonal decompose,
-#                        calibration bins, Poisson bootstrap CI
-_register(pipeline11)  # FK integrity, cohort LTV, vocab overlap,
-#                        user entropy, exact rolling actives
-_register(pipeline12)  # revenue Pareto, one-way ANOVA, ship-lag percentiles
-_register(textops, only=["ngram_novelty"])
-_register(nativefmt, only=[
-    "csv_roundtrip_scan", "xml_roundtrip_scan", "jsonl_roundtrip_scan",
-    "orc_roundtrip_scan",
+_register(relational2, only=[
+    "join_right", "join_full", "subquery_scalar", "subquery_correlated",
+    "subquery_exists", "agg_grouping_sets",
 ])
-_register(relational4, only=["join_interval_overlap"])
+# --- verified tiers (after the window; every entry below has a green row
+# in some CORRECTNESS_r1-r10).  Order below the window is driver-inert —
+# wholesale registration, with the _register skip-guard keeping the
+# window's 50 names pinned above. ---
+_register(pipeline13)
+_register(pipeline14)
+_register(pipeline15)
+_register(pipeline16)
+_register(streamcheck)
+_register(textops)
+_register(kv)
+_register(nativefmt)
+_register(relational)
+_register(sqlsuite)
+_register(dedup)
+_register(sessionize)
+_register(pipeline2)
+_register(similarity)
 _register(pipeline7)
-_register(asof, only=["asof_events_tolerance"])
-_register(pipeline6)
-_register(dedup, only=["dedup_incremental"])
-_register(sessionize)  # funnel_conversion (green r4)
-_register(relational4, only=[
-    "lateral_topk", "agg_map_counts", "date_arithmetic",
-    "regexp_extract_events", "agg_boolean_bitwise", "json_typed",
-])
+_register(pipeline8)
+_register(pipeline9)
+_register(pipeline10)
+_register(pipeline11)
+_register(pipeline12)
+_register(relational4)
 _register(asof)
+_register(pipeline6)
 _register(pipeline5)
 _register(analytics)
 _register(skew)
-_register(relational2, only=["profile_columns"])
-_register(dedup)
+_register(relational2)
 _register(components)
-_register(similarity)
-_register(kv)
-_register(textops)
-_register(pipeline2)
 _register(multimodal_ops)
 _register(sketch)
 _register(relational3)
 _register(graph)
-_register(nativefmt)
 _register(pipeline3)
-_register(sqlsuite)
 _register(pipeline4)
-_register(relational4)
-_register(relational)
-_register(relational2)
-_register(pipeline15)
-_register(pipeline16)
 # --- ROUND-11 QUEUE marker: new round-10 queries register from here
 # DOWN; collect them BY NAME at round-11 start (same procedure:
 # `name in queries.QUERIES` guards collisions). ---

@@ -164,3 +164,117 @@ def test_state_pinned_saves_and_restores_conf(spark, monkeypatch):
     with _pytest.raises(RuntimeError):
         boom(spark)
     assert spark.conf.get(key) == prev
+
+
+def test_parquet_sink_metadata_log_governs_batch_reads(spark, tmp_path):
+    """The engine contract stream_session_sink_equivalence leans on: a
+    batch read of a file-sink output directory is governed by the sink's
+    ``_spark_metadata`` commit log, so an UNCOMMITTED stray file (a torn
+    task attempt, a crashed executor's orphan) is invisible — that is the
+    exactly-once half of the sf>1 certification topology.  Also pins the
+    emitted sessions themselves against the batch expectation."""
+    from hadrodb_spark.streaming.events import session_windows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "src"
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    _write_file(spark, d, [(1, t0, 5, "a", 1.0, ""), (2, t0 + 5 * m, 5, "a", 1.0, "")])
+    _write_file(spark, d, [(3, t0 + 90 * m, 5, "a", 1.0, "")])
+    _write_file(spark, d, [(99, t0 + dt.timedelta(days=10), -1, "z", 0.0, "")])
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        session_windows(
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert committed == [
+        (5, "2024-03-01 09:00:00", 2),
+        (5, "2024-03-01 10:30:00", 1),
+    ], committed
+    # plant an orphan parquet file with NO metadata-log commit: a batch
+    # read over the sink dir must not see its rows
+    stray = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 9, 0), dt.datetime(2024, 3, 1, 9, 30), 777, 9)],
+        "session_start timestamp, session_end timestamp, user_id long,"
+        " n_events long",
+    )
+    straydir = tmp_path / "stray"
+    stray.coalesce(1).write.parquet(str(straydir))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(str(straydir / "part-*.parquet"))[0]
+    _shutil.copy(src, out + "/part-99999-orphan.snappy.parquet")
+    again = spark.read.parquet(out)
+    assert again.filter("user_id = 777").count() == 0
+    assert again.count() == 2
+
+
+def test_rehearsal_refuses_memory_sink_rows_above_sf1():
+    """r10 VERDICT task #7: the sf>1 guard is MECHANIZED, not a BENCH
+    note.  Memory-sink equivalence rows are refused at sf10, kept at
+    sf ≤ 1; the parquet-sink row always stays in the plan; an
+    unrecognizable dir refuses nothing."""
+    import importlib.util as _ilu
+    import os as _os
+
+    specpath = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools",
+        "bench_rehearsal.py",
+    )
+    spec = _ilu.spec_from_file_location("bench_rehearsal", specpath)
+    reh = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(reh)
+
+    req = [
+        "stream_session_equivalence",        # memory sink
+        "stream_session_sink_equivalence",   # parquet sink — always ok
+        "sql_tpch_q9_like",                  # batch — always ok
+    ]
+    run, refused = reh.plan_names(req, "/tmp/sf10")
+    assert run == ["stream_session_sink_equivalence", "sql_tpch_q9_like"]
+    assert set(refused) == {"stream_session_equivalence"}
+    assert "memory-sink" in refused["stream_session_equivalence"]
+
+    run, refused = reh.plan_names(req, "/tmp/sf1.0")
+    assert run == req and refused == {}
+    run, refused = reh.plan_names(req, "/tmp/sf0.1")
+    assert run == req and refused == {}
+    run, refused = reh.plan_names(req, "/tmp/mystery_dir")
+    assert run == req and refused == {}
+
+    # every _run_bounded caller must be in MEMORY_SINK_ROWS — a new
+    # memory-sink row added without marking it re-opens the sf10 OOM
+    import inspect
+
+    from hadrodb_spark.operators import streamcheck as sc
+
+    src = inspect.getsource(sc)
+    import re as _re
+
+    # count defs whose body calls _run_bounded
+    bodies = _re.split(r"\ndef |\n@", src)
+    callers = {
+        b.split("(")[0]
+        for b in bodies
+        if "_run_bounded(" in b and not b.startswith("_run_bounded")
+    }
+    callers = {c for c in callers if c.startswith("stream_")}
+    assert callers == set(sc.MEMORY_SINK_ROWS), (
+        callers ^ set(sc.MEMORY_SINK_ROWS)
+    )

@@ -63,12 +63,53 @@ DEFAULT = [
     "token_budget_pack",
     # round-10 addition: the 10th streaming row (left-outer join state)
     "stream_left_join_equivalence",
+    # round-11 addition: the append-mode parquet-sink session row — the
+    # ONLY streaming-equivalence topology certified ABOVE sf1 (the
+    # memory-sink rows above are refused there by plan_names)
+    "stream_session_sink_equivalence",
 ]
+
+
+def parse_sf(sf_dir: str) -> float | None:
+    """Best-effort scale factor from the dir name (``.../sf10`` → 10.0);
+    None when the name carries no ``sf<number>`` suffix (then no row is
+    refused — an unrecognized dir is the operator's responsibility)."""
+    import re
+
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else None
+
+
+def plan_names(names: list[str], sf_dir: str) -> tuple[list[str], dict[str, str]]:
+    """Split the requested rows into (run, refused) for this scale.
+
+    The memory-sink streaming-equivalence rows materialize EVERY emitted
+    row in driver memory before comparing — the right exact-row-set
+    harness at sf ≤ 1 and a deliberate non-goal above it (r10 VERDICT
+    task #7: refuse mechanically instead of relying on a BENCH note).
+    The sf>1 streaming certification path is the parquet-sink shape
+    (``stream_session_sink_equivalence``), which stays in the plan."""
+    from hadrodb_spark.operators.streamcheck import MEMORY_SINK_ROWS
+
+    sf = parse_sf(sf_dir)
+    if sf is None or sf <= 1:
+        return list(names), {}
+    refused = {
+        n: "memory-sink equivalence row (driver-collected row set); "
+        "certified at sf<=1 only — the sf>1 streaming path is the "
+        "parquet-sink shape (streamcheck.MEMORY_SINK_ROWS)"
+        for n in names
+        if n in MEMORY_SINK_ROWS
+    }
+    return [n for n in names if n not in refused], refused
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
     names = sys.argv[2:] or DEFAULT
+    names, refused = plan_names(names, sf_dir)
+    for n, why in refused.items():
+        print(f"# REFUSED {n}: {why}", file=sys.stderr)
 
     from hadrodb_spark.queries import QUERIES
     from hadrodb_spark.session import get_spark
@@ -101,6 +142,7 @@ def main() -> int:
         "sf_dir": sf_dir,
         "queries": warm,
         "queries_cold": cold,
+        "refused": refused,
         "steal_pct": round(100.0 * (s1s - s0s) / max(t1s - t0s, 1), 2),
     }
     line = json.dumps(parsed, separators=(",", ":"))
