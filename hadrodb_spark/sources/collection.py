@@ -225,11 +225,23 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
         # acknowledged mutation (review finding; the standard companion
         # to the file fsync).  An object store's conditional PUT bundles
         # both durabilities in the 200 response.
-        dfd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+        #
+        # BEST-EFFORT, never raised (r10 ADVICE): once os.link succeeded
+        # the mutation IS published — other readers can already observe
+        # it — so surfacing an open/fsync error here would make the
+        # caller retry a visible, possibly non-idempotent mutate (a
+        # counter increment would apply twice).  A swallowed failure
+        # only narrows durability back to the pre-r10 window (committed
+        # name may vanish on power loss, never torn content), which is
+        # strictly safer than a double-applied mutation.
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            dfd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
         _gc_manifests(path, head + 1)
         return m
     raise HadroError(

@@ -337,3 +337,28 @@ def test_published_head_is_durable_nonempty(tmp_path):
         assert os.path.getsize(_manifest_v_path(path, v)) > 0
         with open(_manifest_v_path(path, v)) as f:
             json.load(f)
+
+
+def test_directory_fsync_failure_does_not_double_apply(tmp_path, monkeypatch):
+    """Once os.link publishes the new head, the mutation is VISIBLE — a
+    directory-fsync failure after that point must be swallowed (r10
+    ADVICE): raising would make a retrying caller re-apply a
+    non-idempotent mutate.  The commit must land exactly once and the
+    call must return normally."""
+    import hadrodb_spark.sources.collection as C
+
+    path = str(tmp_path)
+    real_open = os.open
+
+    def flaky_open(p, flags, *a, **kw):
+        if p == path and flags & getattr(os, "O_DIRECTORY", 0):
+            raise OSError(5, "injected EIO on directory open")
+        return real_open(p, flags, *a, **kw)
+
+    monkeypatch.setattr(C.os, "open", flaky_open)
+    m = _cas_update_manifest(
+        path, lambda man: man.__setitem__("commits", man.get("commits", 0) + 1)
+    )
+    assert m["commits"] == 1
+    head, on_disk = _manifest_head(path)
+    assert head == 0 and on_disk["commits"] == 1  # exactly one commit

@@ -61,6 +61,35 @@ REMAP = {
 
 DIMS = ("region", "nation")
 
+# Per-replica TEXT SALT (r10 VERDICT task #4): replica 0 keeps the source
+# text verbatim; replica r > 0 applies a bijective letter substitution —
+# two independent rotations over disjoint character sets of coprime sizes
+# (11 and 13), so the combined mapping is unique for r < 143 replicas.
+# Why a translation and not injected salt tokens: it preserves byte
+# length, token count, and the per-replica word-frequency shape exactly
+# (scan volume and Zipf skew unchanged), while making the VOCABULARY grow
+# with replicas the way a genuinely larger corpus's does — so shingle /
+# n-gram / MinHash queries measure their plan instead of verbatim
+# duplication (without it, contamination_ngram-class match pairs grew
+# ~replicas² because every replica shared every gram).
+_SALT_A = "etaoinshrdl"   # 11 most frequent letters
+_SALT_B = "cumwfgypbvkjx"  # 13 of the rest; disjoint from _SALT_A
+
+
+def salted_text_sql(col: str) -> str:
+    """SQL expression salting ``col`` by replica number ``r.r``."""
+    a2, b2 = _SALT_A * 2, _SALT_B * 2
+    return (
+        f"CASE WHEN r.r = 0 THEN {col} ELSE translate(translate({col}, "
+        f"'{_SALT_A}', substr('{a2}', 1 + (r.r % {len(_SALT_A)}), {len(_SALT_A)})), "
+        f"'{_SALT_B}', substr('{b2}', 1 + ((r.r // {len(_SALT_A)}) % {len(_SALT_B)}), {len(_SALT_B)})) "
+        f"END AS {col}"
+    )
+
+
+# table -> columns whose free text must be salted per replica
+SALT_TEXT = {"documents": ("text",)}
+
 
 def main() -> int:
     src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -87,9 +116,12 @@ def main() -> int:
         cols = con.execute(
             f"SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0"
         ).description
+        salted = SALT_TEXT.get(t, ())
         sel = ", ".join(
             f"{name} + r.r * {offsets[remap[name]]} AS {name}"
             if name in remap
+            else salted_text_sql(name)
+            if name in salted
             else name
             for name, *_ in cols
         )
