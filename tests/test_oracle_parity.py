@@ -29,7 +29,6 @@ import inspect
 import json
 import math
 import os
-import re
 import sys
 
 import duckdb
@@ -82,11 +81,6 @@ if _CACHE_PATH and os.path.exists(_CACHE_PATH):
         _cache = json.load(_f)
 _cache_dirty = False
 
-_FROM_RE = re.compile(
-    r"^\s*from\s+(hadrodb_spark[.\w]*)\s+import\s+(\([^)]*\)|[^\n]*)",
-    re.MULTILINE,
-)
-_IMP_RE = re.compile(r"^\s*import\s+(hadrodb_spark[.\w]*)", re.MULTILINE)
 _mod_src_memo: dict[str, str] = {}
 _mod_digest_memo: dict[str, str] = {}
 
@@ -101,21 +95,41 @@ def _mod_src(mod_name: str) -> str:
 
 
 def _mod_deps(mod_name: str) -> set[str]:
-    """hadrodb_spark modules ``mod_name``'s source imports.  Resolves
-    ``from hadrodb_spark.pkg import sub`` to the SUBMODULE ``pkg.sub``
-    when it is one (the old regex kept only ``pkg``, so a helper edit in
-    e.g. operators.shared never invalidated its importers)."""
+    """hadrodb_spark modules ``mod_name``'s source imports, parsed with
+    ``ast`` (r10 ADVICE: the old regexes captured only the first module
+    of ``import a, b`` and truncated backslash-continued from-imports —
+    small blind spots in the cache fingerprint).  ``from
+    hadrodb_spark.pkg import sub`` resolves to the SUBMODULE ``pkg.sub``
+    when it is one; relative imports resolve against the module's
+    package.  An unparseable source yields no deps (its own digest still
+    changes with the text)."""
+    import ast
+
     src = _mod_src(mod_name)
     deps: set[str] = set()
-    for m in _IMP_RE.finditer(src):
-        deps.add(m.group(1))
-    for m in _FROM_RE.finditer(src):
-        pkg, names = m.group(1), m.group(2).strip("()")
-        deps.add(pkg)
-        for tok in names.split(","):
-            leaf = tok.strip().split(" as ")[0].strip()
-            if leaf and f"{pkg}.{leaf}" in sys.modules:
-                deps.add(f"{pkg}.{leaf}")
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return deps
+    pkg_parts = mod_name.split(".")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("hadrodb_spark"):
+                    deps.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                # relative: resolve against this module's package
+                base = pkg_parts[: len(pkg_parts) - node.level]
+                mod = ".".join(base + ([node.module] if node.module else []))
+            else:
+                mod = node.module or ""
+            if not mod.startswith("hadrodb_spark"):
+                continue
+            deps.add(mod)
+            for alias in node.names:
+                if f"{mod}.{alias.name}" in sys.modules:
+                    deps.add(f"{mod}.{alias.name}")
     deps.discard(mod_name)
     return {d for d in deps if d in sys.modules}
 
