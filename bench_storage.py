@@ -71,28 +71,51 @@ def main() -> None:
     assert coll.scan().count() == n
     t["scan_compacted"] = round(time.perf_counter() - t0, 3)
 
+    # MERGE INTO on the compacted log: 1% of keys get new versions (LWW
+    # update), unmatched source keys insert — the conditional-upsert shape
+    # a 100 TB maintenance job runs nightly
+    mrg = li.filter(F.col("l_orderkey") % 100 == 3).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    t0 = time.perf_counter()
+    coll.merge_df(mrg, key_col="_id")
+    t["merge_df"] = round(time.perf_counter() - t0, 3)
+    assert coll.scan().count() == n
+
+    # point get AFTER compact+merge: segment-stat pruning should answer
+    # from the commits whose key bounds can hold the key (sub-linear in
+    # corpus size — the sf10/sf1 ratio of this row is the evidence)
+    t0 = time.perf_counter()
+    coll.get(str(li.select("_id").first()[0]))
+    t["point_get_pruned"] = round(time.perf_counter() - t0, 3)
+
     # NATIVE-format path (the reference's actual on-disk format): append
     # through the hadrolog DataSource writer's two-phase commit, scan back
     # through its typed reader — the byte-level twin of the reference's
-    # append/scan loop (hadro/engine.py:122-177), distributed
-    from hadrodb_spark.sources import hadrolog
+    # append/scan loop (hadro/engine.py:122-177), distributed.  Skippable
+    # (SPARK_GRAFT_STORAGE_SKIP_NATIVE=1) for the sf10 envelope run: the
+    # Python-DataSource codec is row-at-a-time by construction, so at 60M
+    # rows it measures the (documented) codec floor, not the collection
+    # tier this envelope certifies.
+    if os.environ.get("SPARK_GRAFT_STORAGE_SKIP_NATIVE", "") != "1":
+        from hadrodb_spark.sources import hadrolog
 
-    hadrolog.register(spark)
-    nd = os.path.join(root, "native")
-    nat = li.select("_id", "l_orderkey", "l_partkey", "l_quantity")
-    t0 = time.perf_counter()
-    nat.write.format("hadrolog").option("path", nd).mode("append").save()
-    t["native_append"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    assert (
-        spark.read.format("hadrolog")
-        .option("path", nd)
-        .option("ddl", "_id bigint, l_orderkey bigint, l_partkey bigint, l_quantity double")
-        .load()
-        .count()
-        == n
-    )
-    t["native_scan_decode"] = round(time.perf_counter() - t0, 3)
+        hadrolog.register(spark)
+        nd = os.path.join(root, "native")
+        nat = li.select("_id", "l_orderkey", "l_partkey", "l_quantity")
+        t0 = time.perf_counter()
+        nat.write.format("hadrolog").option("path", nd).mode("append").save()
+        t["native_append"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        assert (
+            spark.read.format("hadrolog")
+            .option("path", nd)
+            .option("ddl", "_id bigint, l_orderkey bigint, l_partkey bigint, l_quantity double")
+            .load()
+            .count()
+            == n
+        )
+        t["native_scan_decode"] = round(time.perf_counter() - t0, 3)
 
     shutil.rmtree(root, ignore_errors=True)
     print(
