@@ -89,6 +89,20 @@ def main() -> None:
     coll.get(str(li.select("_id").first()[0]))
     t["point_get_pruned"] = round(time.perf_counter() - t0, 3)
 
+    # size-tiered RANGE merge: fold only the small post-compact commits
+    # into one mid-tier segment, base untouched — the steady-state
+    # maintenance op whose cost must track the RANGE, not the corpus
+    # (compare with `compact`, which rewrites everything)
+    upd2 = li.filter(F.col("l_orderkey") % 1000 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 2
+    )
+    coll.append_df(upd2, key_col="_id")
+    seqs = coll._seq_dirs()
+    t0 = time.perf_counter()
+    coll.compact(upto=seqs[-1], since=seqs[1])
+    t["compact_range"] = round(time.perf_counter() - t0, 3)
+    assert coll.scan().count() == n
+
     # NATIVE-format path (the reference's actual on-disk format): append
     # through the hadrolog DataSource writer's two-phase commit, scan back
     # through its typed reader — the byte-level twin of the reference's

@@ -1114,7 +1114,7 @@ class HadroCollection:
         return self._lww().filter(~F.col(DELETED_COL)).count()
 
     # ------------------------------------------------------------- maintenance
-    def compact(self, upto: int | None = None) -> None:
+    def compact(self, upto: int | None = None, since: int = 0) -> None:
         """The Bitcask merge (``hadro/engine.py:53-54`` acknowledged need).
 
         Full compaction (``upto=None``): rewrite segments keeping only live
@@ -1126,27 +1126,46 @@ class HadroCollection:
 
         Incremental compaction (``upto=h``): merge only the commits with
         ``_seq <= h`` — the cold tail — into one segment at ``_seq = h``,
-        leaving newer commits untouched. This is the 100 TB maintenance
-        posture: steady-state compaction cost tracks the cold tail's size,
-        never the whole log. Two invariants make it sound:
+        leaving newer commits untouched.
+
+        Range merge (``upto=h, since=lo``): merge only ``lo ≤ _seq ≤ h``,
+        leaving BOTH older and newer commits untouched — size-tiered
+        maintenance, the true 100 TB posture: nightly jobs fold the day's
+        small commits into one mid-tier segment at cost proportional to
+        THAT RANGE, never re-rewriting the big base segment (without the
+        lower bound every incremental pass re-merged the base, making
+        steady-state cost track the whole log).  Three invariants make
+        any range sound:
 
         - the merged rows keep ordering position ``h``, so any newer
           version (``_seq > h``) still wins LWW exactly as before;
+        - a key's latest in-range version sat at some ``s ≥ since``,
+          above every ``_seq < since`` version of that key — merged to
+          position ``h ≥ s`` it still shadows them; keys absent from the
+          range are untouched at their original positions;
         - tombstones whose key has no newer version are PRESERVED (not
           purged — only a full compact may purge), so during and after the
-          swap no shadowed old row can resurface."""
+          swap no shadowed pre-range row can resurface."""
         if upto is None:
+            if since:
+                raise HadroError(
+                    "compact(since=...) requires upto: a full compact "
+                    "purges tombstones, which is only sound over the "
+                    "whole log"
+                )
             live = self._lww().filter(~F.col(DELETED_COL))
             self._rewrite_segments(live, self._data_path + ".compact")
             return
         self.flush()
         on_disk = self._seq_dirs()
-        covered = [n for n in on_disk if n <= upto]
+        covered = [n for n in on_disk if since <= n <= upto]
         if len(covered) < 2:
             return  # nothing to merge
         h = max(covered)
         merged = self._latest(
-            self._log().filter(F.col(SEQ_COL) <= h)
+            self._log().filter(
+                (F.col(SEQ_COL) >= since) & (F.col(SEQ_COL) <= h)
+            )
         ).withColumn(SUB_COL, F.lit(0).cast("long"))
         obs = Observation()
         merged = merged.drop(SEQ_COL).observe(

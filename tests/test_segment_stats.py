@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hadrodb_spark import HadroCollection
+from hadrodb_spark.sources.collection import HadroError
 
 DOCS = T.StructType(
     [
@@ -400,3 +401,77 @@ def test_optimize_zorder_rejects_17_columns(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="at most 16"):
         coll.optimize([f"c{i}" for i in range(17)], zorder=True)
+
+
+def test_range_compact_leaves_base_untouched(coll):
+    """compact(upto=h, since=lo) merges ONLY lo..h: the base segment's
+    files are bit-identical afterwards (the size-tiered claim is that the
+    base is never rewritten), newer commits untouched, scan identical,
+    in-range tombstones preserved and still shadowing base keys."""
+    coll.set("a", {"title": "A0", "n": 1})
+    coll.set("b", {"title": "B0", "n": 2})
+    coll.set("d", {"title": "D0", "n": 3})
+    coll.flush()                                   # commit 0: the base
+    coll.set("a", {"title": "A1", "n": 4})
+    coll.delete("b")
+    coll.flush()                                   # commit 1 (range)
+    coll.set("c", {"title": "C1", "n": 5})
+    coll.flush()                                   # commit 2 (range)
+    coll.set("a", {"title": "A3", "n": 6})
+    coll.flush()                                   # commit 3 (hot)
+    before = sorted(tuple(r) for r in coll.scan().collect())
+    base_dir = os.path.join(coll._data_path, "_seq=0")
+    base_files = {
+        f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+        for f in os.listdir(base_dir)
+    }
+
+    coll.compact(upto=2, since=1)
+
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before
+    assert coll._seq_dirs() == [0, 2, 3]           # 1 merged into 2; 0 intact
+    # base segment never rewritten: same files, same mtimes
+    assert {
+        f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+        for f in os.listdir(base_dir)
+    } == base_files
+    # the in-range tombstone still shadows base's b
+    merged = coll._log().filter("_seq = 2")
+    assert merged.filter("_key = 'b' AND _deleted").count() == 1
+    with pytest.raises(KeyError):
+        coll.get("b")
+    # base-only key readable; hot version still wins; in-range-only key live
+    assert coll.get("d")["title"] == "D0"
+    assert coll.get("a")["title"] == "A3"
+    assert coll.get("c")["title"] == "C1"
+    # manifest: entries 1 popped, 2 rewritten with range stats, 0 untouched
+    s = coll.segment_stats()
+    assert sorted(s) == [0, 2, 3]
+    assert s[2]["rows"] == 3 and s[2]["tombstones"] == 1  # a=A1, b(tomb), c
+    assert s[2]["unique_keys"] is True
+
+
+def test_range_compact_key_only_in_base_and_hot(coll):
+    """A key written in the base and again above the range must be
+    invisible to the range merge entirely."""
+    coll.set("k", {"title": "base", "n": 1})
+    coll.flush()                                   # 0
+    coll.set("x", {"title": "r1", "n": 2})
+    coll.flush()                                   # 1
+    coll.set("x", {"title": "r2", "n": 3})
+    coll.flush()                                   # 2
+    coll.set("k", {"title": "hot", "n": 4})
+    coll.flush()                                   # 3
+    coll.compact(upto=2, since=1)
+    assert coll.get("k")["title"] == "hot"
+    assert coll.get("x")["title"] == "r2"
+    assert len(coll) == 2
+    # the merged segment holds only the range's keys (x), nothing of k
+    assert coll._log().filter("_seq = 2 AND _key = 'k'").count() == 0
+
+
+def test_full_compact_with_since_raises(coll):
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    with pytest.raises(HadroError):
+        coll.compact(since=1)
