@@ -56,8 +56,9 @@ def main() -> None:
     assert coll.scan().count() == n
     t["scan_lww"] = round(time.perf_counter() - t0, 3)
 
+    probe_key = str(li.select("_id").first()[0])  # outside the timed region
     t0 = time.perf_counter()
-    coll.get(str(li.select("_id").first()[0]))  # cold point lookup
+    coll.get(probe_key)  # cold point lookup
     t["point_get"] = round(time.perf_counter() - t0, 3)
 
     # second commit shadowing 10% of keys, then compact
@@ -86,7 +87,7 @@ def main() -> None:
     # from the commits whose key bounds can hold the key (sub-linear in
     # corpus size — the sf10/sf1 ratio of this row is the evidence)
     t0 = time.perf_counter()
-    coll.get(str(li.select("_id").first()[0]))
+    coll.get(probe_key)
     t["point_get_pruned"] = round(time.perf_counter() - t0, 3)
 
     # size-tiered RANGE merge: fold only the small post-compact commits

@@ -119,8 +119,13 @@ def _mod_deps(mod_name: str) -> set[str]:
                     deps.add(alias.name)
         elif isinstance(node, ast.ImportFrom):
             if node.level:
-                # relative: resolve against this module's package
-                base = pkg_parts[: len(pkg_parts) - node.level]
+                # relative: resolve against this module's package.  A
+                # PACKAGE module (__init__) is its own base for level 1
+                # (`from . import x` inside pkg/__init__.py means pkg.x),
+                # so strip one component fewer than for a plain module.
+                is_pkg = hasattr(sys.modules.get(mod_name), "__path__")
+                strip = node.level - 1 if is_pkg else node.level
+                base = pkg_parts[: len(pkg_parts) - strip]
                 mod = ".".join(base + ([node.module] if node.module else []))
             else:
                 mod = node.module or ""
