@@ -184,6 +184,9 @@ HEADLINE = [
     "stream_left_join_equivalence",
     # round-11 additions
     "stream_session_sink_equivalence",
+    # round-12 additions (END only — prefix subtotals compared across rounds)
+    "compact_range_equivalence",
+    "stream_join_sink_equivalence",
 ]
 
 

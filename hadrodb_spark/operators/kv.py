@@ -139,6 +139,34 @@ def compact_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_range_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compact(upto=h, since=lo)`` — the size-tiered RANGE merge (S19,
+    round-11 addition) — must be read-equivalent to merge-on-read, end to
+    end through the driver's hash gate.  The fixture collection holds
+    three commits (0 = bulk load, 1 = price update, 2 = tombstones);
+    merging only the maintenance tail ``since=1, upto=2`` folds the
+    update+delete commits into one segment at ``_seq = 2`` while the big
+    base segment (commit 0) stays bit-identical — the steady-state 100 TB
+    maintenance posture (nightly fold of the day's small commits, cost
+    proportional to the RANGE, never the log).  The post-merge LWW scan
+    must equal the same final-state SQL as full compaction: the oracle is
+    ``_FINAL_STATE`` — a hash match proves the range merge preserved the
+    LWW winner for updated keys, kept unpurged tombstones suppressing
+    their keys, and left base-segment rows readable at their original
+    positions (invariants documented at collection.compact; byte-level
+    base-untouched pin lives in tests/test_segment_stats.py)."""
+    src = _collection(spark, sf_dir)
+    copy_path = tempfile.mkdtemp(prefix="hadro_cr_") + "/orders_kv"
+    shutil.copytree(src.path, copy_path)
+    copy = HadroCollection(spark, copy_path)
+    copy.compact(upto=2, since=1)
+    return (
+        copy.scan()
+        .withColumn("o_orderkey", F.col(KEY_COL).cast("bigint"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
 # The shared "final state" SQL: orders<=1000, +1000 on keys<=200, minus %7.
 _FINAL_STATE = f"""
     SELECT o_orderkey,
@@ -164,6 +192,7 @@ ORACLE: dict[str, str] = {
         WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
     """,
     "compact_equivalence": _FINAL_STATE,
+    "compact_range_equivalence": _FINAL_STATE,
 }
 
 

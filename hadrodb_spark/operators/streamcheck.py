@@ -1190,6 +1190,96 @@ def stream_session_sink_equivalence(
     return spark.createDataFrame(rows, schema).orderBy("session_len")
 
 
+@_utc_pinned
+@_state_pinned
+def stream_join_sink_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join certified through the APPEND-MODE
+    FILE SINK — the sf>1 twin of ``stream_left_join_equivalence`` (a
+    ``MEMORY_SINK_ROWS`` member, refused above sf1), mirroring the shape
+    ``stream_session_sink_equivalence`` established for session state:
+    the joined rows land in a parquet file sink (exactly-once via the
+    sink's ``_spark_metadata`` commit log) instead of a driver-collected
+    memory sink, and the compared relation is the per-signup-hour
+    match/unmatch histogram aggregated from the sink files — cardinality
+    bounded by the fixture's CALENDAR span (distinct signup hours), so
+    the driver-side footprint stays O(hours) at ANY scale factor.  Same
+    chronological 10-file replay + typed far-future sentinels on BOTH
+    sides (each side's watermark tracks only rows passing its own
+    event_type filter — an untyped sentinel advances neither, and
+    null-extension flushes only when the min watermark passes
+    signup + window).
+
+    ``_utc_pinned`` because ``date_format`` renders wall-clock hours.
+
+    Oracle: identical batch left-join SQL as the memory-sink twin — a
+    hash match proves outer-join state eviction, null-extension timing,
+    AND the file-sink commit protocol together reproduce batch
+    semantics."""
+    import uuid
+
+    from hadrodb_spark.streaming.joins import left_outer_purchases
+
+    fixture = _stream_events_dir(sf_dir) + "_louter"
+    if not os.path.isdir(fixture):
+        _build_louter_stream_fixture(spark, sf_dir, fixture)
+    run_dir = os.path.join(
+        tempfile.gettempdir(), f"streq_jsink_{uuid.uuid4().hex}"
+    )
+    out_dir = os.path.join(run_dir, "out")
+    ck_dir = os.path.join(run_dir, "ck")
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(fixture)
+        )
+        joined = left_outer_purchases(
+            stream.filter(F.col("event_type") == "signup"),
+            stream.filter(F.col("event_type") == "purchase"),
+            "2 hours",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel pair
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("signup_hour")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count("purchase_id").cast("bigint").alias("n_matched"),
+                F.countDistinct("signup_id").cast("bigint")
+                .alias("n_signups"),
+                F.sum(
+                    F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_unmatched"),
+            )
+            .orderBy("signup_hour")
+        )
+        rows = agg.collect()  # O(distinct signup hours) — calendar-bounded
+        schema = agg.schema
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("signup_hour")
+
+
+ORACLE["stream_join_sink_equivalence"] = ORACLE[
+    "stream_left_join_equivalence"
+]
+
+
 ORACLE["stream_session_sink_equivalence"] = """
     WITH e AS (
       SELECT user_id, ts, event_id,

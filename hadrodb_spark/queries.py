@@ -70,63 +70,63 @@ def _register(module, only: list[str] | None = None) -> None:
 
 # Registration order matters: the driver verifies the FIRST 50 registry
 # entries, reading the order AS COMMITTED AT END OF ROUND (proven by the
-# r1-r10 CORRECTNESS key sets).  Cumulative driver coverage entering
-# round 11: 336/336 — after the green CORRECTNESS_r10, every entry that
-# existed at round-10 end has at least one green driver row, so the
-# round-11 window is ALL RE-CHECKS plus round 11's own additions.
+# r1-r11 CORRECTNESS key sets).  Cumulative driver coverage entering
+# round 12: 337/337 — after the green CORRECTNESS_r11, every entry that
+# existed at round-11 end has at least one green driver row, so the
+# round-12 window is re-checks + freshness rotation plus round 12's own
+# additions.
 #
-# ROUND-11 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
-# Composition (r10 VERDICT tasks #1, #2, #3):
-#   [0-4]   the 5 streaming-state rows round 10 touched AFTER its freeze
-#           (state-partition decorator + shared chronological fixture
-#           writer): session, custom-state, sliding, dedup, hadrolog.
-#   [5-10]  the kv/manifest tier (round 10's manifest fsync/recovery
-#           landed post-freeze): get/count/compact/merge/time-travel/
-#           history.
-#   [11-15] the dedup family (round 10's shuffle_hash verify-join hints
-#           landed post-freeze): near, exact, ngram-jaccard, containment,
-#           components.
-#   [16]    stream_session_sink_equivalence — round 11's NEW append-mode
-#           parquet-sink session row (task #2), landed BEFORE this freeze
-#           so it certifies inside the window.
-#   [17-49] driver-freshness rotation (task #3): the 33 oldest greens —
-#           §2.2 relational basics last driver-checked in CORRECTNESS_r01
-#           — in their original registry order (the remaining 14 r1
-#           entries + the 47 r2 entries queue for round 12).
+# ROUND-12 VERIFICATION WINDOW — positions 0-49, FROZEN at round start.
+# Composition (r11 VERDICT tasks #1, #4, #6):
+#   [0-6]   the kv tier round 11 touched AFTER its freeze (the
+#           compact range-merge diff in collection.py): get/count/
+#           compact/merge/time-travel/history/optimize.
+#   [7]     compact_range_equivalence — round 12's NEW end-to-end
+#           range-merge row (task #6), landed BEFORE this freeze so it
+#           certifies inside the window.
+#   [8]     stream_join_sink_equivalence — round 12's NEW parquet-sink
+#           twin of the left-outer stream-stream join (task #4), landed
+#           BEFORE this freeze.
+#   [9-22]  driver-freshness rotation, part 1: the 14 remaining
+#           CORRECTNESS_r01 greens (relational2 basics), original
+#           registry order.
+#   [23-49] driver-freshness rotation, part 2: the 27 oldest
+#           CORRECTNESS_r02 greens in registry order — the TPC-H
+#           q2-q22 suite + relational4 aggregate/window rows (the
+#           remaining 20 r2 entries queue for round 13; pre-verified
+#           61/61 by the r11-close vanilla sim).
 # DO NOT REORDER ANYTHING ABOVE THE "verified tiers" MARKER FOR THE REST
-# OF THIS ROUND.  New round-11 queries register BELOW the window
-# (round-12 queue), same procedure as rounds 3-10.
-_register(streamcheck, only=[
-    "stream_session_equivalence", "stream_custom_state_equivalence",
-    "stream_sliding_equivalence", "stream_dedup_equivalence",
-    "stream_hadrolog_source_equivalence",
-])
+# OF THIS ROUND.  New round-12 queries register BELOW the window
+# (round-13 queue), same procedure as rounds 3-11.
 _register(kv, only=[
     "kv_get_latest", "kv_count", "compact_equivalence",
     "kv_merge_equivalence", "kv_time_travel", "kv_history",
+    "kv_optimize_equivalence",
+    "compact_range_equivalence",
 ])
-_register(dedup, only=[
-    "dedup_near", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_containment",
-])
-_register(components, only=["dedup_components"])
-_register(streamcheck, only=["stream_session_sink_equivalence"])
-_register(relational, only=[
-    "filter_compound", "filter_in_like", "join_inner", "join_left",
-    "join_semi", "join_anti", "join_range", "join_multiway",
-    "agg_groupby", "agg_distinct", "agg_rollup", "agg_having",
-    "agg_cube", "agg_stats", "window_rank", "window_running_sum",
-    "window_lead_lag", "sort_limit", "topk_per_group", "setop_union",
-    "setop_except", "setop_intersect", "scalar_string_date",
-    "scalar_math_conditional", "scalar_json_props", "array_explode",
-    "sql_view_query",
-])
+_register(streamcheck, only=["stream_join_sink_equivalence"])
 _register(relational2, only=[
-    "join_right", "join_full", "subquery_scalar", "subquery_correlated",
-    "subquery_exists", "agg_grouping_sets",
+    "pivot_status", "agg_median", "window_frames", "window_range_frame",
+    "distinct_on_latest", "scalar_string2", "scalar_math2",
+    "date_agg_monthly", "limit_offset", "grouped_normalize",
+    "unpivot_measures", "agg_string_concat", "histogram_prices",
+    "scd2_intervals",
+])
+_register(sqlsuite, only=[
+    "sql_named_window", "sql_tpch_q3_like", "sql_tpch_q5_like",
+    "sql_tpch_q18_like", "sql_tpch_q4_like", "sql_tpch_q6_like",
+    "sql_tpch_q7_like", "sql_tpch_q8_like", "sql_tpch_q10_like",
+    "sql_tpch_q12_like", "sql_tpch_q14_like", "sql_tpch_q19_like",
+    "sql_tpch_q22_like", "sql_tpch_q13_like", "sql_tpch_q15_like",
+    "sql_tpch_q17_like", "sql_tpch_q21_like", "sql_tpch_q2_like",
+    "sql_tpch_q11_like", "sql_tpch_q16_like", "sql_tpch_q20_like",
+])
+_register(relational4, only=[
+    "agg_higher_moments", "agg_argmax", "window_rolling_stddev",
+    "window_value_functions", "regression_line", "weighted_median",
 ])
 # --- verified tiers (after the window; every entry below has a green row
-# in some CORRECTNESS_r1-r10).  Order below the window is driver-inert —
+# in some CORRECTNESS_r1-r11).  Order below the window is driver-inert —
 # wholesale registration, with the _register skip-guard keeping the
 # window's 50 names pinned above. ---
 _register(pipeline13)
@@ -163,9 +163,16 @@ _register(relational3)
 _register(graph)
 _register(pipeline3)
 _register(pipeline4)
-# --- ROUND-11 QUEUE marker: new round-10 queries register from here
-# DOWN; collect them BY NAME at round-11 start (same procedure:
-# `name in queries.QUERIES` guards collisions). ---
+# --- ROUND-13 QUEUE marker: new round-12 queries register from here
+# DOWN; collect them BY NAME at round-13 start (same procedure:
+# `name in queries.QUERIES` guards collisions).  Round-13 rotation
+# queue (the 20 r2 greens that did not fit the r12 window, registry
+# order): gaps_islands, window_analytic_ranks, fuzzy_pairs_levenshtein,
+# time_gapfill, corr_matrix, reservoir_per_group, anomaly_zscore,
+# unigram_logprob, repetition_gates, mixture_weights, pack_greedy,
+# vector_topk_batch, chunk_documents, train_val_split,
+# dedup_cluster_hist, quality_filter_ensemble, langid_confusion,
+# bm25_score, embedding_outliers, phrase_search. ---
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import uuid
 from collections.abc import Iterable, Mapping, Sequence
@@ -91,6 +92,12 @@ _MANIFEST_NAME_KEEP = 1024  # tombstone-NAME retention: bounds the writer
 #   object-store deployment maps this to lifecycle deletion strictly
 #   older than the maximum tolerated stall.
 _CAS_MAX_RETRIES = 256   # consecutive lost races before giving up
+
+_LOG = logging.getLogger("hadrodb_spark.collection")
+# process-wide count of swallowed post-publish directory fsyncs (r11
+# ADVICE: the swallow is correct — retrying a published mutate risks
+# double-apply — but repeated failures must be observable)
+_DIR_FSYNC_FAILURES = 0
 
 
 def _manifest_v_path(path: str, version: int) -> str:
@@ -240,8 +247,19 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
                 os.fsync(dfd)
             finally:
                 os.close(dfd)
-        except OSError:
-            pass
+        except OSError as e:
+            # Swallowed but OBSERVABLE (r11 ADVICE): an EIO here is an
+            # early storage-failure signal — log it and count it so
+            # repeated failures surface to operators instead of silently
+            # narrowing the durability window on every commit.
+            global _DIR_FSYNC_FAILURES
+            _DIR_FSYNC_FAILURES += 1
+            _LOG.warning(
+                "manifest publish: post-link directory fsync failed at %s "
+                "(%s); commit v%d is visible but its NAME may not survive "
+                "power loss (failure #%d this process)",
+                path, e, head + 1, _DIR_FSYNC_FAILURES,
+            )
         _gc_manifests(path, head + 1)
         return m
     raise HadroError(

@@ -344,7 +344,11 @@ def test_directory_fsync_failure_does_not_double_apply(tmp_path, monkeypatch):
     directory-fsync failure after that point must be swallowed (r10
     ADVICE): raising would make a retrying caller re-apply a
     non-idempotent mutate.  The commit must land exactly once and the
-    call must return normally."""
+    call must return normally.  The swallow is OBSERVABLE (r11 ADVICE):
+    a warning is logged and the process-wide failure counter increments,
+    so repeated early storage-failure signals leave a trace."""
+    import logging as _logging
+
     import hadrodb_spark.sources.collection as C
 
     path = str(tmp_path)
@@ -356,9 +360,25 @@ def test_directory_fsync_failure_does_not_double_apply(tmp_path, monkeypatch):
         return real_open(p, flags, *a, **kw)
 
     monkeypatch.setattr(C.os, "open", flaky_open)
-    m = _cas_update_manifest(
-        path, lambda man: man.__setitem__("commits", man.get("commits", 0) + 1)
-    )
+    before = C._DIR_FSYNC_FAILURES
+    records = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    cap = _Cap()
+    C._LOG.addHandler(cap)
+    try:
+        m = _cas_update_manifest(
+            path,
+            lambda man: man.__setitem__("commits", man.get("commits", 0) + 1),
+        )
+    finally:
+        C._LOG.removeHandler(cap)
     assert m["commits"] == 1
     head, on_disk = _manifest_head(path)
     assert head == 0 and on_disk["commits"] == 1  # exactly one commit
+    assert C._DIR_FSYNC_FAILURES == before + 1
+    warned = [r for r in records if r.levelno == _logging.WARNING]
+    assert warned and "directory fsync failed" in warned[0].getMessage()

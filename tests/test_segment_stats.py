@@ -475,3 +475,30 @@ def test_full_compact_with_since_raises(coll):
     coll.flush()
     with pytest.raises(HadroError):
         coll.compact(since=1)
+
+
+def test_compact_range_equivalence_query_actually_merges(spark, tmp_path, monkeypatch):
+    """The compact_range_equivalence registry row must exercise the RANGE
+    path for real: ``compact(upto=2, since=1)`` silently no-ops when the
+    covered range holds < 2 segments, and a no-op would still be
+    read-equivalent — so a fixture drift could hollow the certification
+    out without any red row.  Pin that the query's copied collection ends
+    with exactly [0, 2] segment dirs (range folded, base untouched)."""
+    import glob as _glob
+
+    from hadrodb_spark.operators import kv as kvmod
+
+    seen = []
+    orig = HadroCollection.compact
+
+    def spy(self, upto=None, since=0):
+        seen.append((self.path, upto, since))
+        return orig(self, upto=upto, since=since)
+
+    monkeypatch.setattr(HadroCollection, "compact", spy)
+    out = kvmod.compact_range_equivalence(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    (path, upto, since) = seen[-1]
+    assert (upto, since) == (2, 1)
+    merged = HadroCollection(spark, path)
+    assert merged._seq_dirs() == [0, 2], merged._seq_dirs()

@@ -224,11 +224,14 @@ def test_parquet_sink_metadata_log_governs_batch_reads(spark, tmp_path):
     assert again.count() == 2
 
 
-def test_rehearsal_refuses_memory_sink_rows_above_sf1():
+def test_rehearsal_refuses_memory_sink_rows_above_sf1(tmp_path):
     """r10 VERDICT task #7: the sf>1 guard is MECHANIZED, not a BENCH
     note.  Memory-sink equivalence rows are refused at sf10, kept at
     sf ≤ 1; the parquet-sink row always stays in the plan; an
-    unrecognizable dir refuses nothing."""
+    unrecognizable dir falls back to the events.parquet size heuristic
+    (r11 ADVICE — a big dataset named sf10_v2 must not bypass the guard
+    into a driver OOM), refusing nothing only when the events table is
+    absent or small."""
     import importlib.util as _ilu
     import os as _os
 
@@ -255,7 +258,23 @@ def test_rehearsal_refuses_memory_sink_rows_above_sf1():
     assert run == req and refused == {}
     run, refused = reh.plan_names(req, "/tmp/sf0.1")
     assert run == req and refused == {}
+    # unparseable name, no events table => nothing to OOM on, no refusal
     run, refused = reh.plan_names(req, "/tmp/mystery_dir")
+    assert run == req and refused == {}
+    # unparseable name + BIG events.parquet => size fallback refuses
+    big = tmp_path / "sf10_v2"
+    big.mkdir()
+    with open(big / "events.parquet", "wb") as f:
+        f.truncate(reh._EVENTS_BYTES_SF1_MAX + 1)
+    run, refused = reh.plan_names(req, str(big))
+    assert run == ["stream_session_sink_equivalence", "sql_tpch_q9_like"]
+    assert set(refused) == {"stream_session_equivalence"}
+    # unparseable name + small events.parquet => passes through
+    small = tmp_path / "data_small"
+    small.mkdir()
+    with open(small / "events.parquet", "wb") as f:
+        f.truncate(1024)
+    run, refused = reh.plan_names(req, str(small))
     assert run == req and refused == {}
 
     # every _run_bounded caller must be in MEMORY_SINK_ROWS — a new
@@ -278,3 +297,58 @@ def test_rehearsal_refuses_memory_sink_rows_above_sf1():
     assert callers == set(sc.MEMORY_SINK_ROWS), (
         callers ^ set(sc.MEMORY_SINK_ROWS)
     )
+
+
+def test_left_join_null_extension_through_parquet_sink(spark, tmp_path):
+    """The engine contract stream_join_sink_equivalence leans on: a
+    left-outer stream-stream join writing to an append-mode FILE sink
+    commits both the matched rows and the watermark-flushed
+    null-extension rows — with hand-computed expectations on a planted
+    fixture.  Typed far-future sentinels on BOTH sides advance both
+    watermarks so the unmatched signup's outer row provably flushes
+    before the availableNow run ends (an untyped sentinel advances
+    neither side — the trap this family documents)."""
+    from hadrodb_spark.streaming.joins import left_outer_purchases
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tmp_path / "src"
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # u5 signs up and purchases 30 min later (matched); u6 signs up and
+    # never purchases (null-extended once min-watermark > s_ts + 2 h)
+    _write_file(spark, d, [
+        (1, t0, 5, "signup", 1.0, ""),
+        (2, t0 + m, 6, "signup", 1.0, ""),
+    ])
+    _write_file(spark, d, [(3, t0 + 30 * m, 5, "purchase", 9.0, "")])
+    _write_file(
+        spark, d, [(98, t0 + dt.timedelta(days=10), -1, "signup", 0.0, "")]
+    )
+    _write_file(
+        spark, d, [(99, t0 + dt.timedelta(days=20), -1, "purchase", 0.0, "")]
+    )
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    joined = left_outer_purchases(
+        stream.filter("event_type = 'signup'"),
+        stream.filter("event_type = 'purchase'"),
+        "2 hours",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    )
+    assert committed == [(5, 1, 3), (6, 2, None)], committed

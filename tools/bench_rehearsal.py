@@ -72,12 +72,33 @@ DEFAULT = [
 
 def parse_sf(sf_dir: str) -> float | None:
     """Best-effort scale factor from the dir name (``.../sf10`` → 10.0);
-    None when the name carries no ``sf<number>`` suffix (then no row is
-    refused — an unrecognized dir is the operator's responsibility)."""
+    None when the name carries no ``sf<number>`` suffix — then
+    ``plan_names`` falls back to the size heuristic below instead of
+    refusing nothing (r11 ADVICE: a dir named sf10_v2/data10 must not
+    silently bypass the memory-sink guard into a driver OOM)."""
     import re
 
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)$", sf_dir.rstrip("/"))
     return float(m.group(1)) if m else None
+
+
+# sf1's events.parquet is ~12 MiB; sf10's is ~120 MiB.  An unparseable
+# dir whose events table exceeds this is treated as "above sf1" for the
+# memory-sink refusal (2x headroom over sf1, 5x under sf10).
+_EVENTS_BYTES_SF1_MAX = 24 * 1024 * 1024
+
+
+def _looks_above_sf1(sf_dir: str) -> bool:
+    """Size fallback when the dir name carries no scale factor."""
+    import os as _os
+
+    try:
+        return (
+            _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+            > _EVENTS_BYTES_SF1_MAX
+        )
+    except OSError:
+        return False  # no readable events table — nothing to OOM on
 
 
 def plan_names(names: list[str], sf_dir: str) -> tuple[list[str], dict[str, str]]:
@@ -92,7 +113,10 @@ def plan_names(names: list[str], sf_dir: str) -> tuple[list[str], dict[str, str]
     from hadrodb_spark.operators.streamcheck import MEMORY_SINK_ROWS
 
     sf = parse_sf(sf_dir)
-    if sf is None or sf <= 1:
+    if sf is None:
+        if not _looks_above_sf1(sf_dir):
+            return list(names), {}
+    elif sf <= 1:
         return list(names), {}
     refused = {
         n: "memory-sink equivalence row (driver-collected row set); "

@@ -64,7 +64,7 @@ DIMS = ("region", "nation")
 # Per-replica TEXT SALT (r10 VERDICT task #4): replica 0 keeps the source
 # text verbatim; replica r > 0 applies a bijective letter substitution —
 # two independent rotations over disjoint character sets of coprime sizes
-# (11 and 13), so the combined mapping is unique for r < 143 replicas.
+# (11 and 15), so the combined mapping is unique for r < 165 replicas.
 # Why a translation and not injected salt tokens: it preserves byte
 # length, token count, and the per-replica word-frequency shape exactly
 # (scan volume and Zipf skew unchanged), while making the VOCABULARY grow
@@ -72,8 +72,14 @@ DIMS = ("region", "nation")
 # n-gram / MinHash queries measure their plan instead of verbatim
 # duplication (without it, contamination_ngram-class match pairs grew
 # ~replicas² because every replica shared every gram).
-_SALT_A = "etaoinshrdl"   # 11 most frequent letters
-_SALT_B = "cumwfgypbvkjx"  # 13 of the rest; disjoint from _SALT_A
+_SALT_A = "etaoinshrdl"    # 11 most frequent letters
+_SALT_B = "cumwfgypbvkjxqz"  # the other 15; disjoint from _SALT_A
+# Residual shared vocabulary (r11 ADVICE, documented): all 26 lowercase
+# letters now rotate, but UPPERCASE letters and DIGITS map to themselves
+# in every replica — tokens composed solely of them (numbers, shouty
+# acronyms) stay verbatim-shared across replicas.  Accepted: the corpus
+# is lowercase-dominated prose, and salting case via a lower() round-trip
+# would destroy the case structure the text-quality queries measure.
 
 
 def salted_text_sql(col: str) -> str:
