@@ -521,6 +521,12 @@ class HadroCollection:
         def bump(m: dict[str, Any]) -> None:
             holder["commit"] = int(m["commits"])
             m["commits"] = holder["commit"] + 1
+            # IN-FLIGHT marker (r12): allocated but not yet recorded —
+            # cleared by _record_segment_stats / _reset_segment_stats
+            # once the segment write completes.  Range compaction reads
+            # this to avoid folding (or hoisting rows over) another
+            # writer's incomplete commit; see compact().
+            m.setdefault("inflight", {})[str(holder["commit"])] = True
 
         self._update_manifest(bump)
         return holder["commit"]
@@ -556,6 +562,7 @@ class HadroCollection:
                 "key_bloom": key_bloom,
             }
             m["clean"] = False  # any append may shadow existing keys
+            m.setdefault("inflight", {}).pop(str(commit), None)
 
         self._update_manifest(put)
 
@@ -575,6 +582,7 @@ class HadroCollection:
                 }
             }
             m["clean"] = True
+            m.setdefault("inflight", {}).pop(str(commit), None)
 
         self._update_manifest(put)
 
@@ -595,6 +603,25 @@ class HadroCollection:
         """Per-commit manifest statistics (public introspection surface)."""
         segs = self._read_manifest()["segments"]
         return {int(k): dict(v) for k, v in segs.items()}
+
+    def inflight_commits(self) -> list[int]:
+        """Commits allocated but not yet recorded (another writer mid-
+        commit, or a crashed writer's stranded marker).  Range/incremental
+        compaction will not merge at or above the lowest of these."""
+        return sorted(
+            int(k) for k in self._read_manifest().get("inflight", {})
+        )
+
+    def clear_inflight(self, commit: int) -> None:
+        """OPERATOR ESCAPE HATCH: drop a crashed writer's stranded
+        in-flight marker so maintenance can proceed.  Only safe once the
+        owning writer is known dead — clearing a LIVE writer's marker
+        re-opens the lost-update race ``compact`` guards against."""
+
+        def drop(m: dict[str, Any]) -> None:
+            m.setdefault("inflight", {}).pop(str(commit), None)
+
+        self._update_manifest(drop)
 
     def _stats_if_complete(self) -> dict[int, dict[str, Any]] | None:
         """Stats keyed by commit id, or None if any on-disk commit dir has
@@ -1163,7 +1190,13 @@ class HadroCollection:
           range are untouched at their original positions;
         - tombstones whose key has no newer version are PRESERVED (not
           purged — only a full compact may purge), so during and after the
-          swap no shadowed pre-range row can resurface."""
+          swap no shadowed pre-range row can resurface;
+        - (r12) the range is truncated strictly below any IN-FLIGHT
+          commit (allocated, not yet recorded — see ``_next_commit``), so
+          a concurrent writer's incomplete segment is never folded,
+          deleted, or shadowed by hoisted older versions.  Full
+          compaction (``upto=None``) remains a quiesced-maintenance
+          operation: it rewrites the whole data directory."""
         if upto is None:
             if since:
                 raise HadroError(
@@ -1176,14 +1209,42 @@ class HadroCollection:
             return
         self.flush()
         on_disk = self._seq_dirs()
-        covered = [n for n in on_disk if since <= n <= upto]
+        # Concurrent-writer safety (r12): another writer's commit between
+        # _next_commit and _record_segment_stats is IN-FLIGHT — its
+        # directory may be absent, partial, or complete-but-unrecorded.
+        # Folding the range across it is unsound twice over: a partial
+        # read would be merged and the directory deleted (data loss), and
+        # even SKIPPING it while merging commits on both sides would
+        # hoist an older version of a key from below the in-flight seq to
+        # position h above it, wrongly shadowing that writer's final
+        # rows at LWW.  So the merge range is TRUNCATED strictly below
+        # the lowest in-flight seq (everything below it is immutable
+        # history), and covered commits are those both recorded and on
+        # disk (an unrecorded non-inflight seq is one an earlier merge
+        # folded away).  On a quiesced collection both filters are
+        # no-ops.  A writer that crashed mid-commit strands its marker
+        # and keeps blocking merges at/above its seq — fail-safe; see
+        # ``clear_inflight``.
+        man = self._read_manifest()
+        recorded = {int(k) for k in man.get("segments", {})}
+        blockers = [
+            i
+            for i in (int(k) for k in man.get("inflight", {}))
+            if since <= i <= upto
+        ]
+        h_cap = min(blockers) - 1 if blockers else upto
+        covered = [
+            n for n in on_disk if since <= n <= h_cap and n in recorded
+        ]
         if len(covered) < 2:
             return  # nothing to merge
         h = max(covered)
+        # the merge input is pinned to the COVERED list, not the raw
+        # [since, h] range: an in-flight (unrecorded) segment's partial
+        # rows must not be hoisted to position h, where they would
+        # shadow that writer's final commit at LWW
         merged = self._latest(
-            self._log().filter(
-                (F.col(SEQ_COL) >= since) & (F.col(SEQ_COL) <= h)
-            )
+            self._log().filter(F.col(SEQ_COL).isin(covered))
         ).withColumn(SUB_COL, F.lit(0).cast("long"))
         obs = Observation()
         merged = merged.drop(SEQ_COL).observe(

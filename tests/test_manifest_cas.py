@@ -382,3 +382,34 @@ def test_directory_fsync_failure_does_not_double_apply(tmp_path, monkeypatch):
     assert C._DIR_FSYNC_FAILURES == before + 1
     warned = [r for r in records if r.levelno == _logging.WARNING]
     assert warned and "directory fsync failed" in warned[0].getMessage()
+
+
+def test_concurrent_writer_fault_drill_small():
+    """The envelope fault drill (tools/fault_drill_concurrent_writers.py)
+    at fixture scale: two real driver PROCESSES (three JVMs total) race
+    merge_df commits on one collection; the rendezvous FORCES a manifest
+    CAS loss; the drill asserts clean retry, empty in-flight set,
+    stats/dirs consistency, and batch-LWW equivalence.  The sf1 run is
+    recorded per round in SCALE.md — this keeps the harness itself from
+    rotting."""
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "fault_drill_concurrent_writers.py",
+    )
+    proc = subprocess.run(
+        [_sys.executable, script, "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["cas_losses"] >= 1
+    assert report["lww_equivalent"] is True

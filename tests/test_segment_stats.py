@@ -502,3 +502,48 @@ def test_compact_range_equivalence_query_actually_merges(spark, tmp_path, monkey
     assert (upto, since) == (2, 1)
     merged = HadroCollection(spark, path)
     assert merged._seq_dirs() == [0, 2], merged._seq_dirs()
+
+
+def test_inflight_marker_lifecycle(coll):
+    """_next_commit marks the seq in-flight; _record_segment_stats clears
+    it — the manifest-level handshake range compaction keys off."""
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    assert coll.inflight_commits() == []          # recorded ⇒ cleared
+    seq = coll._next_commit()                      # allocate, don't write
+    assert coll.inflight_commits() == [seq]
+    coll._record_segment_stats(
+        seq, rows=0, tombstones=0, min_key=None, max_key=None,
+        unique_keys=True,
+    )
+    assert coll.inflight_commits() == []
+
+
+def test_range_compact_truncates_below_inflight_commit(coll):
+    """A concurrent writer's in-flight commit must bound the merge: folding
+    across it would either read a partial segment or hoist an older
+    version above the in-flight seq, shadowing that writer's final rows.
+    The merge truncates strictly below it; clear_inflight unblocks."""
+    for i, k in enumerate(("a", "b", "c", "d")):
+        coll.set(k, {"title": k.upper(), "n": i})
+        coll.flush()                               # commits 0..3
+    stalled = coll._next_commit()                  # writer B mid-commit: 4
+    assert stalled == 4
+    coll.set("a", {"title": "A5", "n": 5})
+    coll.flush()                                   # writer A continues: 5
+    coll.set("e", {"title": "E6", "n": 6})
+    coll.flush()                                   # 6
+    before = sorted(tuple(r) for r in coll.scan().collect())
+
+    coll.compact(upto=6, since=1)
+    # truncated at 3: commits 1-3 folded, 5/6 (above the in-flight 4)
+    # untouched, nothing at 4 created or deleted
+    assert coll._seq_dirs() == [0, 3, 5, 6]
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before
+    assert coll.inflight_commits() == [4]
+
+    # writer B is known dead: clear the marker and the full range folds
+    coll.clear_inflight(4)
+    coll.compact(upto=6, since=1)
+    assert coll._seq_dirs() == [0, 6]
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before
