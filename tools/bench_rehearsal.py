@@ -67,6 +67,10 @@ DEFAULT = [
     # ONLY streaming-equivalence topology certified ABOVE sf1 (the
     # memory-sink rows above are refused there by plan_names)
     "stream_session_sink_equivalence",
+    # round-12 addition: the parquet-sink twin of the left-outer
+    # stream-stream join — the SECOND streaming topology certified
+    # above sf1
+    "stream_join_sink_equivalence",
 ]
 
 
