@@ -1057,24 +1057,27 @@ def stream_left_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2 hours",
     )
     name = _run_bounded(spark, joined, "append")
-    out = (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)
-        .groupBy(
-            F.date_format(
-                F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss"
-            ).alias("signup_hour")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count("purchase_id").cast("bigint").alias("n_matched"),
-            F.countDistinct("signup_id").cast("bigint").alias("n_signups"),
-            F.sum(
-                F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
-            ).cast("bigint").alias("n_unmatched"),
-        )
-    )
+    out = _louter_hour_histogram(spark.table(name))
     return _drain(spark, name, out).orderBy("signup_hour")
+
+
+def _louter_hour_histogram(df: DataFrame) -> DataFrame:
+    """Per-signup-hour match/unmatch histogram over left-outer-join
+    output (sentinel pair dropped).  ONE text shared by the memory-sink
+    row and its parquet-sink twin: both hash against the SAME oracle
+    entry, so the aggregation must never drift between them."""
+    return df.filter(F.col("user_id") >= 0).groupBy(
+        F.date_format(
+            F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("signup_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("purchase_id").cast("bigint").alias("n_matched"),
+        F.countDistinct("signup_id").cast("bigint").alias("n_signups"),
+        F.sum(
+            F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_unmatched"),
+    )
 
 
 ORACLE["stream_left_join_equivalence"] = """
@@ -1249,24 +1252,8 @@ def stream_join_sink_equivalence(
             .start()
         )
         q.awaitTermination()
-        agg = (
-            spark.read.parquet(out_dir)
-            .filter(F.col("user_id") >= 0)  # drop the sentinel pair
-            .groupBy(
-                F.date_format(
-                    F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss"
-                ).alias("signup_hour")
-            )
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.count("purchase_id").cast("bigint").alias("n_matched"),
-                F.countDistinct("signup_id").cast("bigint")
-                .alias("n_signups"),
-                F.sum(
-                    F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
-                ).cast("bigint").alias("n_unmatched"),
-            )
-            .orderBy("signup_hour")
+        agg = _louter_hour_histogram(spark.read.parquet(out_dir)).orderBy(
+            "signup_hour"
         )
         rows = agg.collect()  # O(distinct signup hours) — calendar-bounded
         schema = agg.schema

@@ -40,6 +40,7 @@ import hashlib
 import json
 import logging
 import os
+import threading
 import uuid
 from collections.abc import Iterable, Mapping, Sequence
 from typing import Any
@@ -94,10 +95,36 @@ _MANIFEST_NAME_KEEP = 1024  # tombstone-NAME retention: bounds the writer
 _CAS_MAX_RETRIES = 256   # consecutive lost races before giving up
 
 _LOG = logging.getLogger("hadrodb_spark.collection")
+
+
+def _rename_exchange(a: str, b: str) -> bool:
+    """Atomically SWAP two paths (Linux ``renameat2(RENAME_EXCHANGE)``).
+
+    Used by the range-merge segment swap: without it there is a
+    two-syscall window in which a concurrent reader listing the data
+    directory sees NO ``_seq=h`` at all and silently resolves LWW to
+    older shadowed versions — the one failure mode of the swap that is
+    wrong-and-quiet rather than loud.  Returns ``False`` when libc or
+    the filesystem doesn't support the exchange (caller falls back to
+    the two-rename sequence)."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    at_fdcwd, rename_exchange = -100, 2
+    return (
+        fn(at_fdcwd, os.fsencode(a), at_fdcwd, os.fsencode(b), rename_exchange)
+        == 0
+    )
 # process-wide count of swallowed post-publish directory fsyncs (r11
 # ADVICE: the swallow is correct — retrying a published mutate risks
-# double-apply — but repeated failures must be observable)
+# double-apply — but repeated failures must be observable); guarded by a
+# lock because manifest CAS updates run from arbitrary caller threads
 _DIR_FSYNC_FAILURES = 0
+_DIR_FSYNC_LOCK = threading.Lock()
 
 
 def _manifest_v_path(path: str, version: int) -> str:
@@ -253,12 +280,14 @@ def _cas_update_manifest(path: str, mutate) -> dict[str, Any]:
             # repeated failures surface to operators instead of silently
             # narrowing the durability window on every commit.
             global _DIR_FSYNC_FAILURES
-            _DIR_FSYNC_FAILURES += 1
+            with _DIR_FSYNC_LOCK:
+                _DIR_FSYNC_FAILURES += 1
+                n_failures = _DIR_FSYNC_FAILURES
             _LOG.warning(
                 "manifest publish: post-link directory fsync failed at %s "
                 "(%s); commit v%d is visible but its NAME may not survive "
                 "power loss (failure #%d this process)",
-                path, e, head + 1, _DIR_FSYNC_FAILURES,
+                path, e, head + 1, n_failures,
             )
         _gc_manifests(path, head + 1)
         return m
@@ -1220,17 +1249,25 @@ class HadroCollection:
         # rows at LWW.  So the merge range is TRUNCATED strictly below
         # the lowest in-flight seq (everything below it is immutable
         # history), and covered commits are those both recorded and on
-        # disk (an unrecorded non-inflight seq is one an earlier merge
-        # folded away).  On a quiesced collection both filters are
-        # no-ops.  A writer that crashed mid-commit strands its marker
-        # and keeps blocking merges at/above its seq — fail-safe; see
-        # ``clear_inflight``.
+        # disk.  An ON-DISK directory with neither a stats entry nor an
+        # in-flight marker (a writer that crashed mid-commit BEFORE this
+        # protocol existed, or a foreign/restored dir) is treated as a
+        # blocker too — its completeness is unknowable, so merging or
+        # hoisting around it risks the same shadowing (review finding;
+        # a seq an earlier merge folded away has NO directory and blocks
+        # nothing).  On a quiesced modern collection all filters are
+        # no-ops.  A crashed writer's stranded marker keeps blocking
+        # merges at/above its seq — fail-safe; see ``clear_inflight``.
         man = self._read_manifest()
         recorded = {int(k) for k in man.get("segments", {})}
         blockers = [
             i
             for i in (int(k) for k in man.get("inflight", {}))
             if since <= i <= upto
+        ] + [
+            n
+            for n in on_disk
+            if since <= n <= upto and n not in recorded
         ]
         h_cap = min(blockers) - 1 if blockers else upto
         covered = [
@@ -1263,8 +1300,18 @@ class HadroCollection:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
         got = obs.get
-        # swap under the commit lock: replace _seq=h first (briefly stale,
-        # never wrong-after), then drop the now-fully-shadowed older dirs
+        # Swap under the commit lock (flock serializes COMPACTORS on this
+        # host; cross-host maintenance is single-owner by deployment
+        # contract).  _seq=h is replaced via an atomic RENAME_EXCHANGE
+        # where the OS supports it, so a concurrent reader's directory
+        # listing always sees exactly one _seq=h — old or new, both
+        # LWW-consistent (between the exchange and the old-dir drops a
+        # reader seeing new-h PLUS covered[:-1] is also consistent: every
+        # covered row is shadowed by its merged copy at h).  Honest
+        # residual: a reader that PLANNED file paths inside the covered
+        # dirs before the swap fails LOUDLY (FileNotFound) once they move
+        # to trash — retry the scan; the silent-wrong window (missing h)
+        # exists only on filesystems without the exchange.
         import fcntl
 
         with open(os.path.join(self.path, "_hadro_lock"), "a") as lock:
@@ -1273,8 +1320,12 @@ class HadroCollection:
             shutil.rmtree(trash, ignore_errors=True)
             os.makedirs(trash)
             h_dir = os.path.join(self._data_path, f"{SEQ_COL}={h}")
-            os.rename(h_dir, os.path.join(trash, f"{SEQ_COL}={h}"))
-            os.rename(tmp, h_dir)
+            old_h = os.path.join(trash, f"{SEQ_COL}={h}")
+            if _rename_exchange(tmp, h_dir):
+                os.rename(tmp, old_h)  # tmp now holds the displaced old h
+            else:
+                os.rename(h_dir, old_h)
+                os.rename(tmp, h_dir)
             for n in covered[:-1]:
                 d = os.path.join(self._data_path, f"{SEQ_COL}={n}")
                 if os.path.isdir(d):

@@ -484,8 +484,6 @@ def test_compact_range_equivalence_query_actually_merges(spark, tmp_path, monkey
     read-equivalent — so a fixture drift could hollow the certification
     out without any red row.  Pin that the query's copied collection ends
     with exactly [0, 2] segment dirs (range folded, base untouched)."""
-    import glob as _glob
-
     from hadrodb_spark.operators import kv as kvmod
 
     seen = []
@@ -547,3 +545,45 @@ def test_range_compact_truncates_below_inflight_commit(coll):
     coll.compact(upto=6, since=1)
     assert coll._seq_dirs() == [0, 6]
     assert sorted(tuple(r) for r in coll.scan().collect()) == before
+
+
+def test_range_compact_blocks_on_unrecorded_disk_dir(coll):
+    """An on-disk _seq dir with neither a stats entry nor an in-flight
+    marker (pre-protocol crash remnant) must BLOCK the merge at its seq:
+    its completeness is unknowable, and folding commits on both sides of
+    it would hoist older versions above it (review finding)."""
+    import hadrodb_spark.sources.collection as C
+
+    for i, k in enumerate(("a", "b", "c", "d")):
+        coll.set(k, {"title": k.upper(), "n": i})
+        coll.flush()                               # commits 0..3
+    # simulate the pre-r12 crash: commit 2's dir exists, but strip both
+    # its stats entry and (vacuously) any in-flight marker
+    C._cas_update_manifest(
+        coll.path, lambda m: m["segments"].pop("2", None)
+    )
+    before_dirs = coll._seq_dirs()
+    coll.compact(upto=3, since=1)
+    assert coll._seq_dirs() == before_dirs         # blocked: nothing merged
+    # clearing the ambiguity (re-recording the stats) unblocks it
+    coll._record_segment_stats(
+        2, rows=1, tombstones=0, min_key="c", max_key="c", unique_keys=True
+    )
+    coll.compact(upto=3, since=1)
+    assert coll._seq_dirs() == [0, 3]
+
+
+def test_rename_exchange_helper_swaps_or_declines(tmp_path):
+    """_rename_exchange atomically swaps two dirs where supported; on
+    success both paths still exist with exchanged contents."""
+    import hadrodb_spark.sources.collection as C
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "fa").write_text("A")
+    (b / "fb").write_text("B")
+    if C._rename_exchange(str(a), str(b)):
+        assert (a / "fb").exists() and (b / "fa").exists()
+        assert not (a / "fa").exists() and not (b / "fb").exists()
+    else:  # unsupported here — the compact path falls back to two renames
+        assert (a / "fa").exists() and (b / "fb").exists()

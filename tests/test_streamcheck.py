@@ -276,6 +276,16 @@ def test_rehearsal_refuses_memory_sink_rows_above_sf1(tmp_path):
         f.truncate(1024)
     run, refused = reh.plan_names(req, str(small))
     assert run == req and refused == {}
+    # unparseable name + events.parquet as a Spark-style DIRECTORY of
+    # part-files whose sum is big => size fallback still refuses
+    # (getsize on the dir inode alone would be ~4 KiB and bypass it)
+    bigdir = tmp_path / "data10"
+    (bigdir / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        with open(bigdir / "events.parquet" / f"part-{i}.parquet", "wb") as f:
+            f.truncate(reh._EVENTS_BYTES_SF1_MAX // 2)
+    run, refused = reh.plan_names(req, str(bigdir))
+    assert set(refused) == {"stream_session_equivalence"}
 
     # every _run_bounded caller must be in MEMORY_SINK_ROWS — a new
     # memory-sink row added without marking it re-opens the sf10 OOM

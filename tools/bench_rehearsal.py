@@ -93,14 +93,25 @@ _EVENTS_BYTES_SF1_MAX = 24 * 1024 * 1024
 
 
 def _looks_above_sf1(sf_dir: str) -> bool:
-    """Size fallback when the dir name carries no scale factor."""
+    """Size fallback when the dir name carries no scale factor.  Handles
+    both a single parquet file and a Spark-written DIRECTORY of
+    part-files — ``getsize`` on a directory returns the inode size
+    (~4 KiB) without raising, which would silently bypass the guard
+    (review finding)."""
     import os as _os
 
+    p = _os.path.join(sf_dir, "events.parquet")
     try:
-        return (
-            _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
-            > _EVENTS_BYTES_SF1_MAX
-        )
+        if _os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in _os.walk(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f)) for f in files
+                )
+                if total > _EVENTS_BYTES_SF1_MAX:
+                    return True
+            return total > _EVENTS_BYTES_SF1_MAX
+        return _os.path.getsize(p) > _EVENTS_BYTES_SF1_MAX
     except OSError:
         return False  # no readable events table — nothing to OOM on
 
