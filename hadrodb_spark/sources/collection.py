@@ -611,7 +611,12 @@ class HadroCollection:
                 }
             }
             m["clean"] = True
-            m.setdefault("inflight", {}).pop(str(commit), None)
+            # a full rewrite runs quiesced by contract and just erased
+            # every prior commit's history — any surviving in-flight
+            # marker is by definition stranded, so self-heal the lot
+            # instead of demanding per-seq clear_inflight (review
+            # finding)
+            m["inflight"] = {}
 
         self._update_manifest(put)
 
@@ -840,7 +845,24 @@ class HadroCollection:
         writer = df.drop(SEQ_COL).write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(os.path.join(self._data_path, f"{SEQ_COL}={commit}"))
+        target = os.path.join(self._data_path, f"{SEQ_COL}={commit}")
+        try:
+            writer.parquet(target)
+        except Exception:
+            # Transient write failure (executor loss, disk full) in a
+            # SURVIVING process: clean up so the retry isn't haunted —
+            # drop the partial segment and this commit's in-flight
+            # marker (review finding: a stranded marker silently blocks
+            # range compaction at this seq forever).  If the cleanup
+            # itself fails, the stranded marker IS the fail-safe.
+            import shutil
+
+            try:
+                shutil.rmtree(target, ignore_errors=True)
+                self.clear_inflight(commit)
+            except Exception:
+                pass
+            raise
 
     # --------------------------------------------------------------- KV writes
     def set(self, key: str, record: Mapping[str, Any] | Sequence[Any]) -> None:
@@ -918,6 +940,12 @@ class HadroCollection:
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise HadroError(f"unknown when_matched mode: {when_matched!r}")
+        if when_matched == "ignore" and not insert_unmatched:
+            # the one combination with nothing to write — return BEFORE
+            # allocating a commit, or the never-recorded allocation would
+            # strand an in-flight marker that blocks range compaction at
+            # that seq forever (review finding)
+            return
         self.flush()
         keyed = df.withColumn(KEY_COL, F.col(key_col).cast("string"))
         live = self._lww().filter(~F.col(DELETED_COL)).select(KEY_COL)
@@ -948,7 +976,7 @@ class HadroCollection:
             )
         if insert_unmatched:
             parts.append(versions(keyed.join(live, KEY_COL, "left_anti")))
-        if not parts:
+        if not parts:  # unreachable — guarded before allocation above
             return
         out = parts[0]
         for p in parts[1:]:
@@ -1293,13 +1321,43 @@ class HadroCollection:
         )
         import shutil
 
-        tmp = self._data_path + ".compact_inc"
-        shutil.rmtree(tmp, ignore_errors=True)
-        writer = merged.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(tmp)
-        got = obs.get
+        # unique tmp per invocation (review finding): a FIXED tmp name let
+        # two overlapping same-host compactors clobber each other's merge
+        # output outside the flock and swap the wrong rows in at h
+        tmp = f"{self._data_path}.compact_inc.{uuid.uuid4().hex}"
+        try:
+            writer = merged.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(tmp)
+            got = obs.get
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # PRE-SWAP manifest publish (review finding): pop the covered
+        # entries and write h's merged stats BEFORE touching any data
+        # directory.  From here until the swap completes, some on-disk
+        # dirs have no manifest entry, so _stats_if_complete returns None
+        # and every pruned/fast read path falls back to the full
+        # distributed read — publishing AFTER the swap left a window
+        # where a reader pruned point-gets with the OLD h bounds/bloom
+        # over the NEW h contents and silently missed hoisted keys.  A
+        # crash in the window leaves a safe unpruned collection (old
+        # dirs intact, all versions readable); its on-disk-but-
+        # unrecorded covered dirs then BLOCK further range merges, and
+        # the documented recovery is a quiesced full compact.
+        def put(m: dict[str, Any]) -> None:
+            for n in covered:
+                m["segments"].pop(str(n), None)
+            m["segments"][str(h)] = {
+                "rows": int(got["rows"]),
+                "tombstones": int(got["tombs"] or 0),
+                "min_key": got["min_key"],
+                "max_key": got["max_key"],
+                "unique_keys": True,  # the merge keeps one row per key
+            }
+
+        self._update_manifest(put)
         # Swap under the commit lock (flock serializes COMPACTORS on this
         # host; cross-host maintenance is single-owner by deployment
         # contract).  _seq=h is replaced via an atomic RENAME_EXCHANGE
@@ -1331,19 +1389,6 @@ class HadroCollection:
                 if os.path.isdir(d):
                     os.rename(d, os.path.join(trash, f"{SEQ_COL}={n}"))
             shutil.rmtree(trash)
-
-        def put(m: dict[str, Any]) -> None:
-            for n in covered:
-                m["segments"].pop(str(n), None)
-            m["segments"][str(h)] = {
-                "rows": int(got["rows"]),
-                "tombstones": int(got["tombs"] or 0),
-                "min_key": got["min_key"],
-                "max_key": got["max_key"],
-                "unique_keys": True,  # the merge keeps one row per key
-            }
-
-        self._update_manifest(put)
 
     def export(self, path: str, format: str = "parquet", mode: str = "error") -> None:
         """Write the live LWW view out as plain parquet / json / csv —

@@ -400,8 +400,11 @@ def test_concurrent_writer_fault_drill_small():
         "tools",
         "fault_drill_concurrent_writers.py",
     )
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )  # same override conftest.SF_DIR honors
     proc = subprocess.run(
-        [_sys.executable, script, "/root/testdata/sf0.001"],
+        [_sys.executable, script, sf_dir],
         capture_output=True,
         text=True,
         timeout=600,

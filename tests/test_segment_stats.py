@@ -587,3 +587,92 @@ def test_rename_exchange_helper_swaps_or_declines(tmp_path):
         assert not (a / "fa").exists() and not (b / "fb").exists()
     else:  # unsupported here — the compact path falls back to two renames
         assert (a / "fa").exists() and (b / "fb").exists()
+
+
+def test_merge_df_noop_combination_allocates_nothing(spark, coll):
+    """merge_df(when_matched='ignore', insert_unmatched=False) has nothing
+    to write: it must return BEFORE allocating a commit — the allocation
+    would strand an in-flight marker that blocks range compaction at
+    that seq forever (review finding)."""
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    before = coll._read_manifest()["commits"]
+    src = spark.createDataFrame([("a", "A2", 2)], "key string, title string, n int")
+    coll.merge_df(src, key_col="key", when_matched="ignore", insert_unmatched=False)
+    m = coll._read_manifest()
+    assert m["commits"] == before
+    assert coll.inflight_commits() == []
+
+
+def test_failed_segment_write_cleans_marker_and_partial_dir(spark, coll, monkeypatch):
+    """A transient Spark write failure in a SURVIVING process must not
+    strand the in-flight marker or a partial segment dir (review
+    finding): the guard drops both and re-raises, so the retry starts
+    clean and range compaction stays unblocked."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    real = DataFrameWriter.parquet
+
+    def boom(self, path, **kw):
+        raise RuntimeError("injected transient write failure")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    coll.set("b", {"title": "B", "n": 2})
+    with pytest.raises(RuntimeError, match="injected"):
+        coll.flush()
+    monkeypatch.setattr(DataFrameWriter, "parquet", real)
+    assert coll.inflight_commits() == []          # marker cleaned
+    assert coll._seq_dirs() == [0]                # no partial dir
+    coll.flush()                                  # staged rows retry cleanly
+    assert coll.get("b")["title"] == "B"
+    # compaction over the gap still folds (burned seq blocks nothing)
+    coll.set("c", {"title": "C", "n": 3})
+    coll.flush()
+    coll.compact(upto=max(coll._seq_dirs()), since=1)
+    assert len(coll) == 3
+
+
+def test_full_rewrite_clears_all_stranded_markers(coll):
+    """Full compact runs quiesced by contract — any in-flight marker it
+    finds is stranded by definition and must be self-healed, not left to
+    block every future range merge (review finding)."""
+    coll.set("a", {"title": "A", "n": 1})
+    coll.flush()
+    coll._next_commit()                            # stranded crash marker
+    assert coll.inflight_commits()
+    coll.compact()
+    assert coll.inflight_commits() == []
+
+
+def test_range_merge_publishes_manifest_before_swap(coll, monkeypatch):
+    """Crash-window pin for the pre-swap manifest publish (review
+    finding): if the process dies after the manifest update but before
+    any directory moves, the covered dirs are intact but UNRECORDED — so
+    every pruned/fast path disables itself (_stats_if_complete None) and
+    the scan still returns the exact LWW state.  Publishing after the
+    swap instead left pruned point-gets reading the NEW h dir with the
+    OLD h bounds/bloom."""
+    import hadrodb_spark.sources.collection as C
+
+    for i, k in enumerate(("a", "b", "c", "d")):
+        coll.set(k, {"title": k.upper(), "n": i})
+        coll.flush()                               # commits 0..3
+    before = sorted(tuple(r) for r in coll.scan().collect())
+
+    def die(a, b):
+        raise RuntimeError("crash before any dir move")
+
+    monkeypatch.setattr(C, "_rename_exchange", die)
+    with pytest.raises(RuntimeError, match="crash before"):
+        coll.compact(upto=3, since=1)
+    assert coll._seq_dirs() == [0, 1, 2, 3]        # no dir was touched
+    assert coll._stats_if_complete() is None       # pruning disabled
+    assert coll._len_fast() is None
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before
+    assert coll.get("b")["title"] == "B"           # unpruned get correct
+    # documented recovery: quiesced full compact restores everything
+    coll.compact()
+    assert coll._stats_if_complete() is not None
+    assert sorted(tuple(r) for r in coll.scan().collect()) == before

@@ -101,16 +101,21 @@ def _looks_above_sf1(sf_dir: str) -> bool:
     import os as _os
 
     p = _os.path.join(sf_dir, "events.parquet")
-    try:
-        if _os.path.isdir(p):
-            total = 0
-            for root, _dirs, files in _os.walk(p):
-                total += sum(
-                    _os.path.getsize(_os.path.join(root, f)) for f in files
-                )
+    if _os.path.isdir(p):
+        # per-file error tolerance: one vanished/unreadable part-file
+        # must not discard the already-accumulated total and bypass the
+        # guard (review finding)
+        total = 0
+        for root, _dirs, files in _os.walk(p):
+            for f in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    continue
                 if total > _EVENTS_BYTES_SF1_MAX:
                     return True
-            return total > _EVENTS_BYTES_SF1_MAX
+        return total > _EVENTS_BYTES_SF1_MAX
+    try:
         return _os.path.getsize(p) > _EVENTS_BYTES_SF1_MAX
     except OSError:
         return False  # no readable events table — nothing to OOM on

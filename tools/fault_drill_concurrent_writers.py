@@ -127,16 +127,22 @@ def _writer(role: str, coll_path: str, sf_dir: str, sync_dir: str) -> None:
                 and time.time() < deadline
             ):
                 time.sleep(0.05)
-        coll.merge_df(
-            src.withColumn(
-                "o_totalprice",
-                (
-                    F.col("o_totalprice").cast("decimal(18,2)")
-                    + BUMP[role] * i
-                ).cast("double"),
-            ),
-            key_col="o_orderkey",
+        batch = src.withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                + BUMP[role] * i
+            ).cast("double"),
         )
+        try:
+            coll.merge_df(batch, key_col="o_orderkey")
+        except Exception:
+            # A scan planned just before the other writer's range-merge
+            # swap fails LOUDLY on the trashed paths — the documented
+            # recovery is to retry, and LWW/CAS make the retry safe
+            # (merge_df's failed write cleaned its partial segment and
+            # in-flight marker).
+            coll.merge_df(batch, key_col="o_orderkey")
     if role == "a":
         head = max(coll.segment_stats())
         coll.compact(upto=head, since=1)
