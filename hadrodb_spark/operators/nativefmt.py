@@ -34,6 +34,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadrodb_spark.config import scratch_dir
 from hadrodb_spark.operators.relational import load
 from hadrodb_spark.sources import hadrolog
 
@@ -56,10 +57,10 @@ def _native_events_dir(sf_dir: str) -> str:
         ident = src
     tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
     # fixture dirs AND their build stagings (tempfile.mkdtemp) both live
-    # under gettempdir(), so the atomic-publish os.rename never crosses a
+    # under scratch_dir(), so the atomic-publish os.rename never crosses a
     # filesystem boundary (no EXDEV)
     return os.path.join(
-        tempfile.gettempdir(), f"hadrolog_events_{_FIXTURE_VERSION}_{tag}"
+        scratch_dir(), f"hadrolog_events_{_FIXTURE_VERSION}_{tag}"
     )
 
 
@@ -86,7 +87,7 @@ def _build_native_collection(spark: SparkSession, sf_dir: str, dest: str) -> Non
         .repartition(_N_SEGMENTS, "event_id")
     )
 
-    staging = tempfile.mkdtemp(prefix="hadrolog_build_")
+    staging = tempfile.mkdtemp(prefix="hadrolog_build_", dir=scratch_dir())
     (
         ev.write.format("hadrolog")
         .option("path", staging)
@@ -227,7 +228,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     this environment (probed; Failed to find data source)."""
     dest = _native_events_dir(sf_dir) + "_orc"
     if not os.path.isdir(dest):
-        staging = tempfile.mkdtemp(prefix="orc_build_")
+        staging = tempfile.mkdtemp(prefix="orc_build_", dir=scratch_dir())
         try:
             target = os.path.join(staging, "data")
             (
@@ -266,7 +267,7 @@ def _interchange_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
     cache dir, staging + atomic rename publish, integer cents."""
     dest = _native_events_dir(sf_dir) + f"_{kind}"
     if not os.path.isdir(dest):
-        staging = tempfile.mkdtemp(prefix=f"{kind}_build_")
+        staging = tempfile.mkdtemp(prefix=f"{kind}_build_", dir=scratch_dir())
         try:
             target = os.path.join(staging, "data")
             ev = load(spark, sf_dir, "events").select(

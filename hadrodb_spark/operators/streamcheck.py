@@ -29,6 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadrodb_spark.config import scratch_dir
 from hadrodb_spark.operators.relational import load
 from hadrodb_spark.streaming.events import EVENT_SCHEMA, tumbling_counts
 
@@ -110,12 +111,10 @@ def _state_pinned(fn):
 
 def _build_fixture(dest: str, build) -> None:
     """Run ``build(staging)`` then atomically publish staging → dest.
-    Staging lives under gettempdir() like dest, so the rename never
+    Staging lives under scratch_dir() like dest, so the rename never
     crosses a filesystem (no EXDEV); any failure cleans staging, and a
     lost publish race is fine when the winner's dest exists."""
-    staging = tempfile.mkdtemp(
-        prefix="streq_build_", dir=tempfile.gettempdir()
-    )
+    staging = tempfile.mkdtemp(prefix="streq_build_", dir=scratch_dir())
     try:
         build(staging)
         os.rename(staging, dest)
@@ -130,18 +129,29 @@ def _build_fixture(dest: str, build) -> None:
 
 def _run_bounded(spark: SparkSession, stream_df: DataFrame, mode: str) -> str:
     """availableNow run into a uniquely-named memory sink; returns the
-    sink's table name after the query terminates."""
+    sink's table name after the query terminates.
+
+    The checkpoint is an explicit scratch_dir() location removed after
+    termination: without one Spark allocates a temp checkpoint under the
+    JVM's java.io.tmpdir (the slow root volume here), and the offset/
+    commit logs plus HDFS-state-store deltas it fsyncs per micro-batch
+    are exactly the latency scratch_dir() exists to absorb."""
     import uuid
 
     name = f"streq_{uuid.uuid4().hex}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = os.path.join(scratch_dir(), f"streq_ckpt_{uuid.uuid4().hex}")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 
@@ -170,7 +180,7 @@ def _stream_events_dir(sf_dir: str) -> str:
         ident = src
     tag = hashlib.sha256(ident.encode()).hexdigest()[:16]
     return os.path.join(
-        tempfile.gettempdir(), f"stream_events_{_FIXTURE_VERSION}_{tag}"
+        scratch_dir(), f"stream_events_{_FIXTURE_VERSION}_{tag}"
     )
 
 
@@ -770,7 +780,9 @@ def stream_hadrolog_source_equivalence(
         )
     # per-invocation working copy: run 2 appends, so the shared cache must
     # stay wave-1-only (hardlinks are cheap and the segments are immutable)
-    base = tempfile.mkdtemp(prefix=f"hlstream_{uuid.uuid4().hex[:8]}_")
+    base = tempfile.mkdtemp(
+        prefix=f"hlstream_{uuid.uuid4().hex[:8]}_", dir=scratch_dir()
+    )
     try:
         work = os.path.join(base, "log")
         ckpt = os.path.join(base, "ckpt")  # shared across BOTH runs
@@ -837,7 +849,7 @@ def _publish_wave(spark: SparkSession, df: DataFrame, dest_dir: str,
     a pinned mtime — FileStreamSource discovers files oldest-mtime-first,
     and the late-drop certification needs the wave file order to be a
     CONTROLLED input, not a filesystem accident."""
-    staging = tempfile.mkdtemp(prefix="latewave_", dir=tempfile.gettempdir())
+    staging = tempfile.mkdtemp(prefix="latewave_", dir=scratch_dir())
     try:
         df.repartition(1).write.mode("overwrite").parquet(staging)
         part = next(
@@ -896,7 +908,9 @@ def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two real runs + restart), not data volume."""
     import uuid
 
-    base = tempfile.mkdtemp(prefix=f"latedrop_{uuid.uuid4().hex[:8]}_")
+    base = tempfile.mkdtemp(
+        prefix=f"latedrop_{uuid.uuid4().hex[:8]}_", dir=scratch_dir()
+    )
     try:
         src = os.path.join(base, "src")
         ckpt = os.path.join(base, "ckpt")
@@ -1157,7 +1171,7 @@ def stream_session_sink_equivalence(
     if not os.path.isdir(fixture):
         _build_session_stream_fixture(spark, sf_dir, fixture)
     run_dir = os.path.join(
-        tempfile.gettempdir(), f"streq_sink_{uuid.uuid4().hex}"
+        scratch_dir(), f"streq_sink_{uuid.uuid4().hex}"
     )
     out_dir = os.path.join(run_dir, "out")
     ck_dir = os.path.join(run_dir, "ck")
@@ -1228,7 +1242,7 @@ def stream_join_sink_equivalence(
     if not os.path.isdir(fixture):
         _build_louter_stream_fixture(spark, sf_dir, fixture)
     run_dir = os.path.join(
-        tempfile.gettempdir(), f"streq_jsink_{uuid.uuid4().hex}"
+        scratch_dir(), f"streq_jsink_{uuid.uuid4().hex}"
     )
     out_dir = os.path.join(run_dir, "out")
     ck_dir = os.path.join(run_dir, "ck")
