@@ -76,6 +76,41 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=3)
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact per-label centroid relation — the IVF coarse
+    quantizer, computed via posexplode + exact-decimal element sums and
+    re-assembled sorted by position (shuffles ncells×dim rows — tiny).
+
+    Shared-persisted (r12 optimization): this is an INDEX build, computed
+    once per corpus at write time in a real deployment; before sharing it
+    was rebuilt inline on every call by ``vector_topk_ivf``,
+    ``vector_topk_ivfpq``, each of ``ann_nprobe_recall_curve``'s four
+    probe widths, and two of ``ann_recall_audit``'s branches — the same
+    treatment ``pq_cent``/``pq_codes`` already had."""
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return (
+            emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "label", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+        )
+
+    return shared.shared_persist(
+        ("ivf_cent", spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The label-cell IVF plan with a parametric probe width — the 3-probe
     instance IS ``vector_topk_ivf``; ``ann_nprobe_recall_curve`` sweeps
@@ -84,21 +119,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
     )
-    # centroid per cell: element-wise mean via posexplode + exact-decimal sum
-    # (shuffles ncells×dim rows — tiny), re-assembled sorted by position
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
+    cent = _label_centroids(spark, sf_dir)
     probed = (
         cent.crossJoin(F.broadcast(q))
         .select("label", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))
@@ -123,6 +144,46 @@ _SQ_LEVELS = 16      # 4-bit codes per dimension (8× smaller than float32)
 _SQ_PRESELECT = 20   # ADC preselect depth before exact rerank
 
 
+def _sq_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-quantization codebook: ONE row of per-dimension
+    (lo, rng) structs in position order, from a full min/max sweep.
+
+    Shared-persisted (r12 optimization): like ``_label_centroids`` this
+    is an index build — per-dimension ranges are fixed at write time in
+    a deployment; before sharing, every ``vector_topk_sq`` call (and the
+    ``ann_recall_audit`` sq branch) re-ran the posexplode min/max
+    aggregate over the full corpus."""
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return (
+            emb.select(F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(
+                F.min(F.col("v").cast("double")).alias("lo"),
+                F.max(F.col("v").cast("double")).alias("hi"),
+            )
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "lo", "hi"))
+                ).alias("plh")
+            )
+            .select(
+                F.transform(
+                    "plh",
+                    lambda s: F.struct(
+                        s["lo"].alias("lo"), (s["hi"] - s["lo"]).alias("rng")
+                    ),
+                ).alias("params")
+            )
+        )
+
+    return shared.shared_persist(
+        ("sq_params", spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 def vector_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN: 4-bit-per-dimension codes, asymmetric-distance
     preselect, exact rerank.
@@ -140,25 +201,7 @@ def vector_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = lo + (code+0.5)·rng/16), so the ADC scores — and therefore the
     preselect set — are bit-identical; only the surfaced scores are rounded."""
     emb = load(spark, sf_dir, "embeddings")
-    # 1-row codebook: per-dimension (lo, rng) structs in position order
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(
-            F.min(F.col("v").cast("double")).alias("lo"),
-            F.max(F.col("v").cast("double")).alias("hi"),
-        )
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("plh"))
-        .select(
-            F.transform(
-                "plh",
-                lambda s: F.struct(
-                    s["lo"].alias("lo"), (s["hi"] - s["lo"]).alias("rng")
-                ),
-            ).alias("params")
-        )
-    )
+    stats = _sq_params(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
     )
@@ -387,20 +430,9 @@ def vector_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("embedding").alias("q_emb")
     )
-    # coarse quantizer: decimal-exact per-label centroids, 3-cell probe
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
+    # coarse quantizer: the shared decimal-exact per-label centroids
+    # (same relation the plain IVF probe broadcasts), 3-cell probe
+    cent = _label_centroids(spark, sf_dir)
     probed = (
         cent.crossJoin(F.broadcast(q))
         .select("label", V.cosine(F.col("centroid"), F.col("q_emb")).alias("c_sim"))

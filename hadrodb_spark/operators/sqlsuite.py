@@ -712,22 +712,60 @@ _QREC = """
 """
 
 
+_QREC_SPARK = """
+    WITH RECURSIVE reach(p, hop) AS (
+      SELECT CAST(1 AS BIGINT) AS p, 0 AS hop
+      UNION ALL
+      SELECT b.p, r.hop + 1
+      FROM (SELECT DISTINCT p, hop FROM reach) r
+      JOIN v_copurchase_op a ON a.p = r.p
+      JOIN v_copurchase_op b ON b.o = a.o
+      WHERE r.hop < 2
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p) AS BIGINT) AS min_part,
+           CAST(MAX(p) AS BIGINT) AS max_part
+    FROM (SELECT p, MIN(hop) AS hop FROM reach GROUP BY p)
+    GROUP BY hop
+    ORDER BY hop
+"""
+
+
 def sql_recursive_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (new in Spark 4): BFS levels of the co-purchase
-    reachability graph from a seed part — ``WITH RECURSIVE`` run with the
-    SAME text on Spark and DuckDB, so the parity check covers the feature
-    itself.
+    reachability graph from a seed part — the same recursion text as the
+    DuckDB oracle, except that the non-recursive ``op`` edge relation is
+    materialized ONCE per call instead of riding as an inlined CTE.
 
-    Scale shape: recursion executes as driver-coordinated iterative joins;
-    the frontier relation is ≤ |parts| rows per step (deduped inside the
-    step), so each of the bounded 2 iterations is one frontier⋈edges join
-    where the frontier side broadcasts.  The edge relation's DISTINCT is
-    the only big shuffle and AQE reuses its exchange across iterations.
-    Reference parity: the reference has no recursive query surface; this
-    covers the SQL-entry-point family's closure over Spark 4's newest
-    construct (SURVEY.md §2.2 SQL entry point).
+    Why materialized (r12 optimization, guide §2.4): Spark inlines
+    non-recursive CTEs, and exchange reuse does not span UnionLoop
+    iterations — profiled at sf0.1, the 6 MB DISTINCT-edges exchange was
+    written 5-7 times per execution (each hop references ``op`` twice).
+    A ``localCheckpoint`` of the deduped edge relation computes it once
+    and feeds every iteration from storage; the recursion itself still
+    executes through Spark's real UnionLoop operator, and the oracle
+    keeps the original single-text form — the hash gate proves the
+    rewrite computes the identical relation.
+
+    Scale shape: recursion executes as driver-coordinated iterative
+    joins; the frontier relation is ≤ |parts| rows per step (deduped
+    inside the step), so each of the bounded 2 iterations is one
+    frontier⋈edges join where the frontier side broadcasts, and the edge
+    DISTINCT is now genuinely one shuffle per execution.  Reference
+    parity: the reference has no recursive query surface; this covers
+    the SQL-entry-point family's closure over Spark 4's newest construct
+    (SURVEY.md §2.2 SQL entry point).
     """
-    return _run(spark, sf_dir, _QREC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+        .localCheckpoint()
+    )
+    op.createOrReplaceTempView("v_copurchase_op")
+    return spark.sql(_QREC_SPARK)
 
 
 ORACLE: dict[str, str] = {
