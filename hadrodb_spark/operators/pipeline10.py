@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from hadrodb_spark.functions import text as X
 from hadrodb_spark.operators.pipeline8 import _sdiv as _p8_sdiv
-from hadrodb_spark.operators.relational import load
+from hadrodb_spark.operators.relational import load, spread
 from hadrodb_spark.operators.shared import shared_persist
 
 # --- ranker_overlap_topk ---------------------------------------------------
@@ -366,8 +366,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
+    # the 32×-explode + per-group md5 is the heavy map work here; spread
+    # the (unsplittable single-row-group) scan first so it parallelizes
+    # (r12 optimization — measured: the whole expansion ran as ONE task)
     reps = (
-        orders.select(
+        spread(spark, orders).select(
             "o_orderkey",
             "cents",
             F.explode(F.expr(f"sequence(0, {_BOOT_B // 8 - 1})")).alias("g"),

@@ -53,6 +53,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count — but ONLY
+    when the plan currently yields fewer partitions.
+
+    Why (guide §2.5, input skew): the local fixture files are single-
+    row-group parquet, which is unsplittable no matter how small
+    ``maxPartitionBytes`` goes — every scan-stage map runs as ONE task,
+    so a compute-heavy projection (hash explosions, per-token work)
+    serializes on one core out of 32.  The guide's fix for unsplittable
+    input is to repartition immediately after the read.  The condition
+    makes it scale-adaptive rather than a local-mode constant: at
+    deployment scale the scan already yields ≥ cores partitions and no
+    exchange is added.  Call it AFTER the narrow projection so the
+    exchange carries only the needed columns.
+
+    Round-robin repartition is retry-safe (sort-before-repartition) and
+    every caller aggregates with exact decimal/integer arithmetic, so
+    results are partition-layout-invariant."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def dec(col: str) -> F.Column:
     """Exact 2-decimal fixed-point view of a money/measure column."""
     return F.col(col).cast("decimal(18,2)")

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast threshold: small dims (region/nation/supplier) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions allow (guide §3.1/§9): skips both sort passes for
+        # moderate build sides; AQE still rewrites/broadcasts at runtime.
+        # Measured on the join-heavy subset at sf0.1: ~11% total, with
+        # hybrid_rrf_fusion 5.5 s → 3.5 s and no regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Runtime bloom-filter pruning: a selective filter on one join side
         # injects a bloom filter into the other side's scan (default-on in
         # Spark 3.4+; pinned here so clusters with older defaults behave
