@@ -689,47 +689,41 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation and dedups within the step, so per-iteration work is bounded by
 # |parts| regardless of corpus size; BFS levels come from the final
 # MIN(hop) aggregate (re-reached nodes keep their first level).
-_QREC = """
-    WITH RECURSIVE op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {p}lineitem
+# ONE recursion template for both engines (r12 ADVICE: two verbatim copies
+# of the recursion text could silently drift; the hash gate would only
+# catch it at verification time).  ``edge_cte`` / ``edge`` are the only
+# legitimate difference: the DuckDB oracle inlines the DISTINCT edge
+# relation as a CTE, the Spark side reads the same relation as a
+# materialized temp view (see sql_recursive_copurchase).
+_QREC_BODY = """
+    WITH RECURSIVE {edge_cte}reach(p, hop) AS (
+      SELECT CAST(1 AS BIGINT) AS p, 0 AS hop
+      UNION ALL
+      SELECT b.p, r.hop + 1
+      FROM (SELECT DISTINCT p, hop FROM reach) r
+      JOIN {edge} a ON a.p = r.p
+      JOIN {edge} b ON b.o = a.o
+      WHERE r.hop < 2
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p) AS BIGINT) AS min_part,
+           CAST(MAX(p) AS BIGINT) AS max_part
+    FROM (SELECT p, MIN(hop) AS hop FROM reach GROUP BY p)
+    GROUP BY hop
+    ORDER BY hop
+"""
+
+_QREC = _QREC_BODY.format(
+    edge_cte=(
+        "op AS (\n"
+        "      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM {p}lineitem\n"
+        "    ),\n    "
     ),
-    reach(p, hop) AS (
-      SELECT CAST(1 AS BIGINT) AS p, 0 AS hop
-      UNION ALL
-      SELECT b.p, r.hop + 1
-      FROM (SELECT DISTINCT p, hop FROM reach) r
-      JOIN op a ON a.p = r.p
-      JOIN op b ON b.o = a.o
-      WHERE r.hop < 2
-    )
-    SELECT CAST(hop AS BIGINT) AS hop,
-           CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(MIN(p) AS BIGINT) AS min_part,
-           CAST(MAX(p) AS BIGINT) AS max_part
-    FROM (SELECT p, MIN(hop) AS hop FROM reach GROUP BY p)
-    GROUP BY hop
-    ORDER BY hop
-"""
+    edge="op",
+)
 
-
-_QREC_SPARK = """
-    WITH RECURSIVE reach(p, hop) AS (
-      SELECT CAST(1 AS BIGINT) AS p, 0 AS hop
-      UNION ALL
-      SELECT b.p, r.hop + 1
-      FROM (SELECT DISTINCT p, hop FROM reach) r
-      JOIN v_copurchase_op a ON a.p = r.p
-      JOIN v_copurchase_op b ON b.o = a.o
-      WHERE r.hop < 2
-    )
-    SELECT CAST(hop AS BIGINT) AS hop,
-           CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(MIN(p) AS BIGINT) AS min_part,
-           CAST(MAX(p) AS BIGINT) AS max_part
-    FROM (SELECT p, MIN(hop) AS hop FROM reach GROUP BY p)
-    GROUP BY hop
-    ORDER BY hop
-"""
+_QREC_SPARK = _QREC_BODY.format(edge_cte="", edge="v_copurchase_op")
 
 
 def sql_recursive_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,11 +736,15 @@ def sql_recursive_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-recursive CTEs, and exchange reuse does not span UnionLoop
     iterations — profiled at sf0.1, the 6 MB DISTINCT-edges exchange was
     written 5-7 times per execution (each hop references ``op`` twice).
-    A ``localCheckpoint`` of the deduped edge relation computes it once
-    and feeds every iteration from storage; the recursion itself still
-    executes through Spark's real UnionLoop operator, and the oracle
-    keeps the original single-text form — the hash gate proves the
-    rewrite computes the identical relation.
+    The deduped edge relation rides the shared-relation registry (r13,
+    from the r12 ADVICE: the former per-call ``localCheckpoint`` leaked
+    one cached RDD copy per invocation because ``createOrReplaceTempView``
+    dropped the reference without unpersisting) — built once per
+    (app, sf_dir), LRU-bounded, released by ``release_shared()``; every
+    iteration reads it from cache.  The recursion itself still executes
+    through Spark's real UnionLoop operator, and the oracle keeps the
+    original single-text form — the hash gate proves the rewrite
+    computes the identical relation.
 
     Scale shape: recursion executes as driver-coordinated iterative
     joins; the frontier relation is ≤ |parts| rows per step (deduped
@@ -757,12 +755,14 @@ def sql_recursive_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL-entry-point family's closure over Spark 4's newest construct
     (SURVEY.md §2.2 SQL entry point).
     """
+    from hadrodb_spark.operators import shared
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    op = (
-        load(spark, sf_dir, "lineitem")
+    op = shared.shared_persist(
+        ("copurchase_op", spark.sparkContext.applicationId, sf_dir),
+        lambda: load(spark, sf_dir, "lineitem")
         .selectExpr("l_orderkey AS o", "l_partkey AS p")
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
     )
     op.createOrReplaceTempView("v_copurchase_op")
     return spark.sql(_QREC_SPARK)

@@ -778,6 +778,31 @@ def stream_hadrolog_source_equivalence(
         _build_fixture(
             cache, lambda staging: _write_native_wave(spark, sf_dir, staging, 1)
         )
+    # Wave-2 segments cached like wave 1 (r13, guide §2.4): the DataSource
+    # writer's batch job (repartition + per-task msgpack framing + commit
+    # renames) ran on EVERY invocation even though its output is a pure
+    # function of (events, wave-1 segment count) — segment numbers are
+    # deterministic because the writer numbers after wave 1's fixed max.
+    # The cache is built THROUGH the same writer once; per invocation the
+    # segments hardlink into the work dir only after run 1, so the
+    # mid-stream-append arrival order this row certifies is unchanged.
+    cache_w2 = _stream_events_dir(sf_dir) + "_native_w2"
+    if not os.path.isdir(cache_w2):
+
+        def _build_w2(staging: str) -> None:
+            t = tempfile.mkdtemp(prefix="hlw2_build_", dir=scratch_dir())
+            try:
+                for fn in os.listdir(cache):
+                    os.link(os.path.join(cache, fn), os.path.join(t, fn))
+                _write_native_wave(spark, sf_dir, t, 0)
+                wave1 = set(os.listdir(cache))
+                for fn in os.listdir(t):
+                    if fn not in wave1 and os.path.isfile(os.path.join(t, fn)):
+                        os.link(os.path.join(t, fn), os.path.join(staging, fn))
+            finally:
+                shutil.rmtree(t, ignore_errors=True)
+
+        _build_fixture(cache_w2, _build_w2)
     # per-invocation working copy: run 2 appends, so the shared cache must
     # stay wave-1-only (hardlinks are cheap and the segments are immutable)
     base = tempfile.mkdtemp(
@@ -809,9 +834,10 @@ def stream_hadrolog_source_equivalence(
             )
             q.awaitTermination()
 
-        run_bounded()                               # drains wave 1
-        _write_native_wave(spark, sf_dir, work, 0)  # wave 2 mid-stream
-        run_bounded()                               # resume; ONLY new bytes
+        run_bounded()  # drains wave 1
+        for fn in os.listdir(cache_w2):  # wave 2 appears mid-stream
+            os.link(os.path.join(cache_w2, fn), os.path.join(work, fn))
+        run_bounded()  # resume; ONLY new bytes
         agg = (
             spark.read.parquet(out)
             .groupBy("event_type")
@@ -872,6 +898,49 @@ def _shift_days(ts, days: int):
 _LATE_DELAY = "1 hour"
 
 
+def _late_drop_waves_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture cache for the late-drop wave FILES (r13, guide §2.4 —
+    remove repeated work): the three wave parquet files are pure
+    functions of the events table (bounds + max-(ts, event_id) row are
+    deterministic), yet every invocation recomputed two driver collects
+    and three single-file writes before the two bounded runs even
+    started.  Built once per events fingerprint like every other stream
+    fixture; each invocation hardlinks the files into its own src dir so
+    the replay ORDER (wave2 appears only after run 1) stays a
+    per-invocation property.  Pinned mtimes ride the cached inodes."""
+    dest = _stream_events_dir(sf_dir) + "_late"
+    if os.path.isdir(dest):
+        return dest
+
+    def build(staging: str) -> None:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        bounds = ev.agg(
+            F.max("ts").alias("mx"), F.min("ts").alias("mn")
+        ).collect()[0]
+        dup = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+        t0 = 1_700_000_000.0  # fixed mtime base; only the ORDER matters
+        _publish_wave(spark, ev, staging, "wave1a.parquet", t0)
+        sentinel = spark.createDataFrame(
+            [(-10, _shift_days(bounds["mx"], 2), -1, "planted", 1.23, "{}")],
+            schema=EVENT_SCHEMA,
+        )
+        _publish_wave(spark, sentinel, staging, "wave1b.parquet", t0 + 60)
+        wave2 = spark.createDataFrame(
+            [
+                (-1, _shift_days(bounds["mn"], -365), -1, "planted", 7.89, "{}"),
+                (-2, _shift_days(bounds["mx"], 3), -1, "planted", 4.56, "{}"),
+                tuple(dup),
+            ],
+            schema=EVENT_SCHEMA,
+        )
+        _publish_wave(spark, wave2, staging, "wave2.parquet", t0 + 120)
+
+    _build_fixture(dest, build)
+    return dest
+
+
 @_utc_pinned
 @_state_pinned
 def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +977,7 @@ def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two real runs + restart), not data volume."""
     import uuid
 
+    waves = _late_drop_waves_dir(spark, sf_dir)
     base = tempfile.mkdtemp(
         prefix=f"latedrop_{uuid.uuid4().hex[:8]}_", dir=scratch_dir()
     )
@@ -916,20 +986,8 @@ def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(base, "ckpt")
         out = os.path.join(base, "out")
         os.makedirs(src)
-        ev = load(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        )
-        bounds = ev.agg(
-            F.max("ts").alias("mx"), F.min("ts").alias("mn")
-        ).collect()[0]
-        dup = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
-        t0 = 1_700_000_000.0  # fixed mtime base; only the ORDER matters
-        _publish_wave(spark, ev, src, "wave1a.parquet", t0)
-        sentinel = spark.createDataFrame(
-            [(-10, _shift_days(bounds["mx"], 2), -1, "planted", 1.23, "{}")],
-            schema=EVENT_SCHEMA,
-        )
-        _publish_wave(spark, sentinel, src, "wave1b.parquet", t0 + 60)
+        for fn in ("wave1a.parquet", "wave1b.parquet"):
+            os.link(os.path.join(waves, fn), os.path.join(src, fn))
 
         def run_bounded() -> None:
             stream = (
@@ -950,15 +1008,13 @@ def stream_late_drop_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
 
         run_bounded()  # wave 1: persists watermark = max(real ts) − 1 h
-        wave2 = spark.createDataFrame(
-            [
-                (-1, _shift_days(bounds["mn"], -365), -1, "planted", 7.89, "{}"),
-                (-2, _shift_days(bounds["mx"], 3), -1, "planted", 4.56, "{}"),
-                tuple(dup),
-            ],
-            schema=EVENT_SCHEMA,
+        # wave 2 becomes visible only AFTER run 1 — the restart semantics
+        # this row certifies are about arrival order, which the hardlink
+        # timing (not the file content) carries per invocation
+        os.link(
+            os.path.join(waves, "wave2.parquet"),
+            os.path.join(src, "wave2.parquet"),
         )
-        _publish_wave(spark, wave2, src, "wave2.parquet", t0 + 120)
         run_bounded()  # restart: late dropped, fresh kept, dup deduped
         agg = (
             spark.read.parquet(out)

@@ -9,6 +9,11 @@ from hadrodb_spark.operators.skew import salted_join
 from hadrodb_spark.plans import explain as E
 from hadrodb_spark.sources.bucketed import bucketed_join, write_bucketed
 
+import pytest
+
+# Slow tier: session-scoped bucketed-table build (~12 s setup).
+pytestmark = pytest.mark.slow
+
 
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

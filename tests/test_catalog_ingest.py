@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -12,6 +14,7 @@ from hadrodb_spark.streaming import events as S
 from hadrodb_spark.streaming.ingest import running_user_totals, stream_into_collection
 
 
+@pytest.mark.slow
 def test_catalog_sql_over_collections(spark, sf_dir, tmp_path):
     cat = HadroCatalog(spark)
     schema = T.StructType(
@@ -209,6 +212,7 @@ def test_stream_merge_into_collection(spark, tmp_path):
     assert coll.get("12")["v"] == "new"
 
 
+@pytest.mark.slow
 def test_stream_ingest_recovers_checkpoint_loss_with_new_data(
     spark, sf_dir, tmp_path
 ):

@@ -326,6 +326,7 @@ def test_writer_commit_never_overwrites_existing_segment(spark, tmp_path):
     assert len(rows) == 16  # 10 + 5 + 1 distinct squatter tuple
 
 
+@pytest.mark.slow
 def test_stream_reader_raises_on_segment_removal(spark, tmp_path):
     """Compaction under a live stream must fail LOUDLY, not stall with
     stale offsets: removing an already-consumed segment makes the next

@@ -384,6 +384,7 @@ def test_directory_fsync_failure_does_not_double_apply(tmp_path, monkeypatch):
     assert warned and "directory fsync failed" in warned[0].getMessage()
 
 
+@pytest.mark.slow
 def test_concurrent_writer_fault_drill_small():
     """The envelope fault drill (tools/fault_drill_concurrent_writers.py)
     at fixture scale: two real driver PROCESSES (three JVMs total) race

@@ -195,6 +195,7 @@ def _skip_if_certified(name: str, sf_dir: str) -> None:
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.slow
 def test_oracle_parity(spark, sf_dir, name):
     _skip_if_certified(name, sf_dir)
     sdf = QUERIES[name](spark, sf_dir)
@@ -238,6 +239,7 @@ def test_no_hugeint_oracle_outputs(sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.slow
 def test_rows_only_smoke(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert len(df.collect()) >= 0 and df.columns

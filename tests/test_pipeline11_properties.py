@@ -13,6 +13,12 @@ from hadrodb_spark.operators.pipeline11 import (
     fk_integrity_audit,
 )
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     max_examples=6,
     deadline=None,

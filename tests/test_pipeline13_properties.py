@@ -27,6 +27,12 @@ from hadrodb_spark.operators.pipeline13 import (
     dsir_importance,
 )
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 _WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
 
 

@@ -31,6 +31,12 @@ from hadrodb_spark.operators.pipeline15 import (
     levene_variance_homogeneity,
 )
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,

@@ -30,6 +30,12 @@ from hadrodb_spark.operators.pipeline16 import (
     welch_t_value,
 )
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,

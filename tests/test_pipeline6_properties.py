@@ -9,12 +9,18 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hadrodb_spark.operators import pipeline6 as P6
 from hadrodb_spark.operators.relational import load
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
 
 
 def _mg_reference(stream: list, k: int) -> dict:

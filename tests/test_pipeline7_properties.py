@@ -11,6 +11,12 @@ from hypothesis import strategies as st
 
 from hadrodb_spark.operators.pipeline7 import source_ks_shift
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 rows = st.lists(
     st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 20)),
     min_size=1,

@@ -21,6 +21,12 @@ from hadrodb_spark.operators.pipeline8 import (
     temporal_split_embargo,
 )
 
+import pytest
+
+# Slow tier (hypothesis bruteforce property suite): deselected by the
+# default `-m 'not slow'` addopts; run via `pytest -m 'slow or not slow'`.
+pytestmark = pytest.mark.slow
+
 
 def _round6(x: float) -> Decimal:
     """HALF_UP at 6 decimals over the double's shortest repr — the

@@ -5,6 +5,8 @@ contract demands."""
 
 from __future__ import annotations
 
+import pytest
+
 from hadrodb_spark.operators import relational as R
 from hadrodb_spark.plans import explain as E
 
@@ -205,6 +207,7 @@ def test_pipeline3_plan_shapes(spark, sf_dir):
     assert E.has_broadcast_join(P3.time_gapfill(spark, sf_dir))
 
 
+@pytest.mark.slow
 def test_derived_partsupp_sqlsuite_plan_shapes(spark, sf_dir):
     """Q2/Q9/Q11/Q16/Q20 (derived-partsupp shapes): correlated subqueries
     decorrelate to hash joins — no per-row nested loop, no cartesian; dims

@@ -18,6 +18,7 @@ them fails HERE with a readable assertion instead of as a driver red row:
 from __future__ import annotations
 
 import datetime as dt
+import pytest
 import time
 import uuid
 
@@ -309,6 +310,7 @@ def test_rehearsal_refuses_memory_sink_rows_above_sf1(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_left_join_null_extension_through_parquet_sink(spark, tmp_path):
     """The engine contract stream_join_sink_equivalence leans on: a
     left-outer stream-stream join writing to an append-mode FILE sink

@@ -135,6 +135,7 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     assert len(coll) == len(want)
 
 
+@pytest.mark.slow
 def test_ordered_anomaly_exact_across_out_of_order_batches(spark, tmp_path):
     """flag_anomalies_ordered must flag the chronological-truth anomaly even
     when micro-batches arrive OUT of event-time order.
@@ -348,6 +349,7 @@ def test_bitmap_distinct_stream_exact(spark, sf_dir, event_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_accumulators_survive_checkpoint_loss(
     spark, sf_dir, event_dir, tmp_path
 ):
@@ -397,6 +399,7 @@ def test_streaming_accumulators_survive_checkpoint_loss(
     assert after_bm == before_bm
 
 
+@pytest.mark.slow
 def test_accumulators_recover_checkpoint_loss_with_new_data(
     spark, sf_dir, tmp_path
 ):
@@ -508,6 +511,7 @@ def test_trending_topk_exactly_once_on_wal_replay(spark, sf_dir, event_dir, tmp_
     assert after == first  # replayed batch overwrote itself, no duplicates
 
 
+@pytest.mark.slow
 def test_native_collection_curation_end_to_end(spark, sf_dir, tmp_path):
     """The round-5 composition: documents kept in the reference's NATIVE
     format are streamed through the hadrolog reader into the curation

@@ -76,6 +76,7 @@ def _write_ooo_batches(spark, d, chunks):
             os.utime(os.path.join(d, f), (1_700_000_000 + i * 100,) * 2)
 
 
+@pytest.mark.slow
 def test_left_outer_exact_under_out_of_order_arrival(spark, tmp_path):
     """Adversarial fixture for the stream-stream LEFT OUTER join: purchases
     arrive in a micro-batch BEFORE their signups (event-time order inverted
